@@ -1,0 +1,73 @@
+"""Named query registry — the single source of truth consumed by
+``__spark_entry__.py`` (driver contract), ``bench.py`` and the tests.
+
+Each entry pairs a PySpark implementation with its ANSI-SQL oracle twin
+(run by DuckDB over the same parquet).  Registration order follows
+SURVEY.md §2's operator inventory.
+
+Determinism rules (so the driver's order-insensitive value-hash agrees):
+- no wall-clock: the reference's ``CURRENT_DATE``-relative predicates become
+  fixed literal cutoffs (SURVEY.md §7 principle);
+- every floating SUM/AVG that reaches the output goes through
+  ``functions.sum_exact``/``avg_exact`` (decimal-exact, order-independent)
+  with the identical cast spelled out in the oracle SQL;
+- every LIMIT carries a unique tiebreaker key in its ORDER BY;
+- aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One registered query: Spark impl + optional DuckDB oracle SQL."""
+
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {n: s.fn for n, s in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+_loaded = False
+
+
+def _load_all() -> None:
+    """Import every query module exactly once (registration side-effect)."""
+    global _loaded
+    if _loaded:
+        return
+    from . import core, etl_ops, events_ops, similarity, text_ops  # noqa: F401
+
+    _loaded = True
