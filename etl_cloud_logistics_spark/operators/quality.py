@@ -1,0 +1,65 @@
+"""Data-quality operators: z-score outlier gate and QA flags.
+
+Reference: statistical validation at extract time (z-score outlier counts,
+``etl_pipeline.py:313-322``) and the fact build's QA flags — negative
+time/distance/fuel corrected to 0 and flagged, plus an overall ``qa_passed``
+column (``etl_pipeline.py:851-873,918``).
+
+Scale notes: the stats pass is a single partial-aggregate (5 numbers per
+group reach the driver/broadcast); the flagging pass is a scan with a
+broadcast of those stats — two linear passes, no wide shuffle of the fact.
+Determinism: mean/variance come from decimal-exact Σx and Σx² (see
+``functions.sum_exact``), so the oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import sum_exact
+
+
+def zscore_stats(df: DataFrame, col: str) -> DataFrame:
+    """One-row frame: n, mean, stddev (sample), from exact sums."""
+    x = F.col(col)
+    return df.agg(
+        F.count(x).alias("n"),
+        sum_exact(x).alias("_sx"),
+        sum_exact(x * x).alias("_sxx"),
+    ).select(
+        "n",
+        (F.col("_sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+
+
+def flag_outliers(df: DataFrame, col: str, threshold: float = 3.0) -> DataFrame:
+    """Attach ``zscore`` and ``is_outlier`` (|z| > threshold) via a broadcast
+    of the global stats (ref etl_pipeline.py:313-322)."""
+    stats = zscore_stats(df, col)
+    z = (F.col(col) - F.col("mean")) / F.col("std")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("zscore", z)
+        .withColumn("is_outlier", F.abs(z) > threshold)
+        .drop("n", "mean", "std")
+    )
+
+
+def qa_flags(
+    df: DataFrame, non_negative: list[str], flag_prefix: str = "qa_flag_"
+) -> DataFrame:
+    """Correct negative measures to 0 and flag them; add ``qa_passed``
+    (ref etl_pipeline.py:851-873,918)."""
+    out = df
+    all_flags: Column = F.lit(False)
+    for c in non_negative:
+        flag = F.col(c) < 0
+        out = out.withColumn(f"{flag_prefix}{c}", F.coalesce(flag, F.lit(False)))
+        out = out.withColumn(c, F.greatest(F.col(c), F.lit(0)))
+        all_flags = all_flags | F.coalesce(flag, F.lit(False))
+    return out.withColumn("qa_passed", ~all_flags)

@@ -1,1 +1,328 @@
-"""placeholder — filled in later this round."""
+"""ETL / dimensional-machinery queries (SURVEY.md §2.1, §2.3 J7-J10, §2.4 A9,
+§2.8 F15/F18/F21; build-plan Milestone 3).
+
+Each query binds a reusable operator from ``..operators`` to the testdata and
+pairs it with a DuckDB oracle that re-derives the expected result
+analytically — so the SCD2/as-of/QA algorithms are differential-tested, not
+just smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import sum_exact
+from ..operators.asof import asof_join
+from ..operators.dims import generate_dim_date, generate_dim_time
+from ..operators.quality import zscore_stats
+from ..operators.scd2 import scd2_apply
+from . import register
+
+SCD_T0 = "2000-01-01"  # initial dimension load date
+SCD_T1 = "2001-01-01"  # effective date of the merge under test
+
+
+def _scd2_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic SCD2 fixture derived from the customer dim:
+    - current dimension: every customer, one open version as of SCD_T0;
+    - staging extract: acctbal bumped +100 for custkey%10==0 (changed rows),
+      plus brand-new keys custkey+1000000 for custkey%97==0."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    current = customer.select(
+        "*",
+        F.lit(SCD_T0).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    staging = customer.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 100).otherwise(
+            F.col("c_acctbal")
+        ),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 97 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW_"), F.col("c_name")).alias("c_name"),
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    return current, staging
+
+
+@register(
+    "scd2_merge_customers",
+    oracle=f"""
+    -- analytic expectation of the SCD2 merge (ref etl_pipeline.py:1044-1084)
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           DATE '{SCD_T0}' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 10 <> 0
+    UNION ALL   -- closed old versions of changed keys
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+           DATE '{SCD_T0}', DATE '{SCD_T1}', FALSE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL   -- new open versions of changed keys
+    SELECT c_custkey, c_name, c_acctbal + 100, c_mktsegment,
+           DATE '{SCD_T1}', NULL, TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL   -- brand-new keys
+    SELECT c_custkey + 1000000, 'NEW_' || c_name, c_acctbal, c_mktsegment,
+           DATE '{SCD_T1}', NULL, TRUE
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 merge (J8/J9) as a DataFrame algorithm — close changed
+    versions, insert successors and brand-new keys.  The reference generates
+    the equivalent Snowflake MERGE but never executes it
+    (etl_pipeline.py:1087-1090); this is the completed operator."""
+    current, staging = _scd2_frames(spark, sf_dir)
+    return scd2_apply(
+        current,
+        staging,
+        keys=["c_custkey"],
+        tracked=["c_name", "c_acctbal", "c_mktsegment"],
+        effective_date=SCD_T1,
+    )
+
+
+@register(
+    "anti_join_new_dates",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders f
+        WHERE f.o_orderstatus = 'F'
+          AND CAST(f.o_orderdate AS DATE) = CAST(o.o_orderdate AS DATE)
+    )
+    """,
+)
+def anti_join_new_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dimension anti-join (J7): dates present in the staging
+    extract but missing from the already-loaded dimension (ref
+    etl_pipeline.py:1001-1010's NOT EXISTS insert into DIM_DATE).
+    Scale: both sides pre-aggregate to distinct dates before the anti-join,
+    so the shuffle is O(distinct dates), not O(fact)."""
+    orders = load_table(spark, sf_dir, "orders")
+    staging_dates = orders.select(
+        F.to_date("o_orderdate").alias("order_date")
+    ).distinct()
+    existing = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select(F.to_date("o_orderdate").alias("order_date"))
+        .distinct()
+    )
+    return staging_dates.join(existing, "order_date", "left_anti")
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           s.event_id AS asof_event_id, s.value AS asof_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J10): attach each event's most recent prior signup.
+    Implemented with the union-and-window operator (one shuffle on user_id),
+    verified against DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    right = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["event_id", "value"],
+    )
+
+
+@register(
+    "zscore_outlier_gate",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(l_extendedprice) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM lineitem
+    ), st AS (
+        SELECT n, sx / n AS mean, sqrt((sxx - sx * sx / n) / (n - 1)) AS std FROM s
+    )
+    SELECT st.n AS n_rows,
+           COUNT(CASE WHEN abs((l.l_extendedprice - st.mean) / st.std) > 3
+                      THEN 1 END) AS n_outliers,
+           ROUND(st.mean, 2) AS mean_price,
+           ROUND(st.std, 2) AS std_price
+    FROM lineitem l, st
+    GROUP BY st.n, st.mean, st.std
+    """,
+)
+def zscore_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier gate (A9/F21, ref etl_pipeline.py:313-322): global
+    mean/std from decimal-exact sums, |z|>3 counted via a broadcast of the
+    one-row stats — two linear passes over the fact, no wide shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    stats = zscore_stats(lineitem, "l_extendedprice")
+    z = (F.col("l_extendedprice") - F.col("mean")) / F.col("std")
+    return (
+        lineitem.crossJoin(F.broadcast(stats))
+        .groupBy("n", "mean", "std")
+        .agg(F.count(F.when(F.abs(z) > 3, 1)).alias("n_outliers"))
+        .select(
+            F.col("n").alias("n_rows"),
+            "n_outliers",
+            F.round("mean", 2).alias("mean_price"),
+            F.round("std", 2).alias("std_price"),
+        )
+    )
+
+
+@register(
+    "dim_date_generate",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+           CAST(d AS DATE) AS full_date,
+           CAST(year(d) AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(day(d) AS INT) AS day,
+           CAST(dayofweek(d) AS BIGINT) AS day_of_week,
+           dayname(d) AS day_name,
+           monthname(d) AS month_name,
+           dayofweek(d) IN (0, 6) AS is_weekend,
+           day(d) = 1 AS is_month_start,
+           CAST(d AS DATE) = last_day(CAST(d AS DATE)) AS is_month_end
+    FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension via F.sequence+explode — distributed, replacing the
+    reference's driver-side pandas date_range loop (etl_pipeline.py:337-361)."""
+    return generate_dim_date(spark, "1995-01-01", "1996-12-31")
+
+
+@register(
+    "dim_time_generate",
+    oracle="""
+    SELECT CAST(m // 60 * 100 + m % 60 AS INT) AS time_key,
+           CAST(m // 60 AS INT) AS hour,
+           CAST(m % 60 AS INT) AS minute,
+           CASE WHEN m // 60 < 12 THEN 'AM' ELSE 'PM' END AS am_pm,
+           CASE WHEN m // 60 BETWEEN 6 AND 11 THEN 'morning'
+                WHEN m // 60 BETWEEN 12 AND 17 THEN 'afternoon'
+                WHEN m // 60 BETWEEN 18 AND 21 THEN 'evening'
+                ELSE 'night' END AS day_part
+    FROM range(0, 1440, 15) t(m)
+    """,
+)
+def dim_time_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """96-row 15-minute-grain time dimension (ref 04_dimensional_model.sql:
+    39-50)."""
+    return generate_dim_time(spark)
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               * 1.0 / COUNT(json_extract_string(props, '$.k')) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured staging round-trip (F18, S5): parse the JSON props
+    column (the VARIANT staging analog, ref etl_pipeline.py:966-974) and
+    aggregate a typed field.  get_json_object is JVM-side — no UDF."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            (F.sum(k) * F.lit(1.0) / F.count(k)).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals — the capability extension flagged in
+    SURVEY.md §2.4 (the reference has no grouping sets; Spark gives them
+    free).  Partial aggregation applies to every grouping set at once."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        sum_exact("o_totalprice").alias("revenue"),
+    )
+
+
+@register(
+    "set_ops_counts",
+    oracle=f"""
+    SELECT 'union' AS op, COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    )
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def set_ops_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (§2.7): UNION / INTERSECT / EXCEPT cardinalities.
+    Spark's hash-based set ops shuffle once on the full row."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = customer.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    y2001 = orders.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    y1995 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+
+    def labeled(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        labeled(building.union(machinery).distinct(), "union")
+        .unionByName(labeled(y2001.intersect(y1995), "intersect"))
+        .unionByName(labeled(building.exceptAll(f_cust.distinct()).distinct(), "except"))
+    )

@@ -1,1 +1,298 @@
-"""placeholder — filled in later this round."""
+"""Event-table operators: the batch twins of the streaming surface
+(SURVEY.md §2.9) plus the geo helpers (F19/F20), sessionization, top-k per
+group and time-bucketing (F15).
+
+The true Structured Streaming jobs live in ``..streaming.jobs`` (tested with
+file micro-batches in tests/test_streaming.py); each one's transformation
+core is shared with the batch query here, so the oracle-checked semantics
+and the streaming execution are the same code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions import dist_km, sum_exact, time_key_15min
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# ST2 — latest status per key (the DynamoDB deliveries_status point-lookup,
+# ref 07_lambda_functions.py:18-71)
+# ---------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-status state (ST2): one row per user with their most recent
+    event.  Scale: a per-key window with row_number — one shuffle on the
+    key; in streaming this is the ``max_by`` state kept by
+    streaming.jobs.latest_status."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST6 — tumbling event-time windows (the design addition the reference lacks)
+# ---------------------------------------------------------------------------
+@register(
+    "tumbling_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation (ST6) — the batch twin of the
+    watermarked streaming agg (streaming.jobs.windowed_counts)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_2h_counts",
+    oracle="""
+    -- every event belongs to exactly two 2h/1h-slide windows:
+    -- starts at trunc(ts) and trunc(ts) - 1h
+    SELECT date_trunc('hour', ts) - INTERVAL (o.n) HOUR AS window_start,
+           COUNT(*) AS n_events
+    FROM events, range(2) o(n)
+    GROUP BY 1
+    """,
+)
+def sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide) counts — Spark expands each row
+    into its member windows before the agg, exactly like the oracle's
+    range(2) cross join."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based sessions (session_window's batch semantics)
+# ---------------------------------------------------------------------------
+@register(
+    "session_stats_per_user",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+)
+def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity gap): lag + running sum
+    of session starts — the batch equivalent of ``F.session_window`` used by
+    the streaming job.  One shuffle on user_id; both windows share it."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        events.withColumn("session_id", F.sum(is_start).over(run))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — threshold alerts with severity tiers (F12 CASE chains; ref
+# 07_lambda_functions.py:143-226 deviation alert + SNS)
+# ---------------------------------------------------------------------------
+@register(
+    "threshold_alerts",
+    oracle="""
+    SELECT event_id AS alert_id, user_id, ts, value,
+           CASE WHEN value > 45 THEN 'critical'
+                WHEN value > 40 THEN 'high'
+                ELSE 'warning' END AS severity
+    FROM events
+    WHERE value > 35
+    """,
+)
+def threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert emission (ST4): threshold filter + severity tiers as native
+    F.when chains (the reference's pandas .apply tier lambdas compile to
+    this — SURVEY.md §2.10).  In streaming this filter feeds the
+    foreachBatch alert sink."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("value") > 35).select(
+        F.col("event_id").alias("alert_id"),
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("value") > 45, "critical")
+        .when(F.col("value") > 40, "high")
+        .otherwise("warning")
+        .alias("severity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F19/F20 + W2 — GPS-style movement analysis on synthetic coordinates
+# ---------------------------------------------------------------------------
+@register(
+    "geo_movement_per_user",
+    oracle="""
+    WITH pos AS (
+        SELECT user_id, ts, event_id,
+               CAST(event_id % 90 AS DOUBLE) - 45 AS lat,
+               CAST(event_id % 180 AS DOUBLE) - 90 AS lon
+        FROM events
+    ), moves AS (
+        SELECT user_id,
+               sqrt(pow(lat - LAG(lat) OVER w, 2) + pow(lon - LAG(lon) OVER w, 2)) * 111.0
+                   AS jump_km
+        FROM pos
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(jump_km) AS n_moves,
+           COUNT(CASE WHEN jump_km > 5000 THEN 1 END) AS n_deviations,
+           ROUND(MAX(jump_km), 2) AS max_jump_km
+    FROM moves
+    GROUP BY user_id
+    """,
+)
+def geo_movement_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route-deviation analysis (ST4's geometry, F19): per-user consecutive
+    GPS distance via the reference's sqrt(Δlat²+Δlon²)×111 approximation
+    (07_lambda_functions.py:94-99), deviations flagged over a threshold.
+    Coordinates are derived deterministically from event_id so the oracle
+    sees identical inputs."""
+    events = load_table(spark, sf_dir, "events")
+    pos = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") % 90).cast("double") - 45).alias("lat"),
+        ((F.col("event_id") % 180).cast("double") - 90).alias("lon"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    jump = dist_km(
+        F.col("lat"), F.col("lon"), F.lag("lat").over(w), F.lag("lon").over(w)
+    )
+    return (
+        pos.withColumn("jump_km", jump)
+        .groupBy("user_id")
+        .agg(
+            F.count("jump_km").alias("n_moves"),
+            F.count(F.when(F.col("jump_km") > 5000, 1)).alias("n_deviations"),
+            F.round(F.max("jump_km"), 2).alias("max_jump_km"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2/W — distributed top-k per group
+# ---------------------------------------------------------------------------
+@register(
+    "topk_events_per_type",
+    oracle="""
+    SELECT event_type, event_id, ts, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id ASC) <= 5
+    """,
+)
+def topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events per type — the canonical distributed top-k:
+    Window.partitionBy + row_number ≤ k (SURVEY.md §2.6 O2 generalized per
+    group).  Unique tiebreaker (event_id) makes the cut deterministic."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("event_type", "event_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F15 — 15-minute time-bucket rollup (dim_time grain)
+# ---------------------------------------------------------------------------
+@register(
+    "time_bucket_15min",
+    oracle="""
+    SELECT CAST(hour(ts) * 100 + (minute(ts) // 15) * 15 AS INT) AS time_key,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY time_key
+    """,
+)
+def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute-grain bucketing (F15, ref etl_pipeline.py:834-840) —
+    time-of-day load profile at dim_time grain."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(time_key_15min("ts").alias("time_key"))
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value").alias("total_value"),
+        )
+        .orderBy("time_key")
+    )

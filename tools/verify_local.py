@@ -71,6 +71,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
+        if pd.api.types.is_datetime64_any_dtype(av) or pd.api.types.is_datetime64_any_dtype(bv):
+            av = pd.to_datetime(av).astype(str)
+            bv = pd.to_datetime(bv).astype(str)
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = av.astype(float)
             bv = bv.astype(float)
