@@ -1,0 +1,129 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Opaque payloads travel as ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` operators — per-partition batch iterators, the only part of
+the engine that leaves the JVM, and it does so vectorized.
+
+The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container, so the
+decoders are STUBBED: ``_decode_image_real`` raises ``NotImplementedError``
+unless the library import succeeds, and the default path substitutes a
+deterministic fake derived from the payload bytes.  The Spark-side plumbing —
+schema, Arrow batching, partition mapping, frame math — is real and tested.
+
+Scale notes:
+- payload bytes never pass through a shuffle here: mapInPandas is a narrow
+  map over the scan, so 100 TB of media only streams executor-local;
+- batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch —
+  for multi-MB payloads set it low (e.g. 64) to bound executor memory;
+- metadata-only queries (width/duration filters) read just the metadata
+  struct thanks to parquet column pruning — payloads stay on disk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("aspect_ratio", T.DoubleType()),
+    ]
+)
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("last_frame_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Carry an opaque payload as a binary column + typed metadata struct
+    (the DynamoDB document-model analog, SURVEY.md §1.2).  Here the payload
+    is the utf-8 text bytes standing in for image/audio bytes."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.octet_length(text_col).cast("bigint").alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int]:
+    """Real decoder — requires PIL, which this container does not ship."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        import io  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(payload))
+        return img.width, img.height
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "use the deterministic stub path"
+        ) from exc
+
+
+def decode_image_features(binary_df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched image 'decode': per-batch pandas in/out via mapInPandas.
+    The stub derives width/height deterministically from the byte length so
+    the pipeline (batching, schema, downstream aggs) is fully exercisable
+    and oracle-checkable; aspect_ratio is left unrounded here (rounding
+    policy belongs to the query layer)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_codec:
+                dims = [_decode_image_real(p) for p in pdf["payload"]]
+                w = pd.Series([d[0] for d in dims], dtype="int64")
+                h = pd.Series([d[1] for d in dims], dtype="int64")
+            else:
+                n = pdf["payload"].map(len).astype("int64")
+                w = n % 640 + 1
+                h = (n * 7) % 480 + 1
+            n_bytes = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "width": w,
+                    "height": h,
+                    "aspect_ratio": w.astype("float64") / h.astype("float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def audio_frame_stats(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """Frame-sampling math for audio-like payloads (ceil-division frame
+    count + tail size) as a mapInPandas batch operator."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "n_frames": (n + frame_bytes - 1) // frame_bytes,
+                    "last_frame_bytes": n % frame_bytes,
+                }
+            )
+
+    return binary_df.mapInPandas(batches, AUDIO_FRAME_SCHEMA)

@@ -1,0 +1,256 @@
+"""Deduplication kit (north-star extension X1/X2): exact, fingerprint,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+All variants are pure DataFrame compositions over the ``documents`` table —
+no Python UDFs; hashing is JVM ``md5``, which lets the DuckDB oracle
+reproduce signatures bit-for-bit (both emit lowercase hex).
+
+Scale design (100 TB corpus):
+- tokenize/shingle = narrow ops (no shuffle);
+- the pair-finding join is on *shared shingles* (or shared LSH band keys),
+  never a cross join: candidates are generated only where evidence exists,
+  which is the standard linear-ish MinHash/LSH layout;
+- hot shingles (stopword runs) are the skew risk — ``jaccard_pairs`` takes a
+  ``max_shingle_freq`` cap that drops shingles occurring in more than N docs
+  (a common-crawl trick: ubiquitous shingles carry no discriminative signal);
+- MinHash signatures shrink each doc to ``n_hashes`` strings before the join,
+  so the wide stage is O(docs × bands), not O(docs × shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lower-case whitespace tokens as an array column ``ws``."""
+    return df.withColumn("ws", F.split(F.lower(F.col(text_col)), " "))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    Built by exploding token positions and joining n consecutive tokens —
+    narrow transforms only; ``distinct`` is the first (and only) shuffle.
+    """
+    toks = tokens(df, text_col).select(id_col, "ws")
+    pos = toks.select(
+        id_col,
+        F.posexplode("ws").alias("pos", "w0"),
+        F.col("ws"),
+    )
+    sh = pos.filter(F.col("pos") + n <= F.size("ws")).select(
+        id_col,
+        F.concat_ws(
+            " ", *[F.col("ws")[F.col("pos") + i] for i in range(n)]
+        ).alias("s"),
+    )
+    return sh.distinct()
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, on: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: deterministic representative = min(id).
+    Hash-groupBy on the dedup key — one shuffle, map-side partial agg."""
+    return df.groupBy(*on).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", prefix_tokens: int = 8):
+    """Document fingerprints (rolling-hash analog, fully relational):
+    ``fp_full`` = md5 of the whole lowered text, ``fp_prefix`` = md5 of the
+    first ``prefix_tokens`` tokens (groups docs that share an opening)."""
+    t = tokens(df, text_col)
+    return t.select(
+        "*",
+        F.md5(F.lower(F.col(text_col)).cast("binary")).alias("fp_full"),
+        F.md5(
+            F.concat_ws(" ", F.slice("ws", 1, prefix_tokens)).cast("binary")
+        ).alias("fp_prefix"),
+    ).drop("ws")
+
+
+# ---------------------------------------------------------------------------
+# X2a — exact n-gram Jaccard pairs via shared-shingle join
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Join on shared shingles (id_a < id_b), count common, combine with per-doc
+    set sizes.  ``max_shingle_freq`` drops ubiquitous shingles before the
+    join (skew guard at corpus scale)."""
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "s").drop("_df")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b — MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    md5(shingle ⊕ j), j < n_hashes.  The md5-string minimum is a valid
+    min-wise permutation family and — unlike seeded hash functions — is
+    reproducible by any engine with md5 (the DuckDB oracle mirrors it).
+
+    Layout: explode shingles × n_hashes, then partial-aggregated min per
+    (doc, j) — one shuffle keyed by doc."""
+    hashed = sh.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
+        F.col("s"),
+    ).select(
+        id_col,
+        "j",
+        F.md5(
+            F.concat(F.col("s"), F.lit("#"), F.col("j").cast("string")).cast("binary")
+        ).alias("h"),
+    )
+    return hashed.groupBy(id_col, "j").agg(F.min("h").alias("h"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (concat ``rows_per_band`` consecutive minima) and
+    emit distinct candidate pairs sharing any band bucket.  The join is
+    equi on (band, band_key) — linear in bucket sizes."""
+    # sort_array on struct(j,h) orders by j, so the concat is position-stable
+    banded = (
+        sig.withColumn("band", F.floor(F.col("j") / rows_per_band))
+        .groupBy(id_col, "band")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("j", "h"))),
+                    lambda x: x["h"],
+                ),
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash/LSH candidate generation + exact Jaccard
+    verification of candidates only (the scalable two-phase layout)."""
+    sh = shingles(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sh, id_col, n_hashes), id_col, rows_per_band
+    )
+    verified = jaccard_pairs(sh, id_col, threshold=threshold)
+    return cand.join(verified, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c — SimHash (64-bit) — bit tricks, JVM-side
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over distinct tokens: token hash = first 15 hex chars
+    of md5 (60 bits); each bit contributes ±1; sign of the sum forms the
+    fingerprint.  Entirely ``F`` expressions (conv/shiftright/bit ops)."""
+    t = tokens(df, text_col).select(id_col, F.explode(F.array_distinct("ws")).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
+    bits = t.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        h.alias("h"),
+    ).select(
+        id_col,
+        "bit",
+        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("contrib"),
+    )
+    agg = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return agg.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming, found by pigeonhole
+    banding: the 60-bit fingerprint splits into 4 × 15-bit blocks, and any
+    pair differing in ≤ 3 bits must agree on ≥ 1 whole block — so an
+    equi-join on (block index, block value) has *complete* recall for
+    max_hamming ≤ 3 while never forming a cross product.
+    ``bit_count(xor)`` verifies the exact distance."""
+    blocked = sig.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("blk"),
+    ).withColumn("block_val", F.expr("shiftright(simhash, 15 * blk) & 32767"))
+    a = blocked.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "block_val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "block_val"
+    )
+    return (
+        a.join(b, ["blk", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

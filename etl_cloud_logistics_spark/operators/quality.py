@@ -56,10 +56,15 @@ def qa_flags(
     """Correct negative measures to 0 and flag them; add ``qa_passed``
     (ref etl_pipeline.py:851-873,918)."""
     out = df
-    all_flags: Column = F.lit(False)
+    flag_cols: list[str] = []
     for c in non_negative:
-        flag = F.col(c) < 0
-        out = out.withColumn(f"{flag_prefix}{c}", F.coalesce(flag, F.lit(False)))
+        fname = f"{flag_prefix}{c}"
+        # materialize the flag BEFORE clamping — a later F.col(c) would see
+        # the corrected value and never flag
+        out = out.withColumn(fname, F.coalesce(F.col(c) < 0, F.lit(False)))
         out = out.withColumn(c, F.greatest(F.col(c), F.lit(0)))
-        all_flags = all_flags | F.coalesce(flag, F.lit(False))
-    return out.withColumn("qa_passed", ~all_flags)
+        flag_cols.append(fname)
+    cond: Column = F.lit(False)
+    for fname in flag_cols:
+        cond = cond | F.col(fname)
+    return out.withColumn("qa_passed", ~cond)

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (north-star extension X3/X5).
+
+Design:
+- dot products / norms are computed as *decimal-exact* sums of
+  double-exact float32 products (a float32×float32 product is exactly
+  representable in a double; casting each product to DECIMAL(38,12) makes the
+  summation order-independent), so cosine values are bit-identical across
+  engines — the DuckDB oracle reproduces them with the same casts;
+- brute-force top-k is the correctness baseline: broadcast the (small) query
+  set against the corpus, rank per query, keep row_number ≤ k — the corpus
+  side streams, nothing materializes;
+- the scale path is IVF-style bucket pruning: restrict candidates to the
+  query's coarse partition before ranking (here the deterministic ``label``
+  plays the centroid-assignment role; in production the assignment comes
+  from a trained quantizer).  Candidate generation becomes an equi-join on
+  the bucket id — shuffle O(corpus), not O(queries × corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+# DECIMAL(30,12): addition of two (30,12) values yields (31,12) — scale is
+# preserved (Spark only truncates scale when precision would exceed 38), so
+# the explicit re-cast to (30,12) in the fold is lossless for |x| < 1e18.
+_DEC = "decimal(30,12)"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product of two float arrays (as double)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_DEC),
+        lambda acc, x: (acc + x.cast(_DEC)).cast(_DEC),
+    ).cast("double")
+
+
+def norm_exact(a: Column) -> Column:
+    """Exact-sum L2 norm (sqrt applied to a deterministic double)."""
+    return F.sqrt(dot_exact(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (baseline).  The query set is
+    broadcast; ranking is per-query (Window.partitionBy) with the neighbor id
+    as deterministic tiebreaker."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates limited to the query's coarse
+    bucket (equi-join on the bucket id), then exact ranking within bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

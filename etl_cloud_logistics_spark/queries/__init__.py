@@ -68,6 +68,13 @@ def _load_all() -> None:
     global _loaded
     if _loaded:
         return
-    from . import core, etl_ops, events_ops, similarity, text_ops  # noqa: F401
+    from . import (  # noqa: F401
+        core,
+        etl_ops,
+        events_ops,
+        multimodal_ops,
+        similarity,
+        text_ops,
+    )
 
     _loaded = True

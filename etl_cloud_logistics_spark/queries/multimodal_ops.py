@@ -1,0 +1,61 @@
+"""Multimodal-column queries (X5): binary payload plumbing through
+Arrow-batched mapInPandas, oracle-checked via the deterministic stub math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..multimodal.binary_ops import (
+    attach_binary_payload,
+    audio_frame_stats,
+    decode_image_features,
+)
+from . import register
+
+
+@register(
+    "multimodal_image_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+           CAST((strlen(text) * 7) % 480 + 1 AS BIGINT) AS height,
+           ROUND((strlen(text) % 640 + 1) * 1.0 / ((strlen(text) * 7) % 480 + 1), 4)
+               AS aspect_ratio
+    FROM documents
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column 'image decode' through mapInPandas (stubbed codec, real
+    Arrow plumbing): text bytes → payload → per-batch feature extraction.
+    The oracle reproduces the stub's byte-length math (strlen = utf-8
+    bytes in DuckDB, matching len(payload) in pandas)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.round("aspect_ratio", 4).alias("aspect_ratio"),
+    )
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_frames,
+           CAST(strlen(text) % 256 AS BIGINT) AS last_frame_bytes
+    FROM documents
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over audio-like binary payloads (256-byte frames),
+    Arrow-batched."""
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_frame_stats(attach_binary_payload(docs), frame_bytes=256)

@@ -1,1 +1,124 @@
-"""placeholder — filled in later this round."""
+"""Similarity-search queries over ``embeddings`` (north-star extension X3/X5).
+
+Cosine values are decimal-exact (see operators.similarity), so the oracle —
+which expands the 64-dim dot product positionally with the same casts —
+reproduces them bit-for-bit and the top-k cut is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import sum_exact
+from ..operators.similarity import knn_bruteforce, knn_ivf, norm_exact
+from . import register
+
+# DuckDB twin of operators.similarity.cosine: positional expansion over the
+# 64 dims; float32×float32 products are exact in double, DECIMAL(38,12) sums
+# are order-independent.
+_COS_TERMS = """
+        SELECT query_id, neighbor_id,
+               CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+               CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS qq,
+               CAST(SUM(CAST(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS cc
+        FROM pairs, range(1, 65) r(i)
+        GROUP BY query_id, neighbor_id
+"""
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE neighbor_id <> query_id),
+    terms AS ({_COS_TERMS}),
+    scored AS (
+        SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 10 vectors (X3 baseline):
+    broadcast query set × streamed corpus, per-query ranking window.  At
+    100 TB this is the ground-truth generator for recall evaluation; the
+    serving path is knn_ivf_bucketed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_bruteforce(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@register(
+    "knn_ivf_bucketed",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    pairs AS (
+        SELECT query_id, neighbor_id, qv, cv
+        FROM q JOIN c ON q.label = c.label AND neighbor_id <> query_id
+    ),
+    terms AS ({_COS_TERMS}),
+    scored AS (
+        SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-3 (X3 scale path): candidates pruned to the
+    query's coarse bucket (label = deterministic centroid assignment), exact
+    ranking within bucket.  The candidate join is equi on the bucket id —
+    shuffle O(corpus), not O(queries × corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+        SELECT label,
+               sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                                  AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+        FROM embeddings, range(1, 65) r(i)
+        GROUP BY label, vec_id
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column profiling (X5): per-label L2-norm stats — array columns
+    carried through aggregation with exact-sum norms."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm_exact(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(sum_exact("nrm") / F.count("*"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,1 +1,295 @@
-"""placeholder — filled in later this round."""
+"""Text-analysis + deduplication queries over ``documents`` (north-star
+extensions X1/X2/X4; SURVEY.md §2.11).
+
+The shared shingle CTE in the oracles mirrors ``operators.dedup.shingles``
+token-for-token; md5 is the cross-engine hash (both emit lowercase hex), so
+even the MinHash/LSH pipeline is differential-tested end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    fingerprint,
+    jaccard_pairs,
+    minhash_lsh_neardup,
+    shingles,
+    simhash64,
+    simhash_near_pairs,
+    tokens,
+)
+from . import register
+
+# DuckDB twin of operators.dedup.shingles (3-gram word shingles, distinct)
+_SHINGLES_CTE = """
+    tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        ) t
+    )
+"""
+
+_JACCARD_CTE = f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+               c.n_common / (sa.n + sb.n - c.n_common) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+"""
+
+
+@register(
+    "dedup_exact_content",
+    oracle="""
+    SELECT md5(lower(text)) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(text))
+    """,
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (X1) keyed by content hash — at 100 TB you never group by
+    the raw text; the md5 group key keeps the shuffle rows narrow and the
+    deterministic min(doc_id) representative makes reruns idempotent."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.md5(F.lower("text").cast("binary"))
+    )
+    return exact_dedup(docs, ["content_hash"], "doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text)) AS fp_full,
+           md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS fp_prefix
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (X4): whole-text hash + opening-8-token hash
+    (rolling-hash analog for clustering docs that share an opening)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_full", "fp_prefix")
+
+
+@register(
+    "neardup_jaccard_pairs",
+    oracle=f"""
+    WITH {_JACCARD_CTE}
+    SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
+    FROM ver WHERE jaccard >= 0.5
+    """,
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (X2) via the shared-shingle
+    join — candidates only where shingle evidence exists, never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(docs), threshold=0.5).select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+@register(
+    "neardup_minhash_lsh",
+    oracle=f"""
+    WITH {_JACCARD_CTE},
+    mh AS (
+        SELECT doc_id, j, MIN(md5(s || '#' || j)) AS h
+        FROM sh, range(8) t(j)
+        GROUP BY doc_id, j
+    ),
+    bands AS (
+        SELECT doc_id, j // 2 AS band, string_agg(h, '' ORDER BY j) AS band_key
+        FROM mh GROUP BY doc_id, j // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT v.doc_a, v.doc_b, v.n_common, v.n_a, v.n_b, v.jaccard
+    FROM cand c JOIN ver v ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+    WHERE v.jaccard >= 0.5
+    """,
+)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (X2): md5-family MinHash signatures →
+    4 bands × 2 rows → bucket join for candidates → exact-Jaccard verify of
+    candidates only.  The md5-string min-wise family is engine-reproducible,
+    so even this approximate pipeline has a bit-exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_neardup(
+        docs, n=3, n_hashes=8, rows_per_band=2, threshold=0.5
+    )
+
+
+@register("simhash_near_pairs", oracle=None)  # bit-twiddling not portable to the oracle
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (X2): 60-bit token-level SimHash, pigeonhole
+    banding (4 × 15-bit blocks — complete recall at Hamming ≤ 3),
+    bit_count(xor) verification.  Rows-only check here (the 64-bit bit
+    arithmetic has no clean DuckDB twin); unit tests assert behavior on
+    planted fixtures (tests/test_extensions.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash64(docs), max_hamming=3)
+
+
+@register(
+    "lang_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*), 2) AS avg_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (X4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") * F.lit(1.0) / F.count("*"), 2).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOP_EN = ("the", "and", "of", "to", "in")
+_STOP_ES = ("el", "la", "de", "que", "y")
+_STOP_DE = ("der", "die", "und", "das", "ist")
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), scores AS (
+        SELECT doc_id,
+               COUNT(CASE WHEN w IN {_STOP_EN} THEN 1 END) AS s_en,
+               COUNT(CASE WHEN w IN {_STOP_ES} THEN 1 END) AS s_es,
+               COUNT(CASE WHEN w IN {_STOP_DE} THEN 1 END) AS s_de
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, s_en, s_es, s_de,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM scores
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (X4): token-set membership counts per
+    language with a fixed tie-break order — the n-gram-heuristic family,
+    fully relational (explode + conditional counts, no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", F.explode("ws").alias("w"))
+    scores = tok.groupBy("doc_id").agg(
+        F.count(F.when(F.col("w").isin(*_STOP_EN), 1)).alias("s_en"),
+        F.count(F.when(F.col("w").isin(*_STOP_ES), 1)).alias("s_es"),
+        F.count(F.when(F.col("w").isin(*_STOP_DE), 1)).alias("s_de"),
+    )
+    return scores.select(
+        "doc_id",
+        "s_en",
+        "s_es",
+        "s_de",
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de")
+        .alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws, length(text) AS chars
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+           ROUND(len(list_distinct(ws)) / len(ws), 6) AS distinct_ratio,
+           ROUND((chars - (len(ws) - 1)) / len(ws), 6) AS avg_token_len,
+           ROUND(0.6 * (len(list_distinct(ws)) / len(ws))
+                 + 0.4 * least(1.0, len(ws) / 200.0), 6) AS quality_score
+    FROM t
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (X4): token count, vocabulary diversity,
+    mean token length, and a weighted quality score — the
+    length/punct/stopword-ratio family as pure column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(docs).select("doc_id", "ws", F.length("text").alias("chars"))
+    n_tok = F.size("ws").cast("bigint")
+    n_dis = F.size(F.array_distinct("ws")).cast("bigint")
+    ratio = n_dis / n_tok
+    return t.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+        F.round((F.col("chars") - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),
+        F.round(
+            0.6 * ratio + 0.4 * F.least(F.lit(1.0), n_tok / F.lit(200.0)), 6
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS total_tokens,
+           ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+                 * 1.0 / COUNT(*), 2) AS avg_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (X4): alphanumeric runs + single non-space
+    symbols — the pre-tokenizer regex family, counted per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n).alias("total_tokens"),
+            F.round(F.sum(n) * F.lit(1.0) / F.count("*"), 2).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )

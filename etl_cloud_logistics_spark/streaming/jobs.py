@@ -1,0 +1,160 @@
+"""Structured Streaming jobs — the reference's serverless real-time path
+(API Gateway → Lambda → DynamoDB/SNS, ``scripts/07_lambda_functions.py``)
+re-expressed as one streaming job family over the events source.
+
+Mapping (SURVEY.md §2.9):
+- ST1 ingestion        → ``read_event_stream`` (file source in tests; the
+  same code takes kafka/rate sources in production — only ``format`` differs)
+- ST2 status lookup    → ``latest_status_stream`` (applyInPandasWithState —
+  the DynamoDB ``deliveries_status`` table becomes Spark state-store state)
+- ST4 deviation alerts → ``alert_stream`` (stateless exprs → alert sink via
+  foreachBatch; alerts_history = append sink)
+- ST6 watermark        → ``windowed_counts`` (the late-data policy the
+  reference lacks entirely: events arriving more than the watermark delay
+  after the max seen event time are dropped, bounding state)
+
+Scale notes: event-time aggs keep per-(window, key) state in the state store
+(RocksDB-backed on a real cluster); the watermark bounds state size; the
+stateful map keeps exactly one row per user.  Checkpointing gives
+exactly-once over replayable sources.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+from ..catalog import SCHEMAS, ensure_session_confs
+
+EVENT_SCHEMA = SCHEMAS["events"]
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source event stream (ST1).  Tests drop chronological parquet
+    chunks into ``source_dir``; production swaps format('kafka')."""
+    ensure_session_confs(spark)
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, watermark: str = "10 minutes", window: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling event-time counts (ST6) — the streaming twin of
+    queries.events_ops.tumbling_hourly_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def alert_stream(events: DataFrame, threshold: float = 35.0) -> DataFrame:
+    """Stateless alert emission (ST4) — same severity expression as the
+    batch twin queries.events_ops.threshold_alerts."""
+    return events.filter(F.col("value") > threshold).select(
+        F.col("event_id").alias("alert_id"),
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("value") > 45, "critical")
+        .when(F.col("value") > 40, "high")
+        .otherwise("warning")
+        .alias("severity"),
+    )
+
+
+LATEST_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_event_type", T.StringType()),
+        T.StructField("last_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _latest_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep the (ts, event_id)-max event per user in the state store —
+    the DynamoDB put_item upsert (07_lambda_functions.py:108-120) as a
+    custom stateful operator."""
+    best = state.get if state.exists else None  # (event_id, ts, type, value)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        last = pdf.iloc[-1]
+        cand = (
+            int(last["event_id"]),
+            last["ts"].to_pydatetime(),
+            str(last["event_type"]),
+            float(last["value"]),
+        )
+        if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+            best = cand
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_event_id": [best[0]],
+            "last_ts": [best[1]],
+            "last_event_type": [best[2]],
+            "last_value": [best[3]],
+        }
+    )
+
+
+def latest_status_stream(events: DataFrame) -> DataFrame:
+    """Latest-status state per user (ST2) via applyInPandasWithState."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=LATEST_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Drive a streaming frame to completion over the currently-available
+    files (tests' synchronous harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

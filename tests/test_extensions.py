@@ -1,0 +1,97 @@
+"""Extension-operator tests: dedup family on planted fixtures, similarity
+search on constructed vectors, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cloud_logistics_spark.multimodal.binary_ops import (
+    attach_binary_payload,
+    audio_frame_stats,
+    decode_image_features,
+)
+from etl_cloud_logistics_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_neardup,
+    shingles,
+    simhash64,
+    simhash_near_pairs,
+)
+from etl_cloud_logistics_spark.operators.similarity import knn_bruteforce
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "completely different words about spark engines here"),
+    (4, "here words different completely about engines spark"),  # permutation of 3
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(spark).withColumn("h", F.md5(F.lower("text").cast("binary")))
+    out = exact_dedup(df, ["h"], "doc_id")
+    dup = out.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1 and dup[0].keep_id == 0 and dup[0].n_copies == 2
+
+
+def test_jaccard_finds_planted_neardup(spark):
+    pairs = jaccard_pairs(shingles(_docs(spark)), threshold=0.5).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in found  # near-dup
+    assert (0, 2) in found  # exact dup → jaccard 1.0
+    assert all(p not in found for p in [(0, 3), (0, 4), (1, 3)])
+
+
+def test_minhash_lsh_agrees_with_exact(spark):
+    out = minhash_lsh_neardup(_docs(spark), threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in out.collect()}
+    # exact dup must always survive LSH banding (identical signatures)
+    assert (0, 2) in found
+    jac = {(r.doc_a, r.doc_b) for r in
+           jaccard_pairs(shingles(_docs(spark)), threshold=0.5).collect()}
+    assert found <= jac  # LSH+verify never yields non-pairs
+
+
+def test_simhash_identical_token_sets(spark):
+    sig = simhash64(_docs(spark))
+    rows = {r.doc_id: r.simhash for r in sig.collect()}
+    assert rows[0] == rows[2]  # identical text → identical fingerprint
+    assert rows[3] != rows[0]
+    pairs = simhash_near_pairs(sig, max_hamming=3).collect()
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert found[(0, 2)] == 0
+    # docs 3 and 4 share the same token SET → simhash cannot separate them
+    assert (3, 4) in found
+
+
+def test_knn_constructed_vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_bruteforce(emb.filter("vec_id = 0"), emb, k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert all(r.neighbor_id != 0 for r in out)  # self excluded
+
+
+def test_multimodal_plumbing(spark, sf_small):
+    from etl_cloud_logistics_spark.catalog import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(20)
+    bin_df = attach_binary_payload(docs)
+    assert dict(bin_df.dtypes)["payload"] == "binary"
+    feats = decode_image_features(bin_df)
+    r = feats.first()
+    assert r.width == r.n_bytes % 640 + 1
+    frames = audio_frame_stats(bin_df, frame_bytes=256).first()
+    assert frames.n_frames == (frames.n_bytes + 255) // 256

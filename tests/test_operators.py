@@ -1,0 +1,167 @@
+"""Unit tests for the custom DataFrame operators on tiny literal frames,
+covering the semantic traps catalogued in SURVEY.md §2.8/§7: DOW
+conventions, 15-minute bucket edges, NULLIF guards, SCD2 invariants,
+as-of tie handling, QA flag correction."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_cloud_logistics_spark.functions import (
+    dow_pg,
+    day_name,
+    time_key_15min,
+)
+from etl_cloud_logistics_spark.operators.asof import asof_join
+from etl_cloud_logistics_spark.operators.dims import (
+    generate_dim_date,
+    generate_dim_time,
+)
+from etl_cloud_logistics_spark.operators.quality import flag_outliers, qa_flags
+from etl_cloud_logistics_spark.operators.scd2 import scd2_apply
+
+
+def test_dow_pg_convention(spark):
+    # 2024-01-07 was a Sunday → Postgres DOW 0 (Spark dayofweek would say 1)
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 7),), (dt.date(2024, 1, 8),), (dt.date(2024, 1, 13),)],
+        "d date",
+    )
+    rows = df.select(dow_pg("d").alias("dow"), day_name("d").alias("name")).collect()
+    assert [(r.dow, r.name) for r in rows] == [
+        (0, "Sunday"),
+        (1, "Monday"),
+        (6, "Saturday"),
+    ]
+
+
+def test_time_key_15min_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1, 0, 0, 0),),
+            (dt.datetime(2024, 1, 1, 0, 14, 59),),
+            (dt.datetime(2024, 1, 1, 0, 15, 0),),
+            (dt.datetime(2024, 1, 1, 23, 59, 59),),
+        ],
+        "ts timestamp",
+    )
+    assert [r[0] for r in df.select(time_key_15min("ts")).collect()] == [
+        0,
+        0,
+        15,
+        2345,
+    ]
+
+
+def _scd2_fixture(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "a", 10.0, dt.date(2000, 1, 1), None, True),
+            (2, "b", 20.0, dt.date(2000, 1, 1), None, True),
+            # key 3 already has history: one closed + one open version
+            (3, "c_old", 1.0, dt.date(1999, 1, 1), dt.date(2000, 1, 1), False),
+            (3, "c", 30.0, dt.date(2000, 1, 1), None, True),
+        ],
+        "k int, name string, val double, valid_from date, valid_to date, is_current boolean",
+    )
+    staging = spark.createDataFrame(
+        [
+            (1, "a", 10.0),  # unchanged
+            (2, "b2", 20.0),  # changed attr
+            (4, "d", 40.0),  # brand new key
+            # key 3 absent from staging → untouched (incremental extract)
+        ],
+        "k int, name string, val double",
+    )
+    return current, staging
+
+
+def test_scd2_classification(spark):
+    current, staging = _scd2_fixture(spark)
+    out = scd2_apply(current, staging, ["k"], ["name", "val"], "2001-06-01")
+    rows = {(r.k, r.name): r for r in out.collect()}
+    assert len(rows) == 6  # 4 original + 1 closed-successor + 1 new key
+    # unchanged key keeps its open version
+    assert rows[(1, "a")].is_current and rows[(1, "a")].valid_to is None
+    # changed key: old closed at effective date, successor open
+    assert not rows[(2, "b")].is_current
+    assert rows[(2, "b")].valid_to == dt.date(2001, 6, 1)
+    assert rows[(2, "b2")].is_current
+    assert rows[(2, "b2")].valid_from == dt.date(2001, 6, 1)
+    # absent key untouched, history preserved
+    assert rows[(3, "c")].is_current and not rows[(3, "c_old")].is_current
+    # new key inserted open
+    assert rows[(4, "d")].is_current
+
+
+def test_scd2_invariants(spark):
+    """Exactly one is_current per key; windows contiguous (closed.valid_to ==
+    successor.valid_from); open versions have null valid_to."""
+    current, staging = _scd2_fixture(spark)
+    out = scd2_apply(current, staging, ["k"], ["name", "val"], "2001-06-01")
+    per_key = (
+        out.groupBy("k")
+        .agg(F.sum(F.col("is_current").cast("int")).alias("n_open"))
+        .collect()
+    )
+    assert all(r.n_open == 1 for r in per_key)
+    open_rows = out.filter(F.col("is_current")).collect()
+    assert all(r.valid_to is None for r in open_rows)
+    # contiguity: every closed row's valid_to equals some successor valid_from
+    closed = out.filter(~F.col("is_current")).alias("c")
+    succ = out.alias("s")
+    dangling = closed.join(
+        succ,
+        (F.col("c.k") == F.col("s.k")) & (F.col("c.valid_to") == F.col("s.valid_from")),
+        "left_anti",
+    )
+    assert dangling.count() == 0
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "x")],
+        "uid int, t int, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0)], "uid int, t int, v double"
+    )
+    out = asof_join(
+        left, right, on=["uid"], left_ts="t", right_ts="t", payload=["v"]
+    )
+    got = {r.name: r.asof_v for r in out.collect()}
+    # equal timestamps match (>= semantics); earlier rows get no payload;
+    # other keys never leak
+    assert got == {"e0": None, "e1": 100.0, "e2": 150.0, "x": None}
+
+
+def test_qa_flags(spark):
+    df = spark.createDataFrame(
+        [(1, -5.0, 2.0), (2, 3.0, -1.0), (3, 1.0, 1.0)], "id int, a double, b double"
+    )
+    out = {r.id: r for r in qa_flags(df, ["a", "b"]).collect()}
+    assert out[1].a == 0.0 and out[1].qa_flag_a and not out[1].qa_passed
+    assert out[2].b == 0.0 and out[2].qa_flag_b and not out[2].qa_passed
+    assert out[3].qa_passed and out[3].a == 1.0
+
+
+def test_zscore_flags_extremes(spark):
+    data = [(float(i),) for i in range(100)] + [(10_000.0,)]
+    df = spark.createDataFrame(data, "x double")
+    out = flag_outliers(df, "x")
+    assert out.filter("is_outlier").count() == 1
+    assert out.filter("is_outlier").first().x == 10_000.0
+
+
+def test_dim_generators(spark):
+    dd = generate_dim_date(spark, "2024-01-01", "2024-12-31")
+    assert dd.count() == 366  # leap year
+    jan7 = dd.filter(F.col("date_key") == 20240107).first()
+    assert jan7.day_of_week == 0 and jan7.is_weekend and jan7.day_name == "Sunday"
+    feb29 = dd.filter(F.col("date_key") == 20240229).first()
+    assert feb29.is_month_end
+    tt = generate_dim_time(spark)
+    assert tt.count() == 96
+    assert tt.filter(F.col("time_key") == 1145).first().day_part == "morning"

@@ -1,0 +1,178 @@
+"""Streaming tests: chronological file micro-batches over events chunks,
+asserting (a) windowed counts match the batch twin, (b) alert emission,
+(c) latest-status state, (d) watermark drops late rows (ST6 — the policy
+the reference lacks; SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cloud_logistics_spark.catalog import load_table
+from etl_cloud_logistics_spark.streaming.jobs import (
+    alert_stream,
+    latest_status_stream,
+    read_event_stream,
+    run_stream_to_memory,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, sf_small, tmp_path_factory):
+    """events sf0.001 split into 3 chronological parquet chunk-files."""
+    base = str(tmp_path_factory.mktemp("stream_src"))
+    events = load_table(spark, sf_small, "events").orderBy("ts", "event_id")
+    n = events.count()
+    rows = events.collect()
+    chunk = (n + 2) // 3
+    for i in range(3):
+        part = spark.createDataFrame(rows[i * chunk : (i + 1) * chunk], events.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{i}")
+        # single ordered file per chunk so maxFilesPerTrigger=1 is chronological
+        src = [
+            f for f in os.listdir(f"{base}/_tmp_{i}") if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{base}/_tmp_{i}/{src}", f"{base}/chunk_{i}.parquet")
+        time.sleep(0.05)
+    return base, events
+
+
+def _ckpt(tmp_path_factory) -> str:
+    return str(tmp_path_factory.mktemp(f"ckpt_{uuid.uuid4().hex[:6]}"))
+
+
+def test_windowed_counts_match_batch(spark, chunked_events, tmp_path_factory):
+    src, events = chunked_events
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        windowed_counts(stream, watermark="10 hours"),
+        "win_out",
+        _ckpt(tmp_path_factory),
+        output_mode="complete",
+    )
+    try:
+        got = {
+            (r.window_start, r.event_type): r.n_events
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+        want = {
+            (r.ws, r.event_type): r.n
+            for r in events.groupBy(
+                F.date_trunc("hour", "ts").alias("ws"), "event_type"
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_alert_stream_matches_batch(spark, chunked_events, tmp_path_factory):
+    src, events = chunked_events
+    stream = read_event_stream(spark, src, max_files_per_trigger=3)
+    q = run_stream_to_memory(
+        alert_stream(stream), "alerts_out", _ckpt(tmp_path_factory)
+    )
+    try:
+        got = spark.sql("SELECT * FROM alerts_out")
+        want = events.filter(F.col("value") > 35)
+        assert got.count() == want.count()
+        sev = {r.severity: r.n for r in got.groupBy("severity").agg(F.count("*").alias("n")).collect()}
+        assert set(sev) <= {"warning", "high", "critical"} and sum(sev.values()) == want.count()
+    finally:
+        q.stop()
+
+
+def test_latest_status_state(spark, chunked_events, tmp_path_factory):
+    src, events = chunked_events
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        latest_status_stream(stream),
+        "latest_out",
+        _ckpt(tmp_path_factory),
+        output_mode="update",
+    )
+    try:
+        # update mode emits one row per user per trigger; last emission wins
+        got = {
+            r.user_id: (r.last_event_id, r.last_event_type)
+            for r in spark.sql(
+                """SELECT user_id, last_event_id, last_event_type FROM (
+                       SELECT *, row_number() OVER (
+                           PARTITION BY user_id ORDER BY last_ts DESC, last_event_id DESC
+                       ) rn FROM latest_out) WHERE rn = 1"""
+            ).collect()
+        }
+        want = {
+            r.user_id: (r.last_event_id, r.last_event_type)
+            for r in events.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                    .partitionBy("user_id")
+                    .orderBy(F.desc("ts"), F.desc("event_id"))
+                ),
+            )
+            .filter("rn = 1")
+            .selectExpr(
+                "user_id", "event_id AS last_event_id", "event_type AS last_event_type"
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path_factory):
+    """Append-mode windowed agg with a 10-minute watermark: a row arriving
+    hours late (behind the advanced watermark) must not re-open its window."""
+    base = str(tmp_path_factory.mktemp("late_src"))
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def write_chunk(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "view", 1.0, "{}") for i, ts in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp")
+        src = [f for f in os.listdir(f"{base}/_tmp") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp/{src}", f"{base}/{name}.parquet")
+        time.sleep(0.05)
+
+    stream = read_event_stream(spark, base)
+    q = run_stream_to_memory(
+        windowed_counts(stream, watermark="10 minutes"),
+        "late_out",
+        _ckpt(tmp_path_factory),
+        output_mode="append",
+    )
+    try:
+        # incremental arrival with a barrier per chunk pins micro-batch order
+        write_chunk("c0", [(1, t0), (2, t0 + dt.timedelta(minutes=5))])
+        q.processAllAvailable()
+        # advances watermark to ~13:50
+        write_chunk("c1", [(3, t0 + dt.timedelta(hours=4))])
+        q.processAllAvailable()
+        # hours behind the watermark → dropped
+        write_chunk("c2", [(4, t0 + dt.timedelta(minutes=1))])
+        q.processAllAvailable()
+        # closes the 14:00 window so it can emit in append mode
+        write_chunk("c3", [(5, t0 + dt.timedelta(hours=6))])
+        q.processAllAvailable()
+        got = {
+            r.window_start: r.n_events
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+        # 10:00 window emitted with the 2 on-time rows only (row 4 dropped)
+        assert got[t0] == 2
+        assert got[t0 + dt.timedelta(hours=4)] == 1
+    finally:
+        q.stop()
