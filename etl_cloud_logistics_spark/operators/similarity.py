@@ -80,6 +80,41 @@ def knn_bruteforce(
     )
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (extension X2, vector variant):
+    unordered pairs (a < b) with cosine ≥ threshold, candidates restricted to
+    the same coarse bucket so the join is equi on the bucket id — shuffle
+    O(corpus), never the O(n²) full cross product.  At 100 TB the bucket
+    assignment comes from an LSH family or a trained quantizer; recall is
+    tuned by probing multiple buckets per vector."""
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("b_vec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,

@@ -73,6 +73,7 @@ def _load_all() -> None:
         etl_ops,
         events_ops,
         multimodal_ops,
+        relational_ext,
         similarity,
         text_ops,
     )

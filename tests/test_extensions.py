@@ -95,3 +95,38 @@ def test_multimodal_plumbing(spark, sf_small):
     assert r.width == r.n_bytes % 640 + 1
     frames = audio_frame_stats(bin_df, frame_bytes=256).first()
     assert frames.n_frames == (frames.n_bytes + 255) // 256
+
+
+def test_approx_distinct_error_bound(spark, sf_small):
+    """approx_count_distinct at rsd=0.01 must land within a loose 5% of the
+    exact count (the claim made by queries.relational_ext's HLL variant)."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_small, "events")
+    both = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact)
+
+
+def test_cosine_neardup_symmetric_and_thresholded(spark):
+    from etl_cloud_logistics_spark.operators.similarity import cosine_neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.14], 1),   # ~cos 0.990 with vec 0
+        (2, [0.0, 1.0], 1),     # orthogonal
+        (3, [1.0, 0.0], 2),     # same dir as 0 but other bucket → never paired
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = cosine_neardup_pairs(emb, threshold=0.9).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert pairs == {(0, 1)}  # a<b ordering, bucket-pruned, thresholded

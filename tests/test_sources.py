@@ -1,0 +1,141 @@
+"""Sources/sinks tests (SURVEY.md §2.1: S5 JSON staging, S7 partitioned
+lake, S8 keyed upsert)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_cloud_logistics_spark.catalog import SCHEMAS, load_table
+from etl_cloud_logistics_spark.sources import (
+    foreach_batch_upsert,
+    read_json_staging,
+    read_lake,
+    upsert_parquet,
+    write_json_staging,
+    write_partitioned_lake,
+)
+
+
+def test_partitioned_lake_roundtrip_and_pruning(spark, sf_small, tmp_path):
+    lake = str(tmp_path / "lake")
+    orders = load_table(spark, sf_small, "orders")
+    write_partitioned_lake(orders, lake, date_col="o_orderdate")
+
+    full = read_lake(spark, lake)
+    assert full.count() == orders.count()
+
+    # pick a real date and prune to it
+    some_day = orders.select(F.to_date("o_orderdate").alias("d")).distinct().orderBy("d").first()["d"]
+    day_str = some_day.isoformat()
+    pruned = read_lake(spark, lake, start_date=day_str, end_date=day_str)
+    expected = orders.filter(F.to_date("o_orderdate") == F.lit(day_str)).count()
+    assert pruned.count() == expected
+
+    # partition filter must reach the scan (pruned directories, not a post-filter)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_day(spark, tmp_path):
+    lake = str(tmp_path / "lake2")
+    schema = "k int, v string, d string"
+    df1 = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-01-02 00:00:00")],
+        schema=schema,
+    ).withColumn("d", F.col("d").cast("timestamp"))
+    write_partitioned_lake(df1, lake, date_col="d")
+    # rewrite day 2 only
+    df2 = spark.createDataFrame([(3, "c", "2024-01-02 00:00:00")], schema=schema).withColumn(
+        "d", F.col("d").cast("timestamp")
+    )
+    write_partitioned_lake(df2, lake, date_col="d")
+    out = {(r["k"], r["v"]) for r in read_lake(spark, lake).collect()}
+    assert out == {(1, "a"), (3, "c")}
+
+
+def test_json_staging_roundtrip(spark, sf_small, tmp_path):
+    staging = str(tmp_path / "staging")
+    nation = load_table(spark, sf_small, "nation")
+    write_json_staging(nation, staging, batch_id="b1")
+    back = read_json_staging(spark, staging, SCHEMAS["nation"], batch_id="b1")
+    assert back.count() == nation.count()
+    orig = {tuple(r) for r in nation.collect()}
+    rt = {(r["n_nationkey"], r["n_name"], r["n_regionkey"]) for r in back.collect()}
+    assert rt == orig
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey", "batch_id", "load_timestamp"}
+
+
+def test_json_staging_bad_doc_is_null_not_fail(spark, tmp_path):
+    staging = str(tmp_path / "staging_bad")
+    bad = spark.createDataFrame(
+        [Row(raw_data="{not json", batch_id="b1")],
+    ).withColumn("load_timestamp", F.current_timestamp())
+    bad.write.mode("append").parquet(staging)
+    back = read_json_staging(spark, staging, SCHEMAS["nation"])
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0]["n_nationkey"] is None
+
+
+def test_upsert_parquet_last_writer_wins(spark, tmp_path):
+    path = str(tmp_path / "state")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("version", T.LongType()),
+        ]
+    )
+    v1 = spark.createDataFrame([(1, "pending", 10), (2, "pending", 11)], schema)
+    upsert_parquet(spark, path, v1, keys=["user_id"], version_col="version")
+    v2 = spark.createDataFrame([(1, "delivered", 20), (3, "pending", 12)], schema)
+    merged = upsert_parquet(spark, path, v2, keys=["user_id"], version_col="version")
+    got = {(r["user_id"], r["status"], r["version"]) for r in merged.collect()}
+    assert got == {(1, "delivered", 20), (2, "pending", 11), (3, "pending", 12)}
+    # stale update must NOT win
+    v3 = spark.createDataFrame([(1, "ancient", 5)], schema)
+    merged = upsert_parquet(spark, path, v3, keys=["user_id"], version_col="version")
+    assert {(r["user_id"], r["status"]) for r in merged.collect()} == {
+        (1, "delivered"),
+        (2, "pending"),
+        (3, "pending"),
+    }
+
+
+def test_foreach_batch_upsert_streaming(spark, sf_small, tmp_path):
+    """Drive the upsert sink from an actual micro-batch stream (ST2/ST5)."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state_stream")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_small, "events").limit(200)
+    events.write.parquet(src)
+
+    from etl_cloud_logistics_spark.streaming.jobs import read_event_stream
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(state, keys=["user_id"], version_col="event_id")
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final = spark.read.parquet(state)
+    expected = (
+        events.groupBy("user_id")
+        .agg(F.max("event_id").alias("event_id"))
+        .count()
+    )
+    assert final.count() == expected
+    # per user the surviving row carries the max event_id
+    top = (
+        events.groupBy("user_id").agg(F.max("event_id").alias("max_id")).collect()
+    )
+    got = {r["user_id"]: r["event_id"] for r in final.collect()}
+    for r in top:
+        assert got[r["user_id"]] == r["max_id"]
