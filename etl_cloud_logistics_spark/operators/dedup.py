@@ -125,6 +125,30 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def shingle_array(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles as ONE array column ``sh`` per doc —
+    the no-shuffle twin of :func:`shingles` (transform over token positions
+    stays entirely inside whole-stage codegen)."""
+    toks = tokens(df, text_col).select(id_col, "ws")
+    # sequence(1, 0) would be DESCENDING [1, 0], so short docs need the guard
+    positions = F.when(
+        F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                positions,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("ws", (i + j).cast("int")) for j in range(n)]
+                ),
+            )
+        ).alias("sh"),
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 8
 ) -> DataFrame:
@@ -133,8 +157,28 @@ def minhash_signatures(
     min-wise permutation family and — unlike seeded hash functions — is
     reproducible by any engine with md5 (the DuckDB oracle mirrors it).
 
-    Layout: explode shingles × n_hashes, then partial-aggregated min per
-    (doc, j) — one shuffle keyed by doc."""
+    Input may be exploded (id, s) rows (:func:`shingles`) or per-doc arrays
+    (:func:`shingle_array`).  The array path computes the whole signature as
+    one narrow higher-order expression — zero shuffles; the exploded path
+    falls back to a (doc, j) hash-agg."""
+    if "sh" in sh.columns:  # per-doc array layout: no shuffle at all
+        per_j = F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.array_min(
+                    F.transform(
+                        F.col("sh"),
+                        lambda s: F.md5(
+                            F.concat(s, F.lit("#"), j.cast("string")).cast("binary")
+                        ),
+                    )
+                ).alias("h"),
+            ),
+        )
+        return sh.select(id_col, F.explode(per_j).alias("jh")).select(
+            id_col, F.col("jh.j").alias("j"), F.col("jh.h").alias("h")
+        )
     hashed = sh.select(
         id_col,
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("j"),
@@ -179,6 +223,32 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_jaccard_candidates(
+    cand: DataFrame, sh_arr: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard over CANDIDATE pairs only: join each side's shingle
+    array onto the pair and intersect in-row (array_intersect) — work is
+    O(candidates × shingles-per-doc), independent of corpus size."""
+    a = sh_arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_common"),
+            F.size("sh_a").cast("bigint").alias("n_a"),
+            F.size("sh_b").cast("bigint").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_neardup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -189,13 +259,15 @@ def minhash_lsh_neardup(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash/LSH candidate generation + exact Jaccard
-    verification of candidates only (the scalable two-phase layout)."""
-    sh = shingles(df, id_col, text_col, n)
+    verification of candidates only (the scalable two-phase layout).
+
+    Signature + banding are narrow per-doc expressions; the only shuffles
+    are the band-bucket equi-join and the two candidate⋈shingle-array joins."""
+    sh_arr = shingle_array(df, id_col, text_col, n)
     cand = lsh_candidate_pairs(
-        minhash_signatures(sh, id_col, n_hashes), id_col, rows_per_band
+        minhash_signatures(sh_arr, id_col, n_hashes), id_col, rows_per_band
     )
-    verified = jaccard_pairs(sh, id_col, threshold=threshold)
-    return cand.join(verified, ["doc_a", "doc_b"]).select(
+    return verify_jaccard_candidates(cand, sh_arr, id_col, threshold).select(
         "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
     )
 
@@ -206,26 +278,41 @@ def minhash_lsh_neardup(
 
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over distinct tokens: token hash = first 15 hex chars
-    of md5 (60 bits); each bit contributes ±1; sign of the sum forms the
-    fingerprint.  Entirely ``F`` expressions (conv/shiftright/bit ops)."""
-    t = tokens(df, text_col).select(id_col, F.explode(F.array_distinct("ws")).alias("w"))
-    h = F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10).cast("long")
-    bits = t.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        h.alias("h"),
-    ).select(
-        id_col,
-        "bit",
-        (F.expr("shiftright(h, bit) & 1") * 2 - 1).alias("contrib"),
+    """60-bit SimHash over distinct tokens: token hash = first 15 hex chars
+    of md5 (60 bits); each bit contributes ±1; sign of the per-bit sum forms
+    the fingerprint.
+
+    Computed as ONE narrow higher-order expression per document — hash the
+    distinct-token array once, then fold the 60 bit positions over it.  No
+    explode, no shuffle (the old layout shuffled |docs|×60 rows through two
+    hash-aggs); the whole operator runs inside whole-stage codegen."""
+    hashes = F.transform(
+        F.array_distinct("ws"),
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
     )
-    agg = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return agg.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
+    t = tokens(df, text_col).select(id_col, hashes.alias("hs"))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), 60)
+    # one fold over the token hashes: element-wise ±1 per bit position
+    bitsums = F.aggregate(
+        F.col("hs"),
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+        ),
     )
+    # fingerprint: set each mask bit whose contribution sum is positive
+    simhash = F.aggregate(
+        F.zip_with(bitsums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(id_col, simhash.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
