@@ -133,4 +133,9 @@ def scd2_asof_lookup(
         & (ts >= dim[VALID_FROM])
         & ((dim[VALID_TO].isNull()) | (ts < dim[VALID_TO]))
     )
-    return fact.join(F.broadcast(dim), cond, "left")
+    joined = fact.join(F.broadcast(dim), cond, "left")
+    # the dim copy of each join key is redundant post-join; dropping it here
+    # keeps the result unambiguous for by-name selection
+    for k in keys:
+        joined = joined.drop(dim[k])
+    return joined

@@ -326,3 +326,64 @@ def set_ops_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(labeled(y2001.intersect(y1995), "intersect"))
         .unionByName(labeled(building.exceptAll(f_cust.distinct()).distinct(), "except"))
     )
+
+
+@register(
+    "fact_build_month",
+    oracle="""
+    WITH month_orders AS (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-03-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS date_key,
+           o.o_orderstatus, c.c_mktsegment, o.o_totalprice,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS net_revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+    FROM month_orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def fact_build_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily pipeline's fact-build shape (pipelines.build_fact_orders,
+    ref etl_pipeline.py:817-944) as an oracle-checked query: degenerate keys,
+    date_key derivation, line aggregation to order grain, dimension
+    attribute attach.  Scale: aggregate lineitem to order grain FIRST, then
+    broadcast-join the dim — the join input is |orders|, not |lineitem|."""
+    from ..functions import date_key
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("net_revenue"),
+            sum_exact("l_quantity").alias("total_qty"),
+        )
+    )
+    return enriched.join(
+        F.broadcast(customer), enriched.o_custkey == customer.c_custkey
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        date_key("o_orderdate").alias("date_key"),
+        "o_orderstatus",
+        "c_mktsegment",
+        "o_totalprice",
+        "n_items",
+        "net_revenue",
+        "total_qty",
+    )

@@ -1,0 +1,124 @@
+"""End-to-end daily-ETL pipeline tests (SURVEY.md §3.2): two incremental
+runs, SCD2 invariants, idempotent re-run, audit trail."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_cloud_logistics_spark.catalog import load_table
+from etl_cloud_logistics_spark.pipelines import run_daily_etl
+
+
+def _two_busy_days(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    days = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .count()
+        .orderBy(F.desc("count"), "d")
+        .limit(2)
+        .collect()
+    )
+    return sorted(r["d"].isoformat() for r in days)
+
+
+def test_daily_etl_two_runs(spark, sf_small, tmp_path):
+    wh = str(tmp_path / "wh")
+    day1, day2 = _two_busy_days(spark, sf_small)
+
+    a1 = run_daily_etl(spark, sf_small, wh, day1)
+    assert a1.status == "success"
+    assert a1.records["staging"] > 0
+    assert a1.records["fact_orders"] > 0
+
+    a2 = run_daily_etl(spark, sf_small, wh, day2)
+    assert a2.status == "success"
+
+    # dim_date accumulated both days, no duplicates
+    dim_date = spark.read.parquet(os.path.join(wh, "dim_date"))
+    assert dim_date.count() == 2
+    assert dim_date.select("date_key").distinct().count() == 2
+
+    # SCD2 invariant: exactly one current row per key, no overlaps
+    dim_cust = spark.read.parquet(os.path.join(wh, "dim_customer"))
+    per_key = dim_cust.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current")
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+
+    # fact is date-partitioned; both days present
+    fact = spark.read.parquet(os.path.join(wh, "fact_orders"))
+    assert {r["ingest_date"].isoformat() for r in fact.select("ingest_date").distinct().collect()} == {
+        day1,
+        day2,
+    }
+    # every fact row resolved a customer-dim version and carries QA columns
+    assert fact.filter(F.col("customer_version_from").isNull()).count() == 0
+    assert "qa_passed" in fact.columns and "is_outlier" in fact.columns
+
+    # audit log has one row per run
+    logs = [
+        json.loads(line)
+        for f in os.listdir(os.path.join(wh, "load_logs"))
+        if f.endswith(".json") or f.startswith("part-")
+        for line in open(os.path.join(wh, "load_logs", f))
+        if line.strip()
+    ]
+    assert len([r for r in logs if r["status"] == "success"]) == 2
+
+
+def test_daily_etl_rerun_is_idempotent(spark, sf_small, tmp_path):
+    wh = str(tmp_path / "wh2")
+    day1, _ = _two_busy_days(spark, sf_small)
+
+    run_daily_etl(spark, sf_small, wh, day1)
+    fact1 = spark.read.parquet(os.path.join(wh, "fact_orders"))
+    n1 = fact1.count()
+    keys1 = {r["o_orderkey"] for r in fact1.select("o_orderkey").collect()}
+
+    run_daily_etl(spark, sf_small, wh, day1)  # same day again
+    fact2 = spark.read.parquet(os.path.join(wh, "fact_orders"))
+    assert fact2.count() == n1  # dynamic overwrite, no append-duplication
+    assert {r["o_orderkey"] for r in fact2.select("o_orderkey").collect()} == keys1
+
+    # SCD2 stays single-current after the no-change rerun
+    dim_cust = spark.read.parquet(os.path.join(wh, "dim_customer"))
+    per_key = dim_cust.groupBy("c_custkey").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_current")
+    )
+    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    # and no phantom closed versions were created
+    assert dim_cust.filter(~F.col("is_current")).count() == 0
+
+
+def test_scd2_attribute_change_creates_version(spark, sf_small, tmp_path):
+    """Simulate an attribute change between runs by staging a mutated
+    customer row through the SCD2 path directly."""
+    import etl_cloud_logistics_spark.pipelines as P
+
+    wh = str(tmp_path / "wh3")
+    day1, day2 = _two_busy_days(spark, sf_small)
+    run_daily_etl(spark, sf_small, wh, day1)
+
+    dim_path = os.path.join(wh, "dim_customer")
+    dim = spark.read.parquet(dim_path)
+    victim = dim.orderBy("c_custkey").first()
+
+    from etl_cloud_logistics_spark.operators.scd2 import scd2_apply
+
+    staged = (
+        dim.filter(F.col("c_custkey") == victim["c_custkey"])
+        .select(*P.DIM_CUSTOMER_KEYS, *P.DIM_CUSTOMER_TRACKED)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+    )
+    merged = scd2_apply(
+        dim, staged, P.DIM_CUSTOMER_KEYS, P.DIM_CUSTOMER_TRACKED, effective_date=day2
+    )
+    rows = merged.filter(F.col("c_custkey") == victim["c_custkey"]).collect()
+    assert len(rows) == 2
+    closed = [r for r in rows if not r["is_current"]][0]
+    opened = [r for r in rows if r["is_current"]][0]
+    assert closed["valid_to"] == opened["valid_from"]
+    assert opened["c_acctbal"] == victim["c_acctbal"] + 1000.0
