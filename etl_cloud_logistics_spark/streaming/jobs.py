@@ -158,3 +158,72 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def positions_from_events(events: DataFrame) -> DataFrame:
+    """Deterministic GPS positions derived from event ids (same derivation as
+    the batch twin queries.events_ops.geo_movement_per_user, so streaming
+    results are comparable against batch)."""
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        ((F.col("event_id") % 90).cast("double") - 45).alias("lat"),
+        ((F.col("event_id") % 180).cast("double") - 90).alias("lon"),
+    )
+
+
+def deviation_alert_stream(
+    events: DataFrame, waypoints: DataFrame, threshold_km: float = 5.0
+) -> DataFrame:
+    """Route-deviation alerts (ST4, ref 07_lambda_functions.py:143-226): per
+    GPS event, minimum distance to the route's waypoint list; emit an alert
+    row when it exceeds the threshold.
+
+    ``waypoints``: STATIC frame (user_id, waypoints: array<struct<lat,lon>>)
+    — the DynamoDB routes_waypoints table twin.  It is broadcast, so the
+    stream stays stateless: each micro-batch is a map-side join + filter
+    (same per-event semantics as the Lambda, at micro-batch granularity)."""
+    from ..functions import min_waypoint_dist_km
+
+    pos = positions_from_events(events)
+    return (
+        pos.join(F.broadcast(waypoints), "user_id")
+        .withColumn(
+            "deviation_km",
+            F.round(min_waypoint_dist_km(F.col("lat"), F.col("lon"), F.col("waypoints")), 3),
+        )
+        .filter(F.col("deviation_km") > threshold_km)
+        .select(
+            F.col("event_id").alias("alert_id"),
+            "user_id",
+            "ts",
+            "lat",
+            "lon",
+            "deviation_km",
+        )
+    )
+
+
+def eta_stream(
+    events: DataFrame, destinations: DataFrame, speed_kmh: float = 60.0
+) -> DataFrame:
+    """Periodic ETA recompute (ST3, ref 07_lambda_functions.py:76-138): per
+    position event, remaining distance to the destination over an assumed
+    speed.  In production this runs with ``trigger(processingTime='5
+    minutes')`` — the EventBridge-schedule twin; the transformation is
+    trigger-agnostic so tests drive it with AvailableNow."""
+    from ..functions import dist_km
+
+    pos = positions_from_events(events)
+    return (
+        pos.join(F.broadcast(destinations), "user_id")
+        .withColumn(
+            "remaining_km",
+            F.round(dist_km(F.col("lat"), F.col("lon"), F.col("dest_lat"), F.col("dest_lon")), 3),
+        )
+        .withColumn(
+            "eta_minutes", F.round(F.col("remaining_km") / F.lit(speed_kmh) * 60.0, 1)
+        )
+        .select("event_id", "user_id", "ts", "remaining_km", "eta_minutes")
+    )

@@ -165,3 +165,44 @@ def test_dim_generators(spark):
     tt = generate_dim_time(spark)
     assert tt.count() == 96
     assert tt.filter(F.col("time_key") == 1145).first().day_part == "morning"
+
+
+def test_salted_agg_equals_plain(spark, sf_small):
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders")
+    salted = salted_agg(
+        orders, ["o_orderstatus"], sum_cols=["o_totalprice"], n_salts=8
+    ).collect()
+    plain = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("o_totalprice").alias("sum_o_totalprice"))
+        .collect()
+    )
+    assert {(r["o_orderstatus"], r["n_rows"]) for r in salted} == {
+        (r["o_orderstatus"], r["n_rows"]) for r in plain
+    }
+    s = {r["o_orderstatus"]: r["sum_o_totalprice"] for r in salted}
+    p = {r["o_orderstatus"]: r["sum_o_totalprice"] for r in plain}
+    for k in p:
+        assert abs(s[k] - p[k]) < 1e-6 * max(1.0, abs(p[k]))
+
+
+def test_replicated_skew_join_equals_plain(spark, sf_small):
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.skew import replicated_skew_join
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    hot = [r["o_custkey"] for r in orders.groupBy("o_custkey").count().orderBy(F.desc("count")).limit(3).collect()]
+    salted = replicated_skew_join(orders, customer, "o_custkey", hot_keys=hot, n_salts=4)
+    plain = orders.join(customer, "o_custkey")
+    assert salted.count() == plain.count()
+    a = {(r["o_orderkey"], r["c_mktsegment"]) for r in salted.collect()}
+    b = {(r["o_orderkey"], r["c_mktsegment"]) for r in plain.collect()}
+    assert a == b

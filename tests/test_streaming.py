@@ -176,3 +176,72 @@ def test_watermark_drops_late_rows(spark, tmp_path_factory):
         assert got[t0 + dt.timedelta(hours=4)] == 1
     finally:
         q.stop()
+
+
+def _fixture_waypoints(spark, events):
+    """One waypoint list per user: their own first position + an offset."""
+    from etl_cloud_logistics_spark.streaming.jobs import positions_from_events
+
+    first_pos = (
+        positions_from_events(events)
+        .groupBy("user_id")
+        .agg(F.min_by(F.struct("lat", "lon"), F.struct("ts", "event_id")).alias("p"))
+    )
+    return first_pos.select(
+        "user_id",
+        F.array(
+            F.struct(F.col("p.lat").alias("lat"), F.col("p.lon").alias("lon")),
+            F.struct((F.col("p.lat") + 0.01).alias("lat"), F.col("p.lon").alias("lon")),
+        ).alias("waypoints"),
+    )
+
+
+def test_deviation_alert_stream_matches_batch(spark, chunked_events, tmp_path_factory):
+    """ST4: streamed waypoint-deviation alerts == the same computation run
+    as a plain batch job over the full input."""
+    from etl_cloud_logistics_spark.streaming.jobs import deviation_alert_stream
+
+    src, events = chunked_events
+    waypoints = _fixture_waypoints(spark, events)
+
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        deviation_alert_stream(stream, waypoints, threshold_km=500.0),
+        "dev_out",
+        _ckpt(tmp_path_factory),
+    )
+    try:
+        got = {
+            (r["alert_id"], round(r["deviation_km"], 3))
+            for r in spark.sql("SELECT * FROM dev_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = deviation_alert_stream(events, waypoints, threshold_km=500.0)
+    want = {(r["alert_id"], round(r["deviation_km"], 3)) for r in batch.collect()}
+    assert got == want
+    assert want  # fixture must actually trigger alerts
+
+
+def test_eta_stream_computes_remaining(spark, chunked_events, tmp_path_factory):
+    """ST3: ETA recompute over micro-batches; spot-check the arithmetic."""
+    from etl_cloud_logistics_spark.streaming.jobs import eta_stream
+
+    src, events = chunked_events
+    dests = (
+        events.select("user_id")
+        .distinct()
+        .select("user_id", F.lit(0.0).alias("dest_lat"), F.lit(0.0).alias("dest_lon"))
+    )
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        eta_stream(stream, dests, speed_kmh=60.0), "eta_out", _ckpt(tmp_path_factory)
+    )
+    try:
+        rows = spark.sql("SELECT * FROM eta_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == events.count()
+    for r in rows[:50]:
+        assert r["eta_minutes"] == round(r["remaining_km"] / 60.0 * 60.0, 1)
