@@ -387,3 +387,65 @@ def fact_build_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_revenue",
         "total_qty",
     )
+
+
+@register(
+    "nth_last_order_date",
+    oracle="""
+    SELECT d AS load_date
+    FROM (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    ) t
+    ORDER BY d DESC
+    LIMIT 5
+    """,
+)
+def nth_last_order_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-load watermark probe (S3, ref etl_pipeline.py:140-165:
+    ``SELECT DISTINCT DATE(...) ORDER BY DESC LIMIT n``) — the driver of the
+    daily pipeline picks its run date from this.  Scale: distinct over the
+    date only (narrow column), top-k via TakeOrderedAndProject — no full
+    sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.to_date("o_orderdate").alias("load_date"))
+        .distinct()
+        .orderBy(F.desc("load_date"))
+        .limit(5)
+    )
+
+
+@register(
+    "derived_measures_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 MINUTE AS eta_ts,
+           CAST(floor(date_diff('day', o_orderdate, TIMESTAMP '2001-09-01')
+                      / 30.44) AS BIGINT) AS age_months,
+           greatest(o_totalprice, 1.0) AS clipped_price,
+           o_totalprice > 300000 AS is_large,
+           o_orderpriority = '1-URGENT' AS is_urgent,
+           ROUND(o_totalprice * 0.035 + 5.0, 2) AS handling_cost,
+           ROUND(10.0 + 0.5 * o_totalprice / 1000, 2) AS est_revenue
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def derived_measures_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function family the fact build uses (SURVEY.md §2.8 F8
+    interval arithmetic, F10 months-as-days/30.44, F14 clip, F16 boolean
+    derivations, F17 cost/revenue math) in one oracle-checked pass.  All
+    native column expressions — whole-stage codegen, zero UDFs."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    anchor = F.lit("2001-09-01").cast("timestamp")
+    days = F.datediff(F.to_date(anchor), F.to_date("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 MINUTES")).alias("eta_ts"),
+        F.floor(days / F.lit(30.44)).alias("age_months"),
+        F.greatest(F.col("o_totalprice"), F.lit(1.0)).alias("clipped_price"),
+        (F.col("o_totalprice") > 300000).alias("is_large"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_urgent"),
+        F.round(F.col("o_totalprice") * 0.035 + 5.0, 2).alias("handling_cost"),
+        F.round(10.0 + 0.5 * F.col("o_totalprice") / 1000, 2).alias("est_revenue"),
+    )
