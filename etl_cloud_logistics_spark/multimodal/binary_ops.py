@@ -127,3 +127,111 @@ def audio_frame_stats(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame
             )
 
     return binary_df.mapInPandas(batches, AUDIO_FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_start", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def resize_image(binary_df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """'Resize' as a payload-rewriting batch operator: the stub re-samples
+    the byte stream to target_w*target_h bytes (repeat-truncate), standing in
+    for a PIL ``Image.resize``.  Shape matters more than pixels here: the
+    operator shows payload-in/payload-out through Arrow without the bytes
+    ever hitting a shuffle."""
+    out_len = target_w * target_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def rs(p: bytes) -> bytes:
+                if not p:
+                    return bytes(out_len)
+                reps = -(-out_len // len(p))
+                return (p * reps)[:out_len]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pdf["payload"].map(rs),
+                    "width": pd.Series([target_w] * len(pdf), dtype="int64"),
+                    "height": pd.Series([target_h] * len(pdf), dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def video_frame_sample(
+    binary_df: DataFrame, frame_bytes: int = 256, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling as a one-to-many batch operator (the UDTF shape):
+    each payload splits into fixed-size frames and every ``every_n``-th
+    frame is emitted as its own row — the ffmpeg keyframe-sample analog.
+    Output rows carry offsets, not payload copies, so the fan-out is
+    metadata-sized."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, lens = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    start = i * frame_bytes
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    starts.append(start)
+                    lens.append(min(frame_bytes, n - start))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_start": pd.Series(starts, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_embedding_stub(binary_df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction stub: a deterministic pseudo-embedding from the
+    payload bytes (byte-bucket histogram, L1-normalized) — the stand-in for
+    a real vision/audio encoder, emitting the same ``array<float>`` shape
+    the similarity operators consume (X3/X5 interop)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for p in pdf["payload"]:
+                counts = [0] * dim
+                for b in p:
+                    counts[b % dim] += 1
+                total = max(sum(counts), 1)
+                embs.append([c / total for c in counts])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": embs}
+            )
+
+    return binary_df.mapInPandas(batches, schema)

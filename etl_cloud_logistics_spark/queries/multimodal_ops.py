@@ -59,3 +59,48 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched."""
     docs = load_table(spark, sf_dir, "documents")
     return audio_frame_stats(attach_binary_payload(docs), frame_bytes=256)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+               CAST((strlen(text) + 255) // 256 AS BIGINT) AS n_frames
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           CAST(i * 256 AS BIGINT) AS frame_start,
+           CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
+    FROM d, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS i) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling (every 2nd 256-byte frame) through
+    mapInPandas — the keyframe-extraction shape: metadata rows out, payload
+    bytes never copied or shuffled."""
+    from ..multimodal.binary_ops import video_frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_sample(attach_binary_payload(docs), frame_bytes=256, every_n=2)
+
+
+@register(
+    "multimodal_embedding_extract",
+    oracle=None,  # byte-histogram loop has no clean relational twin; tests
+    # pin the math on fixtures (tests/test_extensions.py)
+)
+def multimodal_embedding_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stub → similarity interop (X5): pseudo-embeddings
+    from payload bytes, then per-label L2-norm profile via the exact-sum
+    norm — proving the multimodal output feeds the vector operators
+    unchanged."""
+    from ..multimodal.binary_ops import extract_embedding_stub
+    from ..operators.similarity import norm_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = extract_embedding_stub(attach_binary_payload(docs), dim=8)
+    return emb.select(
+        "doc_id", F.round(norm_exact(F.col("embedding")), 6).alias("l2_norm")
+    )

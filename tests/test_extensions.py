@@ -130,3 +130,40 @@ def test_cosine_neardup_symmetric_and_thresholded(spark):
     out = cosine_neardup_pairs(emb, threshold=0.9).collect()
     pairs = {(r.vec_a, r.vec_b) for r in out}
     assert pairs == {(0, 1)}  # a<b ordering, bucket-pruned, thresholded
+
+
+def test_multimodal_resize_and_frames(spark, sf_small):
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        attach_binary_payload,
+        extract_embedding_stub,
+        resize_image,
+        video_frame_sample,
+    )
+
+    docs = load_table(spark, sf_small, "documents").limit(10)
+    bin_df = attach_binary_payload(docs)
+
+    resized = resize_image(bin_df, target_w=8, target_h=4).collect()
+    assert all(len(r["payload"]) == 32 for r in resized)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in resized)
+
+    frames = video_frame_sample(bin_df, frame_bytes=100, every_n=3)
+    rows = frames.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    orig = {r["doc_id"]: r for r in bin_df.collect()}
+    for doc_id, frs in by_doc.items():
+        n = len(orig[doc_id]["payload"])
+        total_frames = (n + 99) // 100
+        assert [f["frame_idx"] for f in sorted(frs, key=lambda x: x["frame_idx"])] == list(
+            range(0, total_frames, 3)
+        )
+        for f in frs:
+            assert f["frame_len"] == min(100, n - f["frame_start"])
+
+    emb = extract_embedding_stub(bin_df, dim=4).collect()
+    for r in emb:
+        assert len(r["embedding"]) == 4
+        assert abs(sum(r["embedding"]) - 1.0) < 1e-5
