@@ -154,6 +154,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# (session-id, sf_dir, table) -> loaded DataFrame.  DataFrames are immutable
+# lazy plans, so sharing one per table avoids re-listing files, re-reading
+# parquet footers and re-validating the schema on every query — the analog of
+# a catalog holding resolved table metadata.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Columnar scan of one table; column selection enforces the declared
     schema order so downstream plans are stable.
@@ -163,6 +170,10 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     we convert those to microsecond timestamps here (the values are
     microsecond-grain, so the truncation is lossless and matches DuckDB's
     ns→us view of the same files)."""
+    key = (id(spark), sf_dir, table)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     actual = {f.name: f.dataType for f in df.schema.fields}
@@ -178,7 +189,9 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 # session TZ is pinned to UTC, so NTZ→TZ is the identity
                 df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     validate_schema(df, table)
-    return df.select(*[f.name for f in SCHEMAS[table].fields])
+    out = df.select(*[f.name for f in SCHEMAS[table].fields])
+    _TABLE_CACHE[key] = out
+    return out
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
