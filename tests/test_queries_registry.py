@@ -37,3 +37,31 @@ def test_oracle_parses_and_columns_match(spark, sf_small, duck, name):
     oracle_cols = [d[0] for d in duck.execute(spec.oracle).description]
     spark_cols = spec.fn(spark, sf_small).columns
     assert sorted(oracle_cols) == sorted(spark_cols), f"{name}: column drift"
+
+
+def test_sql_api_over_registered_views(spark, sf_small):
+    """spark.sql over the catalog's temp views matches the DataFrame path —
+    the engine's second entry point (SURVEY.md §3.1)."""
+    from etl_cloud_logistics_spark.catalog import register_views
+
+    register_views(spark, sf_small)
+    via_sql = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC, n.n_name
+        """
+    ).collect()
+    from etl_cloud_logistics_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    nation = load_table(spark, sf_small, "nation")
+    customer = load_table(spark, sf_small, "customer")
+    via_df = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "n_name")
+        .collect()
+    )
+    assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]

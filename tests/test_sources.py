@@ -139,3 +139,40 @@ def test_foreach_batch_upsert_streaming(spark, sf_small, tmp_path):
     got = {r["user_id"]: r["event_id"] for r in final.collect()}
     for r in top:
         assert got[r["user_id"]] == r["max_id"]
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
+    """Co-located bucketed join: both sides pre-hashed on the key → the
+    join plan contains NO shuffle exchange (the 100 TB fact-join layout)."""
+    from etl_cloud_logistics_spark.sources.bucketed import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_small, "orders")
+    lineitem = load_table(spark, sf_small, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+    write_bucketed(lineitem, "b_lineitem", "o_orderkey", n_buckets=4)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the non-broadcast path: at real fact×fact scale neither side
+    # broadcasts, which is exactly when bucketing pays
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        # correctness: same as the plain join
+        plain = orders.join(lineitem, "o_orderkey")
+        assert joined.count() == plain.count()
+        # plan: no Exchange feeding the SortMergeJoin
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # aggregation on the bucket key also skips its exchange
+        agg = spark.table("b_orders").groupBy("o_orderkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
