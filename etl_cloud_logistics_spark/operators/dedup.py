@@ -99,6 +99,9 @@ def jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "s").drop("_df")
+    # the shingle frame feeds the self-join (twice) and the size agg (once);
+    # persist so tokenize/shingle/distinct runs a single time
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
@@ -213,6 +216,7 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+    banded = banded.persist()  # both sides of the bucket self-join
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -263,7 +267,7 @@ def minhash_lsh_neardup(
 
     Signature + banding are narrow per-doc expressions; the only shuffles
     are the band-bucket equi-join and the two candidate⋈shingle-array joins."""
-    sh_arr = shingle_array(df, id_col, text_col, n)
+    sh_arr = shingle_array(df, id_col, text_col, n).persist()
     cand = lsh_candidate_pairs(
         minhash_signatures(sh_arr, id_col, n_hashes), id_col, rows_per_band
     )
@@ -321,7 +325,13 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int 
     pair differing in ≤ 3 bits must agree on ≥ 1 whole block — so an
     equi-join on (block index, block value) has *complete* recall for
     max_hamming ≤ 3 while never forming a cross product.
-    ``bit_count(xor)`` verifies the exact distance."""
+    ``bit_count(xor)`` verifies the exact distance.
+
+    The signature frame feeds BOTH sides of the self-join; without
+    materialization Spark computes the (expensive, narrow) fingerprint twice
+    — so it is persisted here.  At 100 TB the same role is played by landing
+    signatures in a table once and joining from that."""
+    sig = sig.persist()
     blocked = sig.select(
         id_col,
         "simhash",
