@@ -206,3 +206,22 @@ def test_replicated_skew_join_equals_plain(spark, sf_small):
     a = {(r["o_orderkey"], r["c_mktsegment"]) for r in salted.collect()}
     b = {(r["o_orderkey"], r["c_mktsegment"]) for r in plain.collect()}
     assert a == b
+
+
+def test_schema_gate_rejects_drift(spark):
+    """S9: the schema validation gate fails fast on missing columns and
+    type drift (ref etl_pipeline.py:194-224)."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.catalog import SchemaValidationError, validate_schema
+
+    good = spark.createDataFrame([(1, "AFRICA")], "r_regionkey int, r_name string")
+    validate_schema(good, "region")  # passes
+
+    missing = spark.createDataFrame([(1,)], "r_regionkey int")
+    with _pytest.raises(SchemaValidationError, match="missing"):
+        validate_schema(missing, "region")
+
+    wrong_type = spark.createDataFrame([("x", "AFRICA")], "r_regionkey string, r_name string")
+    with _pytest.raises(SchemaValidationError, match="mismatch"):
+        validate_schema(wrong_type, "region")
