@@ -293,3 +293,44 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "string_similarity_pairs",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join (PAPERS.md: string similarity search/join):
+    within-bucket candidate generation — equi-join on (nation, name length),
+    the standard length-filter for edit distance ≤ d — then native JVM
+    levenshtein verification.  Never an unbucketed cross product."""
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.length("c_name").alias("ln"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.length("c_name").alias("ln"),
+    )
+    return (
+        a.join(b, ["nk", "ln"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )

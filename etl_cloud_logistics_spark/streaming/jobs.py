@@ -227,3 +227,27 @@ def eta_stream(
         )
         .select("event_id", "user_id", "ts", "remaining_km", "eta_minutes")
     )
+
+
+def session_window_counts(
+    events: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked session windows per user (ST6 family): sessions close
+    after ``gap`` of inactivity; the watermark lets the state store evict
+    closed sessions — unbounded-session state is the classic streaming
+    leak this bounds."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -245,3 +245,41 @@ def test_eta_stream_computes_remaining(spark, chunked_events, tmp_path_factory):
     assert len(rows) == events.count()
     for r in rows[:50]:
         assert r["eta_minutes"] == round(r["remaining_km"] / 60.0 * 60.0, 1)
+
+
+def test_session_window_stream_matches_batch(spark, chunked_events, tmp_path_factory):
+    """Streamed session windows == the same session_window agg run in batch
+    (complete mode so all sessions are emitted)."""
+    from etl_cloud_logistics_spark.streaming.jobs import session_window_counts
+
+    src, events = chunked_events
+    stream = read_event_stream(spark, src)
+    q = run_stream_to_memory(
+        session_window_counts(stream, watermark="10 hours", gap="30 minutes"),
+        "sess_out",
+        _ckpt(tmp_path_factory),
+        output_mode="complete",
+    )
+    try:
+        got = {
+            (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    want = {
+        (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want and want
