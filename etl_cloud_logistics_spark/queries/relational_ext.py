@@ -238,3 +238,54 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "salted_agg_status",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def salted_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation (operators.skew.salted_agg) producing the
+    exact same result as the plain GROUP BY: phase 1 aggregates on
+    (key ⊕ salt) so no reducer owns a whole hot key, phase 2 combines.
+    Decimal sums make the two-phase re-aggregation bit-exact."""
+    from ..operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(38,6)")
+    )
+    out = salted_agg(orders, ["o_orderstatus"], sum_cols=["o_totalprice"], n_salts=16)
+    return out.select(
+        "o_orderstatus",
+        "n_rows",
+        F.col("sum_o_totalprice").cast("double").alias("sum_price"),
+    )
+
+
+_SQL_REVENUE = """
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name
+    ORDER BY total_revenue DESC, n.n_name
+"""
+
+
+@register("sql_entrypoint_revenue", oracle=_SQL_REVENUE)
+def sql_entrypoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point (SURVEY.md §3.1): the SAME ANSI text the
+    oracle runs, executed by spark.sql over the registered views — proving
+    SQL-text and DataFrame programs hit one Catalyst surface."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REVENUE)
