@@ -334,3 +334,43 @@ def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
+
+
+@register(
+    "term_stats_top",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), stats AS (
+        SELECT lang, w, COUNT(*) AS tf
+        FROM tok WHERE length(w) >= 4
+        GROUP BY lang, w
+    )
+    SELECT lang, w AS term, tf, rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tf DESC, w) AS rnk
+        FROM stats
+    )
+    WHERE rnk <= 10
+    """,
+)
+def term_stats_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (X4: explode → groupBy().count() term stats):
+    top-10 terms (≥4 chars) per language by frequency.  Two shuffles —
+    term-count agg then per-lang top-k window; at 100 TB the agg output is
+    |vocabulary|, which is what makes corpus-wide term stats tractable."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs).select("lang", F.explode("ws").alias("w"))
+    stats = (
+        tok.filter(F.length("w") >= 4)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    rn = F.row_number().over(W.partitionBy("lang").orderBy(F.desc("tf"), F.asc("w")))
+    return (
+        stats.withColumn("rnk", rn)
+        .filter(F.col("rnk") <= 10)
+        .select("lang", F.col("w").alias("term"), "tf", "rnk")
+    )
