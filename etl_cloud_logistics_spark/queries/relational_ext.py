@@ -289,3 +289,32 @@ def sql_entrypoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_REVENUE)
+
+
+@register(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, measure, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 7 AS DOUBLE) AS priority_score
+        FROM orders WHERE o_orderkey % 200 = 0
+    )
+    UNPIVOT (val FOR measure IN (o_totalprice, priority_score))
+    """,
+)
+def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of q12's pivot (wide measures → long
+    key/value rows, the lakehouse-normalization shape).  Native ``unpivot``:
+    one narrow projection, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    wide = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 7).cast("double").alias("priority_score"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "priority_score"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
