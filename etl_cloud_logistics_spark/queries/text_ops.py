@@ -310,26 +310,36 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-similarity join (PAPERS.md: string similarity search/join):
-    within-bucket candidate generation — equi-join on (nation, name length),
-    the standard length-filter for edit distance ≤ d — then native JVM
-    levenshtein verification.  Never an unbucketed cross product."""
+    """String-similarity join (PAPERS.md: string similarity search/join) via
+    deletion-neighborhood signatures: any two strings within edit distance 1
+    share a member of {s} ∪ {s minus one char}, so candidates come from an
+    equi-join on (nation, signature) — O(n × len) signature rows instead of
+    all within-bucket pairs — then native levenshtein verifies.  The same
+    layout scales to distance d with d-deletion neighborhoods."""
     cust = load_table(spark, sf_dir, "customer")
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_nationkey").alias("nk"),
-        F.length("c_name").alias("ln"),
+    name = F.col("c_name")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(
+            name.substr(F.lit(1), i - 1), name.substr(i + 1, F.length(name))
+        ),
     )
-    b = cust.select(
-        F.col("c_custkey").alias("key_b"),
-        F.col("c_name").alias("name_b"),
+    sigs = cust.select(
+        F.col("c_custkey").alias("key"),
+        name.alias("name"),
         F.col("c_nationkey").alias("nk"),
-        F.length("c_name").alias("ln"),
+        F.explode(F.array_union(F.array(name), deletions)).alias("sig"),
+    ).persist()  # feeds both sides of the candidate self-join
+    a = sigs.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "nk", "sig")
+    b = sigs.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "nk", "sig")
+    cand = (
+        a.join(b, ["nk", "sig"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+        .distinct()
     )
     return (
-        a.join(b, ["nk", "ln"])
-        .filter(F.col("key_a") < F.col("key_b"))
+        cand.filter(F.length("name_a") == F.length("name_b"))
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
