@@ -31,7 +31,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     _load_all()
     spark = get_spark("bench")
-    # warm-up: JVM, parquet footers, codegen
+    # warm-up: one full pass at the smallest SF so JIT/codegen compilation is
+    # paid before timing — otherwise whichever heavy query happens to run
+    # first absorbs several seconds of JVM warm-up and the numbers are
+    # ordering-dependent noise
+    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for spec in REGISTRY.values():
+        spec.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}
