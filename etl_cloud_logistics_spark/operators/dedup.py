@@ -341,3 +341,63 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int 
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 post-processing — duplicate clusters → canonical representative
+# ---------------------------------------------------------------------------
+
+
+def neardup_components(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs by iterative min-label
+    propagation: every doc's label converges to the smallest doc_id reachable
+    through duplicate edges — the canonical representative of its cluster.
+
+    This is the step that turns PAIRS into a KEEP/DROP decision (training
+    pipelines keep one doc per cluster).  Iterative joins with an early-exit
+    convergence check; diameter bounds iterations (near-dup clusters are
+    shallow in practice — pathological chains cap at ``max_iter``).
+    Each iteration is one shuffle of the (still-moving) label frontier.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
+    ).persist()
+    for _ in range(max_iter):
+        # label each node with the min of its own and its neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("component"))

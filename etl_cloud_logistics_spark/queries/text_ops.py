@@ -384,3 +384,41 @@ def term_stats_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("lang", F.col("w").alias("term"), "tf", "rnk")
     )
+
+
+@register(
+    "neardup_components_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_CTE},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ver WHERE jaccard >= 0.5
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM ver WHERE jaccard >= 0.5
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def neardup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (the keep/drop step after pair finding):
+    connected components over Jaccard-0.5 pairs via iterative min-label
+    propagation — component id = smallest doc_id in the cluster, i.e. the
+    canonical document.  The oracle re-derives components with a recursive
+    transitive-closure CTE, so even the iterative algorithm is
+    differential-tested."""
+    from ..operators.dedup import neardup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(shingles(docs), threshold=0.5).select("doc_a", "doc_b")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    return neardup_components(pairs, nodes)

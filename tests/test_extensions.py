@@ -167,3 +167,16 @@ def test_multimodal_resize_and_frames(spark, sf_small):
     for r in emb:
         assert len(r["embedding"]) == 4
         assert abs(sum(r["embedding"]) - 1.0) < 1e-5
+
+
+def test_neardup_components_planted_clusters(spark):
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+    from pyspark.sql import functions as F
+
+    # two chains and a singleton: {1-2-3}, {10-11}, {99}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id long")
+    out = {r["doc_id"]: r["component"] for r in neardup_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
