@@ -449,3 +449,90 @@ def derived_measures_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 0.035 + 5.0, 2).alias("handling_cost"),
         F.round(10.0 + 0.5 * F.col("o_totalprice") / 1000, 2).alias("est_revenue"),
     )
+
+
+@register(
+    "histogram_order_price",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 50000), 11) AS BIGINT) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 50000 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 50000 AS DOUBLE) AS hi,
+           COUNT(*) AS n
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the profiling primitive behind the reference's
+    distribution checks): bucket = floor(x/width) capped at the last bucket —
+    one map + one tiny agg, no sort, no per-row UDF."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast("bigint")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("double").alias("lo"),
+            ((F.col("bucket") + 1) * 50000).cast("double").alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile summary (ANALYZE-style stats the reference ran as
+    ``ANALYZE`` ×6, 03:64-69): per-column row/non-null/distinct counts and
+    min/max, computed in ONE pass over the table (single agg, all columns) —
+    not one scan per column like the UNIONed oracle."""
+    orders = load_table(spark, sf_dir, "orders")
+    one = orders.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("mn_tp"),
+        F.max("o_totalprice").cast("double").alias("mx_tp"),
+    )
+    ck = one.select(
+        F.lit("o_custkey").alias("col"),
+        "n_rows",
+        F.col("nn_ck").alias("n_nonnull"),
+        F.col("nd_ck").alias("n_distinct"),
+        F.col("mn_ck").alias("min_val"),
+        F.col("mx_ck").alias("max_val"),
+    )
+    tp = one.select(
+        F.lit("o_totalprice").alias("col"),
+        "n_rows",
+        F.col("nn_tp").alias("n_nonnull"),
+        F.col("nd_tp").alias("n_distinct"),
+        F.col("mn_tp").alias("min_val"),
+        F.col("mx_tp").alias("max_val"),
+    )
+    return ck.unionByName(tp).orderBy("col")
