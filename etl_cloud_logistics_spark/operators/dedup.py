@@ -370,9 +370,15 @@ def neardup_components(
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist) each round: it TRUNCATES lineage, so the
+    # plan stays one-iteration deep instead of nesting every prior round —
+    # without it the final plan holds O(iterations²) joins and planning cost
+    # explodes.  (Caveat: checkpoint blocks live on executors; a lost
+    # executor fails the job — acceptable for an iterative batch step, and
+    # reliable checkpointing to the lake is the cluster-grade swap-in.)
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).persist()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # label each node with the min of its own and its neighbors' labels
         neighbor_min = (
@@ -386,7 +392,7 @@ def neardup_components(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -395,7 +401,6 @@ def neardup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
