@@ -283,3 +283,60 @@ def test_session_window_stream_matches_batch(spark, chunked_events, tmp_path_fac
         for r in batch.collect()
     }
     assert got == want and want
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path_factory):
+    """Stop the stream mid-input, add more files, restart from the SAME
+    checkpoint: the sink must end up with every event exactly once (no
+    reprocessing of chunks consumed before the stop)."""
+    import os
+
+    from etl_cloud_logistics_spark.sources import foreach_batch_upsert
+
+    base = str(tmp_path_factory.mktemp("restart_src"))
+    audit = str(tmp_path_factory.mktemp("restart_audit"))
+    state = str(tmp_path_factory.mktemp("restart_state")) + "/kv"
+    ckpt = str(tmp_path_factory.mktemp("restart_ckpt"))
+
+    events = load_table(spark, sf_small, "events").orderBy("ts", "event_id")
+    rows = events.collect()
+    third = (len(rows) + 2) // 3
+
+    def write_chunk(i, chunk_rows):
+        part = spark.createDataFrame(chunk_rows, events.schema)
+        tmp = f"{base}/_tmp_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{src}", f"{base}/chunk_{i}.parquet")
+
+    upsert = foreach_batch_upsert(state, keys=["user_id"], version_col="event_id")
+
+    def sink(batch_df, batch_id):
+        # audit every processed row so duplicates would be visible
+        batch_df.write.mode("append").parquet(audit)
+        upsert(batch_df, batch_id)
+
+    write_chunk(0, rows[:third])
+    write_chunk(1, rows[third : 2 * third])
+    stream = read_event_stream(spark, base, max_files_per_trigger=1)
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    write_chunk(2, rows[2 * third :])
+    stream2 = read_event_stream(spark, base, max_files_per_trigger=1)
+    q2 = stream2.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    # exactly-once: the audit sink saw each event exactly once across runs
+    seen = spark.read.parquet(audit)
+    assert seen.count() == len(rows)
+    assert seen.select("event_id").distinct().count() == len(rows)
+
+    # and the keyed state equals the batch answer over the full input
+    final = spark.read.parquet(state)
+    expected = events.groupBy("user_id").agg(F.max("event_id").alias("m"))
+    got = {r["user_id"]: r["event_id"] for r in final.collect()}
+    for r in expected.collect():
+        assert got[r["user_id"]] == r["m"]
