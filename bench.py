@@ -40,6 +40,14 @@ def main() -> None:
     warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
     for spec in REGISTRY.values():
         spec.fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+    # second pass at sf0.01 for the join-heavy families: at sf0.001 AQE
+    # plans broadcast joins everywhere, so the sort-merge/shuffle codegen
+    # paths the target SF uses would otherwise compile inside the timed run
+    mid_dir = "/root/testdata/sf0.01"
+    if os.path.isdir(mid_dir) and mid_dir != sf_dir:
+        for name, spec in REGISTRY.items():
+            if name.startswith(("neardup", "knn", "string_similarity")):
+                spec.fn(spark, mid_dir).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()  # drop warm-up persists before timing
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
