@@ -141,13 +141,42 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_pairs", oracle=None)  # bit-twiddling not portable to the oracle
+@register(
+    "simhash_near_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
+        FROM documents
+    ), h AS (
+        SELECT doc_id, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS hv FROM tok
+    ), bits AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h, (SELECT unnest(range(60)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ), sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id
+    ), blocked AS (
+        SELECT doc_id, simhash, b.blk, (simhash >> (15 * b.blk)) & 32767 AS block_val
+        FROM sig, (SELECT unnest(range(4)) AS blk) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.block_val = b.block_val
+                  AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (X2): 60-bit token-level SimHash, pigeonhole
     banding (4 × 15-bit blocks — complete recall at Hamming ≤ 3),
-    bit_count(xor) verification.  Rows-only check here (the 64-bit bit
-    arithmetic has no clean DuckDB twin); unit tests assert behavior on
-    planted fixtures (tests/test_extensions.py)."""
+    bit_count(xor) verification.  The md5-derived fingerprint is
+    bit-identical across engines, so even the bit arithmetic is
+    differential-tested; planted-fixture unit tests cover behavior
+    (tests/test_extensions.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash64(docs), max_hamming=3)
 
