@@ -8,6 +8,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+
+
+def _docs_parallel(spark, sf_dir):
+    """documents is a single parquet file (one scan split), which would run
+    every Arrow batch on one core; spread rows so mapInPandas parallelizes.
+    At production scale the file count provides this for free — the
+    repartition here compensates for the single-file test layout."""
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.repartition(16, "doc_id")
 from ..multimodal.binary_ops import (
     attach_binary_payload,
     audio_frame_stats,
@@ -33,7 +44,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow plumbing): text bytes → payload → per-batch feature extraction.
     The oracle reproduces the stub's byte-length math (strlen = utf-8
     bytes in DuckDB, matching len(payload) in pandas)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     feats = decode_image_features(attach_binary_payload(docs))
     return feats.select(
         "doc_id",
@@ -57,7 +68,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling over audio-like binary payloads (256-byte frames),
     Arrow-batched."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return audio_frame_stats(attach_binary_payload(docs), frame_bytes=256)
 
 
@@ -82,7 +93,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes never copied or shuffled."""
     from ..multimodal.binary_ops import video_frame_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return video_frame_sample(attach_binary_payload(docs), frame_bytes=256, every_n=2)
 
 
@@ -99,7 +110,7 @@ def multimodal_embedding_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary_ops import extract_embedding_stub
     from ..operators.similarity import norm_exact
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     emb = extract_embedding_stub(attach_binary_payload(docs), dim=8)
     return emb.select(
         "doc_id", F.round(norm_exact(F.col("embedding")), 6).alias("l2_norm")
