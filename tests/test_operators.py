@@ -225,3 +225,22 @@ def test_schema_gate_rejects_drift(spark):
     wrong_type = spark.createDataFrame([("x", "AFRICA")], "r_regionkey string, r_name string")
     with _pytest.raises(SchemaValidationError, match="mismatch"):
         validate_schema(wrong_type, "region")
+
+
+def test_merge_aggregates_combines_losslessly(spark):
+    from etl_cloud_logistics_spark.operators.quality import merge_aggregates
+
+    old = spark.createDataFrame(
+        [("A", 10, 100.0), ("B", 5, 50.0)], "seg string, n_orders long, rev double"
+    )
+    delta = spark.createDataFrame(
+        [("A", 2, 20.0), ("C", 1, 10.0)], "seg string, n_orders long, rev double"
+    )
+    out = {
+        r["seg"]: (r["n_orders"], r["rev"])
+        for r in merge_aggregates(old, delta, ["seg"], count_col="n_orders", sum_cols=("rev",)).collect()
+    }
+    assert out == {"A": (12, 120.0), "B": (5, 50.0), "C": (1, 10.0)}
+    # bootstrap: no existing table
+    boot = merge_aggregates(None, delta, ["seg"], count_col="n_orders", sum_cols=("rev",))
+    assert boot.count() == 2

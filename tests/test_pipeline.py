@@ -122,3 +122,32 @@ def test_scd2_attribute_change_creates_version(spark, sf_small, tmp_path):
     opened = [r for r in rows if r["is_current"]][0]
     assert closed["valid_to"] == opened["valid_from"]
     assert opened["c_acctbal"] == victim["c_acctbal"] + 1000.0
+
+
+def test_incremental_report_equals_full_rebuild(spark, sf_small, tmp_path):
+    """The day-grain incremental report rollup must equal an aggregate
+    computed directly over the whole fact, and re-running a day must not
+    double-count."""
+    from etl_cloud_logistics_spark.functions import sum_exact
+
+    wh = str(tmp_path / "whr")
+    day1, day2 = _two_busy_days(spark, sf_small)
+    run_daily_etl(spark, sf_small, wh, day1)
+    run_daily_etl(spark, sf_small, wh, day2)
+    run_daily_etl(spark, sf_small, wh, day2)  # rerun: dynamic overwrite, no dup
+
+    fact = spark.read.parquet(os.path.join(wh, "fact_orders"))
+    expect = {
+        r["c_mktsegment"]: (r["n"], r["rev"])
+        for r in fact.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(sum_exact("net_revenue"), 2).alias("rev"),
+        )
+        .collect()
+    }
+    report = spark.read.parquet(os.path.join(wh, "report_segment_totals"))
+    got = {
+        r["c_mktsegment"]: (r["n_orders"], r["total_revenue"]) for r in report.collect()
+    }
+    assert got == expect
