@@ -176,3 +176,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_jdbc_reader_builds_partitioned_options(spark):
+    from etl_cloud_logistics_spark.sources.jdbc import build_jdbc_options, jdbc_reader
+
+    opts = build_jdbc_options(
+        url="jdbc:postgresql://host/db",
+        table="trips",
+        partition_column="trip_id",
+        lower_bound=0,
+        upper_bound=100000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "trip_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["pushDownPredicate"] == "true"
+    with pytest.raises(ValueError, match="lower_bound"):
+        build_jdbc_options("jdbc:x", "t", partition_column="k")
+    # reader construction itself succeeds without a database
+    jdbc_reader(spark, url="jdbc:postgresql://host/db", table="trips")
+
+
+def test_generator_deterministic_and_invariants(spark):
+    from etl_cloud_logistics_spark.sources.generator import generate_trips_like
+
+    a = generate_trips_like(spark, 5000, seed=7).collect()
+    b = generate_trips_like(spark, 5000, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # same seed → same data
+
+    df = generate_trips_like(spark, 5000, seed=7)
+    # temporal consistency by construction (the reference's invariant)
+    assert df.filter(F.col("arrival_datetime") <= F.col("departure_datetime")).count() == 0
+    # FK ranges respected
+    assert df.filter((F.col("vehicle_id") < 0) | (F.col("vehicle_id") >= 200)).count() == 0
+    # weighted status roughly matches 85/5/10
+    frac = {
+        r["status"]: r["count"] / 5000
+        for r in df.groupBy("status").count().collect()
+    }
+    assert abs(frac["completed"] - 0.85) < 0.03
+    assert abs(frac["cancelled"] - 0.05) < 0.02
