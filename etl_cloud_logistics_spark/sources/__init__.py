@@ -5,9 +5,12 @@ JSON→VARIANT staging (S5), the date-partitioned S3 lake (S7), DynamoDB
 point upserts (S8) — re-expressed as native Spark readers/writers.
 """
 
+from .bucketed import bucketed_join, read_bucketed, write_bucketed
+from .generator import generate_trips_like, uniform_ts, weighted_choice
+from .jdbc import build_jdbc_options, jdbc_reader
 from .lake import read_lake, write_partitioned_lake
 from .staging import read_json_staging, write_json_staging
-from .upsert import foreach_batch_upsert, upsert_parquet
+from .upsert import apply_cdc, foreach_batch_upsert, upsert_parquet
 
 __all__ = [
     "write_partitioned_lake",
@@ -16,4 +19,13 @@ __all__ = [
     "read_json_staging",
     "upsert_parquet",
     "foreach_batch_upsert",
+    "apply_cdc",
+    "write_bucketed",
+    "read_bucketed",
+    "bucketed_join",
+    "jdbc_reader",
+    "build_jdbc_options",
+    "generate_trips_like",
+    "weighted_choice",
+    "uniform_ts",
 ]

@@ -74,3 +74,32 @@ def foreach_batch_upsert(
         upsert_parquet(batch_df.sparkSession, target_path, batch_df, keys, version_col)
 
     return sink
+
+
+def apply_cdc(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    version_col: str = "version",
+) -> DataFrame:
+    """Apply a change-data-capture batch (ops: insert/update/delete) to a
+    keyed snapshot — the general form of the upsert sink (which cannot
+    delete).  Per key, the highest-version row wins; if that winner is a
+    delete, the key disappears from the snapshot.
+
+    One shuffle (the max_by hash-agg on the key), no window sort; the same
+    layout runs inside ``foreachBatch`` against a CDC stream."""
+    tagged_changes = changes
+    if snapshot is not None:
+        # existing rows participate as lowest-priority upserts
+        base = snapshot.withColumn(op_col, F.lit("upsert"))
+        missing = [c for c in changes.columns if c not in base.columns]
+        for c in missing:
+            base = base.withColumn(c, F.lit(None))
+        tagged_changes = base.select(*changes.columns).unionByName(changes)
+    payload = [c for c in tagged_changes.columns if c not in keys]
+    latest = tagged_changes.groupBy(*keys).agg(
+        *[F.max_by(c, F.col(version_col)).alias(c) for c in payload]
+    )
+    return latest.filter(F.col(op_col) != "delete").drop(op_col)

@@ -217,3 +217,28 @@ def test_generator_deterministic_and_invariants(spark):
     }
     assert abs(frac["completed"] - 0.85) < 0.03
     assert abs(frac["cancelled"] - 0.05) < 0.02
+
+
+def test_apply_cdc_upserts_and_deletes(spark):
+    from etl_cloud_logistics_spark.sources import apply_cdc
+
+    schema = "k long, val string, op string, version long"
+    snap = spark.createDataFrame(
+        [(1, "a", "upsert", 10), (2, "b", "upsert", 11), (3, "c", "upsert", 12)], schema
+    ).drop("op")
+    snap = snap.withColumn("op", F.lit("upsert")).select("k", "val", "op", "version").drop("op")
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "update", 20),   # update wins over snapshot
+            (3, None, "delete", 21),   # delete removes the key
+            (4, "d", "insert", 22),    # new key
+            (4, "d2", "update", 23),   # later change to the same new key
+            (1, "stale", "update", 5), # older than snapshot → loses
+        ],
+        schema,
+    )
+    out = {r["k"]: (r["val"], r["version"]) for r in apply_cdc(snap, changes, ["k"]).collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 20), 4: ("d2", 23)}
+    # bootstrap from nothing
+    boot = apply_cdc(None, changes, ["k"])
+    assert {r["k"] for r in boot.collect()} == {1, 2, 4}
