@@ -242,3 +242,60 @@ def test_apply_cdc_upserts_and_deletes(spark):
     # bootstrap from nothing
     boot = apply_cdc(None, changes, ["k"])
     assert {r["k"] for r in boot.collect()} == {1, 2, 4}
+
+
+def test_compact_partition_reduces_files_preserves_rows(spark, sf_small, tmp_path):
+    import os
+
+    from etl_cloud_logistics_spark.sources.maintenance import compact_partition
+
+    lake = str(tmp_path / "clake")
+    orders = load_table(spark, sf_small, "orders")
+    write_partitioned_lake(orders.repartition(8), lake, date_col="o_orderdate")
+    some_day = (
+        orders.select(F.to_date("o_orderdate").alias("d")).groupBy("d").count()
+        .orderBy(F.desc("count")).first()["d"].isoformat()
+    )
+    part_dir = os.path.join(lake, f"ingest_date={some_day}")
+    before_files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    before_rows = spark.read.parquet(part_dir).count()
+
+    n = compact_partition(spark, lake, "ingest_date", some_day, target_files=1)
+    after_files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert n == before_rows
+    assert len(after_files) == 1 and len(after_files) <= len(before_files)
+    # whole lake still consistent
+    assert read_lake(spark, lake).count() == orders.count()
+
+
+def test_sorted_lake_files_have_disjoint_ranges(spark, sf_small, tmp_path):
+    """The sorted layout must actually cluster: per-file min/max of the sort
+    key (from the parquet footers via pyarrow) may not overlap."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from etl_cloud_logistics_spark.sources.maintenance import write_sorted_lake
+
+    out = str(tmp_path / "sorted")
+    orders = load_table(spark, sf_small, "orders")
+    write_sorted_lake(orders, out, sort_cols=["o_totalprice"], n_files=4)
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint file ranges → min/max pruning works
+    # rows preserved
+    assert spark.read.parquet(out).count() == orders.count()
