@@ -536,3 +536,49 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx_tp").alias("max_val"),
     )
     return ck.unionByName(tp).orderBy("col")
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN NOT (o_totalprice > 0) OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS v_pos,
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v_set,
+               COUNT(DISTINCT o_orderkey) AS d_key
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'o_totalprice_positive' AS expectation, n AS n_rows,
+               CAST(v_pos AS BIGINT) AS n_violations, v_pos = 0 AS passed FROM s
+        UNION ALL
+        SELECT 'o_orderdate_not_null', n, CAST(v_null AS BIGINT), v_null = 0 FROM s
+        UNION ALL
+        SELECT 'o_orderstatus_in_set', n, CAST(v_set AS BIGINT), v_set = 0 FROM s
+        UNION ALL
+        SELECT 'o_orderkey_unique', n, CAST(n - d_key AS BIGINT), n = d_key FROM s
+    ) ORDER BY expectation
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders (operators.expectations):
+    positivity, null, enum-membership and key-uniqueness checks — ALL
+    evaluated in one aggregation pass, reported long-format."""
+    from ..operators.expectations import (
+        expect_in_set,
+        expect_not_null,
+        expect_positive,
+        run_expectations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return run_expectations(
+        orders,
+        [
+            expect_positive("o_totalprice"),
+            expect_not_null("o_orderdate"),
+            expect_in_set("o_orderstatus", ["O", "F", "P"]),
+        ],
+        unique_cols=["o_orderkey"],
+    )

@@ -244,3 +244,28 @@ def test_merge_aggregates_combines_losslessly(spark):
     # bootstrap: no existing table
     boot = merge_aggregates(None, delta, ["seg"], count_col="n_orders", sum_cols=("rev",))
     assert boot.count() == 2
+
+
+def test_expectations_flag_planted_violations(spark):
+    from etl_cloud_logistics_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+        expect_positive,
+        run_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (1, 200.0)], "k long, v double"
+    )
+    rep = {
+        r["expectation"]: (r["n_violations"], r["passed"])
+        for r in run_expectations(
+            df,
+            [expect_positive("v"), expect_not_null("v"), expect_between("v", 0, 100)],
+            unique_cols=["k"],
+        ).collect()
+    }
+    assert rep["v_positive"] == (2, False)      # -5 and NULL both violate
+    assert rep["v_not_null"] == (1, False)
+    assert rep["v_between"] == (3, False)       # -5, 200, and NULL (nulls fail checks)
+    assert rep["k_unique"] == (1, False)        # k=1 twice
