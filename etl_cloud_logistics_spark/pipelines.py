@@ -246,6 +246,33 @@ def run_daily_etl(
             .count()
         )
 
+        # -- data-quality gate over the day's slice ----------------------------
+        from .operators.expectations import (
+            expect_not_null,
+            expect_positive,
+            run_expectations,
+        )
+
+        day_fact = spark.read.parquet(fact_path).filter(
+            F.col("ingest_date") == F.lit(run_date).cast("date")
+        )
+        dq = run_expectations(
+            day_fact,
+            [
+                expect_positive("n_items"),
+                expect_not_null("c_mktsegment"),
+                expect_not_null("date_key"),
+            ],
+            unique_cols=["o_orderkey"],
+        ).withColumn("run_date", F.lit(run_date).cast("date"))
+        (
+            dq.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_date")
+            .parquet(_path(warehouse, "dq_reports"))
+        )
+        audit.records["dq_failed"] = dq.filter(~F.col("passed")).count()
+
         # -- report refresh -----------------------------------------------------
         audit.records["report_segment_totals"] = refresh_report_segment_totals(
             fact_path, spark, _path(warehouse, "report_segment_totals"), run_date

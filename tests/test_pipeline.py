@@ -151,3 +151,18 @@ def test_incremental_report_equals_full_rebuild(spark, sf_small, tmp_path):
         r["c_mktsegment"]: (r["n_orders"], r["total_revenue"]) for r in report.collect()
     }
     assert got == expect
+
+
+def test_pipeline_writes_dq_report(spark, sf_small, tmp_path):
+    wh = str(tmp_path / "whdq")
+    day1, _ = _two_busy_days(spark, sf_small)
+    audit = run_daily_etl(spark, sf_small, wh, day1)
+    assert audit.records["dq_failed"] == 0  # clean testdata passes the gate
+    dq = spark.read.parquet(os.path.join(wh, "dq_reports"))
+    assert {r["expectation"] for r in dq.collect()} == {
+        "n_items_positive",
+        "c_mktsegment_not_null",
+        "date_key_not_null",
+        "o_orderkey_unique",
+    }
+    assert dq.filter(~F.col("passed")).count() == 0
