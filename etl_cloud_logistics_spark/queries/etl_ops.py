@@ -582,3 +582,24 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         unique_cols=["o_orderkey"],
     )
+
+
+@register(
+    "group_normalize_acctbal",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER w) / (STDDEV_SAMP(c_acctbal) OVER w), 6) AS z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+)
+def group_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score normalization (operators.grouped.normalize_native):
+    window aggregates inside codegen — the native path of the engine's
+    UDF policy; the applyInPandas twin is tested equal in unit tests."""
+    from ..operators.grouped import normalize_native
+
+    cust = load_table(spark, sf_dir, "customer")
+    return normalize_native(cust, "c_nationkey", "c_acctbal").select(
+        "c_custkey", "c_nationkey", "c_acctbal", F.round("z", 6).alias("z")
+    )

@@ -269,3 +269,27 @@ def test_expectations_flag_planted_violations(spark):
     assert rep["v_not_null"] == (1, False)
     assert rep["v_between"] == (3, False)       # -5, 200, and NULL (nulls fail checks)
     assert rep["k_unique"] == (1, False)        # k=1 twice
+
+
+def test_grouped_normalize_pandas_equals_native(spark, sf_small):
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.grouped import (
+        normalize_in_pandas,
+        normalize_native,
+    )
+
+    cust = load_table(spark, sf_small, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    native = {
+        r["c_custkey"]: r["z"]
+        for r in normalize_native(cust, "c_nationkey", "c_acctbal").collect()
+    }
+    arrow = {
+        r["c_custkey"]: r["z"]
+        for r in normalize_in_pandas(cust, "c_nationkey", "c_acctbal").collect()
+    }
+    assert native.keys() == arrow.keys()
+    for k in native:
+        a, b = native[k], arrow[k]
+        assert (a is None and b is None) or abs(a - b) < 1e-9
