@@ -372,3 +372,47 @@ def test_stream_stream_join_matches_batch(spark, chunked_events, tmp_path_factor
     want = {(r["user_id"], r["click_id"], r["purchase_id"]) for r in batch.collect()}
     assert got == want
     assert want  # fixture produces actual matches
+
+
+def test_streaming_pipeline_end_to_end(spark, chunked_events, tmp_path_factory):
+    """The orchestrated three-query pipeline lands alerts, keyed state, and
+    (watermark-closed) hourly counts consistent with batch over the same
+    input."""
+    import os
+
+    from etl_cloud_logistics_spark.streaming.pipeline import (
+        run_until_drained,
+        start_streaming_pipeline,
+    )
+
+    src, events = chunked_events
+    wh = str(tmp_path_factory.mktemp("stream_wh"))
+    queries = start_streaming_pipeline(spark, src, wh, alert_threshold=35.0)
+    run_until_drained(queries)
+
+    # alerts == batch filter
+    alerts = spark.read.parquet(os.path.join(wh, "alerts"))
+    expected_alerts = events.filter(F.col("value") > 35.0).count()
+    assert alerts.count() == expected_alerts
+
+    # keyed state == batch max-event per user
+    state = spark.read.parquet(os.path.join(wh, "latest_status"))
+    want = {
+        r["user_id"]: r["m"]
+        for r in events.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    got = {r["user_id"]: r["event_id"] for r in state.collect()}
+    assert got == want
+
+    # hourly counts: append mode only emits watermark-closed windows — every
+    # emitted row must match its batch twin exactly
+    counts = spark.read.parquet(os.path.join(wh, "hourly_counts"))
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    for r in counts.collect():
+        assert batch[(r["window_start"], r["event_type"])] == r["n_events"]
