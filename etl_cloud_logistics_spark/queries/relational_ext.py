@@ -318,3 +318,65 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@register(
+    "star_join_operations",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS segment,
+           p.p_brand AS brand, s.s_name AS supplier_name,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS net_revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING COUNT(*) >= 2
+    """,
+)
+def star_join_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 6-way star join (J5, v_operations_deliveries,
+    04:210-228): fact joined to every dimension in one pass.  All six dim
+    sides broadcast, so the only exchange is the final aggregation — the
+    fact is never shuffled for the joins regardless of its size."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    joined = (
+        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            # exact decimal(38,6) sum, NO final rounding: the established
+            # cross-engine-identical pattern (double-domain ROUND and decimal
+            # re-scaling both round boundary values differently between
+            # Spark's HALF_UP and DuckDB's half-even)
+            sum_exact(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("net_revenue"),
+        )
+        .filter(F.col("n_lines") >= 2)
+    )
