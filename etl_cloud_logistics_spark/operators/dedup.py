@@ -371,10 +371,14 @@ def neardup_components(
     through duplicate edges — the canonical representative of its cluster.
 
     This is the step that turns PAIRS into a KEEP/DROP decision (training
-    pipelines keep one doc per cluster).  Iterative joins with an early-exit
-    convergence check; diameter bounds iterations (near-dup clusters are
-    shallow in practice — pathological chains cap at ``max_iter``).
-    Each iteration is one shuffle of the (still-moving) label frontier.
+    pipelines keep one doc per cluster).  Delta iteration: only labels that
+    improved last round (the frontier) are re-propagated, so join input
+    shrinks with convergence instead of rescanning every edge each round;
+    diameter bounds iterations (near-dup clusters are shallow in practice —
+    pathological chains cap at ``max_iter``).  The convergence probe reads a
+    ``moved`` flag off the already-checkpointed round result rather than
+    joining old-vs-new labels, so each round costs one shuffle job plus one
+    cheap scan.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -391,10 +395,12 @@ def neardup_components(
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint(eager=True)
+    frontier = labels  # round 0: every initial label still needs propagating
     for _ in range(max_iter):
-        # label each node with the min of its own and its neighbors' labels
+        # propagate only labels that improved last round — min over the
+        # frontier neighbors; earlier labels already reached these nodes
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(frontier, edges.src == frontier.node)
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
@@ -403,18 +409,13 @@ def neardup_components(
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                F.coalesce(F.col("nlbl") < F.col("lbl"), F.lit(False)).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "lbl")
+        frontier = new_labels.filter("moved").select("node", "lbl")
+        if new_labels.filter("moved").limit(1).count() == 0:
             break
     edges.unpersist()
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("component"))

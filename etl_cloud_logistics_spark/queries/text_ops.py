@@ -444,7 +444,9 @@ def neardup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import neardup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(shingles(docs), threshold=0.5).select("doc_a", "doc_b")
+    # pairs feeds four plan branches (edges forward+reversed, nodes a+b) —
+    # without persist the whole shingle⋈shingle pair join runs four times
+    pairs = jaccard_pairs(shingles(docs), threshold=0.5).select("doc_a", "doc_b").persist()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
