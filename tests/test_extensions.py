@@ -180,3 +180,20 @@ def test_neardup_components_planted_clusters(spark):
     nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id long")
     out = {r["doc_id"]: r["component"] for r in neardup_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_neardup_components_long_chain(spark):
+    """Worst case for frontier (delta) propagation: a path graph, where the
+    min label must travel hop-by-hop end to end and the frontier shrinks to
+    the single advancing node — any premature frontier cut-off would freeze
+    the label short of the far end."""
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    n = 13
+    # edges given high→low so propagation direction opposes insertion order
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = {r["doc_id"]: r["component"] for r in neardup_components(pairs, nodes).collect()}
+    assert out == {i: 0 for i in range(n)}
