@@ -154,11 +154,22 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-# (session-id, sf_dir, table) -> loaded DataFrame.  DataFrames are immutable
-# lazy plans, so sharing one per table avoids re-listing files, re-reading
-# parquet footers and re-validating the schema on every query — the analog of
-# a catalog holding resolved table metadata.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# (session-identity, sf_dir, table) -> loaded DataFrame.  DataFrames are
+# immutable lazy plans, so sharing one per table avoids re-listing files,
+# re-reading parquet footers and re-validating the schema on every query —
+# the analog of a catalog holding resolved table metadata.
+#
+# The session identity is (applicationId, startTime) — stable for the life of
+# the SparkContext and never reused, unlike id(spark): CPython can hand a new
+# session the id() of a garbage-collected one, which would serve DataFrames
+# bound to a dead JVM session.  Entries from other (dead) sessions are purged
+# whenever a new session shows up, so the cache cannot grow across restarts.
+_TABLE_CACHE: dict[tuple[tuple[str, int], str, str], DataFrame] = {}
+
+
+def _session_identity(spark: SparkSession) -> tuple[str, int]:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -170,10 +181,14 @@ def load_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     we convert those to microsecond timestamps here (the values are
     microsecond-grain, so the truncation is lossless and matches DuckDB's
     ns→us view of the same files)."""
-    key = (id(spark), sf_dir, table)
+    ident = _session_identity(spark)
+    key = (ident, sf_dir, table)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    stale = [k for k in _TABLE_CACHE if k[0] != ident]
+    for k in stale:
+        del _TABLE_CACHE[k]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     actual = {f.name: f.dataType for f in df.schema.fields}

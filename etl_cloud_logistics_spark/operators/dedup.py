@@ -396,6 +396,7 @@ def neardup_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint(eager=True)
     frontier = labels  # round 0: every initial label still needs propagating
+    converged = False
     for _ in range(max_iter):
         # propagate only labels that improved last round — min over the
         # frontier neighbors; earlier labels already reached these nodes
@@ -416,6 +417,17 @@ def neardup_components(
         labels = new_labels.select("node", "lbl")
         frontier = new_labels.filter("moved").select("node", "lbl")
         if new_labels.filter("moved").limit(1).count() == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # labels still moved on the last round: a component with diameter >
+        # max_iter would be silently split into bogus sub-components, and the
+        # caller's keep/drop decisions would be wrong — fail loudly instead
+        # (the moved flag is already computed, so this check is free).
+        raise RuntimeError(
+            f"neardup_components did not converge within max_iter={max_iter} "
+            "iterations (a duplicate chain longer than max_iter exists); "
+            "re-run with a larger max_iter"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("lbl").alias("component"))

@@ -70,7 +70,18 @@ def replicated_skew_join(
     broadcast whole, small per key).  ``hot_keys``: the keys known to be hot
     — in production discovered by a cheap pre-agg (``probe.groupBy(key)
     .count()`` top-N) or from table stats.
+
+    Only ``inner`` and ``left`` (probe-outer) joins are valid: the build side
+    is replicated across all salts, so a build row unmatched within one salt
+    bucket would be emitted once PER SALT under ``right``/``full`` — n_salts
+    duplicate unmatched rows.  Guarded here rather than silently wrong.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"replicated_skew_join supports how='inner'|'left', got {how!r}: "
+            "the salted build side would duplicate unmatched build rows "
+            "n_salts times under right/full outer joins"
+        )
     hot = F.col(key).isin(hot_keys)
 
     cold = probe.filter(~hot).join(build.filter(~hot), key, how)

@@ -34,9 +34,14 @@ from .operators.quality import flag_outliers, qa_flags
 from .operators.scd2 import scd2_apply, scd2_asof_lookup
 from .sources.lake import write_partitioned_lake
 from .sources.staging import write_json_staging
+from .sources.upsert import atomic_overwrite
 
 DIM_CUSTOMER_KEYS = ["c_custkey"]
 DIM_CUSTOMER_TRACKED = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+# second SCD2 dimension (the reference tracks SCD2 on BOTH dim_vehicle and
+# dim_driver, 04_dimensional_model.sql:53-85 — supplier is our second dim)
+DIM_SUPPLIER_KEYS = ["s_suppkey"]
+DIM_SUPPLIER_TRACKED = ["s_name", "s_nationkey", "s_acctbal"]
 
 
 @dataclass
@@ -127,8 +132,8 @@ def build_fact_orders(
 def refresh_report_segment_totals(
     fact_path: str, spark: SparkSession, out_path: str, run_date: str | None = None
 ) -> int:
-    """Pre-aggregated report refresh (ref REPORT_* rebuilds,
-    etl_pipeline.py:1100-1132) — incremental view maintenance:
+    """Pre-aggregated report refresh (ref REPORT_DRIVER_TOTALS,
+    etl_pipeline.py:1100-1116) — incremental view maintenance:
 
     1. aggregate ONLY the run date's fact slice to a day-grain partition
        (``<out>_daily/``, dynamic partition overwrite → re-runs replace the
@@ -139,6 +144,26 @@ def refresh_report_segment_totals(
 
     At 100 TB the daily refresh cost is O(one day) + O(|report days|),
     versus the reference's full-table rebuild."""
+    return _refresh_report(fact_path, spark, out_path, "c_mktsegment", run_date)
+
+
+def refresh_report_status_totals(
+    fact_path: str, spark: SparkSession, out_path: str, run_date: str | None = None
+) -> int:
+    """The SECOND pre-aggregated report table (ref REPORT_ROUTE_TOTALS,
+    etl_pipeline.py:1117-1132 — the reference maintains a PAIR of report
+    tables per run): totals keyed by order status, same incremental
+    day-grain + rollup layout as the segment report."""
+    return _refresh_report(fact_path, spark, out_path, "o_orderstatus", run_date)
+
+
+def _refresh_report(
+    fact_path: str,
+    spark: SparkSession,
+    out_path: str,
+    group_col: str,
+    run_date: str | None = None,
+) -> int:
     daily_path = out_path.rstrip("/") + "_daily"
     fact = spark.read.parquet(fact_path)
     day_slice = (
@@ -146,7 +171,7 @@ def refresh_report_segment_totals(
         if run_date is not None
         else fact
     )
-    day_agg = day_slice.groupBy("c_mktsegment", "ingest_date").agg(
+    day_agg = day_slice.groupBy(group_col, "ingest_date").agg(
         F.count("*").alias("n_orders"),
         sum_exact("net_revenue").alias("sum_revenue"),
         F.sum(F.when(~F.col("qa_passed"), 1).otherwise(0)).alias("n_qa_failed"),
@@ -158,7 +183,7 @@ def refresh_report_segment_totals(
         .parquet(daily_path)
     )
     daily = spark.read.parquet(daily_path)
-    report = daily.groupBy("c_mktsegment").agg(
+    report = daily.groupBy(group_col).agg(
         F.sum("n_orders").alias("n_orders"),
         F.round(F.sum("sum_revenue"), 2).alias("total_revenue"),
         F.round(F.sum("sum_revenue") / F.sum("n_orders"), 2).alias("avg_revenue"),
@@ -177,8 +202,10 @@ def run_daily_etl(
     - ``staging/``       raw JSON of the day's extract (audit trail, S5)
     - ``dim_date/``      calendar rows covering the day (anti-join insert, J7)
     - ``dim_customer/``  SCD2 dimension after today's merge (J8/J9)
+    - ``dim_supplier/``  second SCD2 dimension (ref dual SCD2, 04:53-85)
     - ``fact_orders/``   date-partitioned fact (S7), QA-flagged
-    - ``report_segment_totals/``  rebuilt aggregate table
+    - ``report_segment_totals/`` + ``report_status_totals/``  the pair of
+      rebuilt aggregate tables (ref dual reports, etl_pipeline.py:1100-1132)
     - ``load_logs/``     one audit row per run
     """
     audit = EtlAudit(run_date=run_date)
@@ -201,7 +228,28 @@ def run_daily_etl(
             new_dates.write.mode("overwrite").parquet(dim_date_path)
         audit.records["dim_date"] = spark.read.parquet(dim_date_path).count()
 
-        # -- dim_customer: SCD2 merge (J8/J9) ----------------------------------
+        # -- SCD2 dimension merges (J8/J9) — BOTH tracked dims, mirroring the
+        # reference's dual SCD2 on dim_vehicle + dim_driver (04:53-85) -------
+        def scd2_refresh(
+            dim_path: str, staging: DataFrame, keys: list[str], tracked: list[str]
+        ) -> DataFrame:
+            if os.path.exists(dim_path):
+                current = spark.read.parquet(dim_path)
+            else:
+                current = (
+                    staging.limit(0)
+                    .withColumn("valid_from", F.lit(None).cast("date"))
+                    .withColumn("valid_to", F.lit(None).cast("date"))
+                    .withColumn("is_current", F.lit(True))
+                )
+            merged = scd2_apply(
+                current, staging, keys=keys, tracked=tracked, effective_date=run_date
+            )
+            # functional rewrite: land the snapshot NEXT TO the live dim, then
+            # swap by rename — a crash anywhere leaves a complete dimension
+            atomic_overwrite(merged, dim_path)
+            return spark.read.parquet(dim_path)
+
         dim_cust_path = _path(warehouse, "dim_customer")
         staging_cust = (
             day_orders.select(F.col("o_custkey").alias("c_custkey"))
@@ -209,34 +257,27 @@ def run_daily_etl(
             .join(load_table(spark, sf_dir, "customer"), "c_custkey")
             .select(*DIM_CUSTOMER_KEYS, *DIM_CUSTOMER_TRACKED)
         )
-        if os.path.exists(dim_cust_path):
-            current = spark.read.parquet(dim_cust_path)
-        else:
-            current = (
-                staging_cust.limit(0)
-                .withColumn("valid_from", F.lit(None).cast("date"))
-                .withColumn("valid_to", F.lit(None).cast("date"))
-                .withColumn("is_current", F.lit(True))
-            )
-        merged = scd2_apply(
-            current,
-            staging_cust,
-            keys=DIM_CUSTOMER_KEYS,
-            tracked=DIM_CUSTOMER_TRACKED,
-            effective_date=run_date,
+        dim_customer = scd2_refresh(
+            dim_cust_path, staging_cust, DIM_CUSTOMER_KEYS, DIM_CUSTOMER_TRACKED
         )
-        # functional rewrite: land the new snapshot, then swap
-        tmp = dim_cust_path + "._next"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(dim_cust_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
-        dim_customer = spark.read.parquet(dim_cust_path)
         audit.records["dim_customer"] = dim_customer.count()
 
-        # -- fact build + partitioned load (S7) --------------------------------
         lineitem = load_table(spark, sf_dir, "lineitem")
+        dim_supp_path = _path(warehouse, "dim_supplier")
+        staging_supp = (
+            day_orders.select("o_orderkey")
+            .join(lineitem, day_orders.o_orderkey == lineitem.l_orderkey)
+            .select(F.col("l_suppkey").alias("s_suppkey"))
+            .distinct()
+            .join(load_table(spark, sf_dir, "supplier"), "s_suppkey")
+            .select(*DIM_SUPPLIER_KEYS, *DIM_SUPPLIER_TRACKED)
+        )
+        dim_supplier = scd2_refresh(
+            dim_supp_path, staging_supp, DIM_SUPPLIER_KEYS, DIM_SUPPLIER_TRACKED
+        )
+        audit.records["dim_supplier"] = dim_supplier.count()
+
+        # -- fact build + partitioned load (S7) --------------------------------
         fact = build_fact_orders(day_orders, lineitem, dim_customer)
         fact_path = _path(warehouse, "fact_orders")
         write_partitioned_lake(fact, fact_path, date_col="o_orderdate")
@@ -273,9 +314,13 @@ def run_daily_etl(
         )
         audit.records["dq_failed"] = dq.filter(~F.col("passed")).count()
 
-        # -- report refresh -----------------------------------------------------
+        # -- report refresh: BOTH pre-aggregated tables (ref loads driver AND
+        # route totals every run, etl_pipeline.py:1100-1132) -------------------
         audit.records["report_segment_totals"] = refresh_report_segment_totals(
             fact_path, spark, _path(warehouse, "report_segment_totals"), run_date
+        )
+        audit.records["report_status_totals"] = refresh_report_status_totals(
+            fact_path, spark, _path(warehouse, "report_status_totals"), run_date
         )
         audit.status = "success"
     except Exception as e:  # audit trail first, then re-raise (ref :64-72)

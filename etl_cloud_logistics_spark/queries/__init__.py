@@ -5,6 +5,14 @@ Each entry pairs a PySpark implementation with its ANSI-SQL oracle twin
 (run by DuckDB over the same parquet).  Registration order follows
 SURVEY.md §2's operator inventory.
 
+Driver window: the verify driver checks at most the FIRST 50 entries it
+receives, so the driver surface (``all_queries``/``all_oracles``) is the
+minimal covering set — every SURVEY §2 operator ID appears in at least one
+of those 50.  Redundant variants of already-covered operators register with
+``extra=True``: they stay in ``REGISTRY`` (pytest + tools/verify_local.py
+still differential-test them against their oracles) but are not handed to
+the driver, where they would push covering queries past the checked window.
+
 Determinism rules (so the driver's order-insensitive value-hash agrees):
 - no wall-clock: the reference's ``CURRENT_DATE``-relative predicates become
   fixed literal cutoffs (SURVEY.md §7 principle);
@@ -25,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
+DRIVER_WINDOW = 50  # the verify driver checks at most this many entries
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     """One registered query: Spark impl + optional DuckDB oracle SQL."""
@@ -33,31 +44,42 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # None → non-SQL-expressible; driver does rows-only
     doc: str = ""
+    extra: bool = False  # True → locally verified only, not in the driver set
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", extra: bool = False):
     """Decorator: add a (spark, sf_dir) -> DataFrame callable to the registry."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), extra=extra
+        )
         return fn
 
     return wrap
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """The driver surface: the covering set only (≤ DRIVER_WINDOW entries)."""
     _load_all()
-    return {n: s.fn for n, s in REGISTRY.items()}
+    out = {n: s.fn for n, s in REGISTRY.items() if not s.extra}
+    assert len(out) <= DRIVER_WINDOW, (
+        f"driver surface has {len(out)} queries — the driver only checks the "
+        f"first {DRIVER_WINDOW}; mark redundant variants extra=True"
+    )
+    return out
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {
+        n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None and not s.extra
+    }
 
 
 _loaded = False

@@ -207,6 +207,7 @@ def zscore_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(d AS DATE) = last_day(CAST(d AS DATE)) AS is_month_end
     FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) t(d)
     """,
+    extra=True,  # driver row carried by dim_datetime_generate (superset grid)
 )
 def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar dimension via F.sequence+explode — distributed, replacing the
@@ -227,11 +228,67 @@ def dim_date_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'night' END AS day_part
     FROM range(0, 1440, 15) t(m)
     """,
+    extra=True,  # driver row carried by dim_datetime_generate (superset grid)
 )
 def dim_time_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """96-row 15-minute-grain time dimension (ref 04_dimensional_model.sql:
     39-50)."""
     return generate_dim_time(spark)
+
+
+@register(
+    "dim_datetime_generate",
+    oracle="""
+    WITH dd AS (
+        SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+               CAST(d AS DATE) AS full_date,
+               CAST(year(d) AS INT) AS year,
+               CAST(month(d) AS INT) AS month,
+               CAST(dayofweek(d) AS BIGINT) AS day_of_week,
+               dayofweek(d) IN (0, 6) AS is_weekend
+        FROM generate_series(DATE '1998-01-01', DATE '1998-03-31', INTERVAL 1 DAY) t(d)
+    ), dt AS (
+        SELECT CAST(m // 60 * 100 + m % 60 AS INT) AS time_key,
+               CAST(m // 60 AS INT) AS hour,
+               CAST(m % 60 AS INT) AS minute,
+               CASE WHEN m // 60 BETWEEN 6 AND 11 THEN 'morning'
+                    WHEN m // 60 BETWEEN 12 AND 17 THEN 'afternoon'
+                    WHEN m // 60 BETWEEN 18 AND 21 THEN 'evening'
+                    ELSE 'night' END AS day_part
+        FROM range(0, 1440, 15) t(m)
+    )
+    SELECT CAST(date_key AS BIGINT) * 10000 + time_key AS datetime_key,
+           date_key, full_date, year, month, day_of_week, is_weekend,
+           time_key, hour, minute, day_part
+    FROM dd, dt
+    """,
+)
+def dim_datetime_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both generated dimensions in one covering query (ref DIM_DATE
+    etl_pipeline.py:337-361 + DIM_TIME 04_dimensional_model.sql:39-50): the
+    quarter's calendar crossed with the 96-row 15-minute grid — the
+    datetime-grain dimension a sub-daily fact joins to.  Two F.sequence
+    generators and a broadcast cross join of dimension-sized frames; nothing
+    touches the driver."""
+    dd = generate_dim_date(spark, "1998-01-01", "1998-03-31").select(
+        "date_key", "full_date", "year", "month", "day_of_week", "is_weekend"
+    )
+    dt = generate_dim_time(spark).select("time_key", "hour", "minute", "day_part")
+    return dd.crossJoin(F.broadcast(dt)).select(
+        (F.col("date_key").cast("bigint") * 10000 + F.col("time_key")).alias(
+            "datetime_key"
+        ),
+        "date_key",
+        "full_date",
+        "year",
+        "month",
+        "day_of_week",
+        "is_weekend",
+        "time_key",
+        "hour",
+        "minute",
+        "day_part",
+    )
 
 
 @register(
@@ -273,6 +330,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    extra=True,  # driver row carried by grouping_sets_status_priority
 )
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals — the capability extension flagged in
@@ -464,6 +522,8 @@ def derived_measures_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n
     FROM b GROUP BY bucket ORDER BY bucket
     """,
+    extra=True,  # profiling extra beyond SURVEY §2; dq_expectations_orders is the
+    # driver-checked member of the quality family
 )
 def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (the profiling primitive behind the reference's
@@ -501,6 +561,7 @@ def histogram_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     ORDER BY col
     """,
+    extra=True,  # profiling extra; dq_expectations_orders carries the driver row
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profile summary (ANALYZE-style stats the reference ran as
@@ -592,6 +653,7 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey)
     """,
+    extra=True,  # z-score family driver row carried by zscore_outlier_gate (A9/F21)
 )
 def group_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation z-score normalization (operators.grouped.normalize_native):

@@ -65,6 +65,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1, 2
     """,
+    extra=True,  # driver row carried by windowed_counts (tumbling+sliding union)
 )
 def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time aggregation (ST6) — the batch twin of the
@@ -95,6 +96,7 @@ def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, range(2) o(n)
     GROUP BY 1
     """,
+    extra=True,  # driver row carried by windowed_counts (tumbling+sliding union)
 )
 def sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (2h length, 1h slide) counts — Spark expands each row
@@ -106,6 +108,58 @@ def sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
+
+
+@register(
+    "windowed_counts",
+    oracle="""
+    SELECT 'tumbling_1h' AS window_kind,
+           date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    -- every event belongs to exactly two 2h/1h-slide windows
+    SELECT 'sliding_2h', date_trunc('hour', ts) - INTERVAL (o.n) HOUR,
+           CAST(NULL AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
+    FROM events, range(2) o(n)
+    GROUP BY 2
+    """,
+)
+def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time window aggregation family (ST6) in one covering query:
+    tumbling 1-hour per-type aggregates plus sliding 2h/1h-slide counts,
+    tagged by kind — the batch twins of the watermarked streaming aggs
+    (streaming.jobs.windowed_counts).  Each variant is one keyed shuffle;
+    Spark expands sliding rows into member windows map-side."""
+    events = load_table(spark, sf_dir, "events")
+    tumbling = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sum_exact("value").alias("total_value"),
+        )
+        .select(
+            F.lit("tumbling_1h").alias("window_kind"),
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    sliding = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.lit("sliding_2h").alias("window_kind"),
+            F.col("window.start").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    return tumbling.unionByName(sliding)
 
 
 # ---------------------------------------------------------------------------
@@ -171,6 +225,8 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE value > 35
     """,
+    extra=True,  # ST4 driver row carried by geo_movement_per_user (deviation twin);
+    # stream==batch equality pinned in tests/test_streaming.py
 )
 def threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alert emission (ST4): threshold filter + severity tiers as native
@@ -256,6 +312,7 @@ def geo_movement_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY row_number() OVER (PARTITION BY event_type
                                ORDER BY value DESC, event_id ASC) <= 5
     """,
+    extra=True,  # per-group top-k pattern also driver-green via q10 / latest_event
 )
 def topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 events per type — the canonical distributed top-k:
@@ -283,6 +340,7 @@ def topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY time_key
     """,
+    extra=True,  # A10 time-bucketed agg driver rows: q08, q11, windowed_counts
 )
 def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """15-minute-grain bucketing (F15, ref etl_pipeline.py:834-840) —

@@ -101,6 +101,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_embedding_extract",
     oracle=None,  # byte-histogram loop has no clean relational twin; tests
     # pin the math on fixtures (tests/test_extensions.py)
+    extra=True,  # rows-only check anyway; X5 driver rows are the 3 oracle-checked
+    # multimodal queries above
 )
 def multimodal_embedding_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub → similarity interop (X5): pseudo-embeddings

@@ -19,26 +19,78 @@ from . import register
 
 
 @register(
-    "cube_status_priority",
+    "grouping_sets_status_priority",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT 'cube' AS variant, o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
            COUNT(*) AS n_orders,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'rollup', o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT),
+           COUNT(*),
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
-def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority): all 2^2 grouping sets in one pass —
-    Spark expands the sets map-side, so it is one shuffle, not four queries
-    (the reference would need four UNIONed GROUP BYs; SURVEY.md §2.4)."""
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-sets family in one covering query (SURVEY.md §2.4 note —
+    the reference has no grouping sets; Spark gives them free): CUBE's 2^2
+    sets and ROLLUP's hierarchy, tagged by variant.  Each side expands its
+    sets map-side — one shuffle per variant, not one per grouping set."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping_id().alias("gid"),
-        F.count("*").alias("n_orders"),
-        F.round(sum_exact("o_totalprice"), 2).alias("total_price"),
+
+    def agg(grouped, variant: str) -> DataFrame:
+        return grouped.agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(sum_exact("o_totalprice"), 2).alias("total_price"),
+        ).select(
+            F.lit(variant).alias("variant"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+
+    return agg(orders.cube("o_orderstatus", "o_orderpriority"), "cube").unionByName(
+        agg(orders.rollup("o_orderstatus", "o_orderpriority"), "rollup")
     )
+
+
+@register(
+    "secure_view_roles",
+    oracle="""
+    SELECT 'analyst' AS role, c_custkey,
+           substring(c_name, 1, 8) || '***' AS name_out,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    UNION ALL
+    SELECT 'sales', c_custkey, c_name, c_mktsegment, CAST(NULL AS DOUBLE)
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def secure_view_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-parameterized row+column security (P9; ref 04:196-236's masked
+    view + ``GRANT SELECT ... TO ROLE sales_role``): one policy per role —
+    analysts see every other segment with masked identity and a floor-banded
+    balance; the sales role sees only its segment, identity clear, balance
+    redacted.  Row filters are plain predicates (pushed into the scan);
+    masks are projection expressions (free).  Banding uses ``floor``, which
+    has no IEEE ``-0.0`` — ``round`` emits ``-0.0`` for small negative
+    balances, equal under ``==`` but a different byte pattern under a
+    value hash (the round-1 driver hash mismatch)."""
+    from ..operators.secure import secure_view
+
+    cust = load_table(spark, sf_dir, "customer")
+    return secure_view(cust, "analyst").unionByName(secure_view(cust, "sales"))
 
 
 @register(
@@ -47,23 +99,22 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            substring(c_name, 1, 8) || '***' AS masked_name,
            c_mktsegment,
-           CAST(round(c_acctbal / 1000, 0) * 1000 AS DOUBLE) AS acctbal_band
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_band
     FROM customer
     WHERE c_mktsegment <> 'BUILDING'
     """,
+    extra=True,  # P9 driver row now carried by secure_view_roles (superset)
 )
 def secure_view_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row+column-level-security view (P9): the reference's secure-view
-    pattern (v_sales_deliveries filters customer_type, 04:196-236) as a
-    Spark view — row filter on segment, name masked, balance banded to 1k.
-    The filter is a plain predicate, so it pushes into the parquet scan;
-    masking costs nothing (projection-time expressions)."""
+    """Single-view form of the analyst policy (kept for API continuity;
+    secure_view_roles is the driver-checked superset).  Banded with floor —
+    see secure_view_roles on the ``round``/``-0.0`` hash trap."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.filter(F.col("c_mktsegment") != "BUILDING").select(
         "c_custkey",
         F.concat(F.substring("c_name", 1, 8), F.lit("***")).alias("masked_name"),
         "c_mktsegment",
-        (F.round(F.col("c_acctbal") / 1000, 0) * 1000).cast("double").alias("acctbal_band"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double").alias("acctbal_band"),
     )
 
 
@@ -106,6 +157,45 @@ def report_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
         .limit(20)
+    )
+
+
+@register(
+    "report_route_totals",
+    oracle="""
+    SELECT n.n_name AS route_nation, c.c_mktsegment AS segment,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(o.o_orderkey), 2) AS avg_order
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    ORDER BY route_nation, segment
+    """,
+)
+def report_route_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND pre-aggregated report table (REPORT_ROUTE_TOTALS,
+    04:185-190 + etl_pipeline.py:1117-1132 — the twin of the driver-totals
+    report): totals per route, here nation×segment as the route analog.
+    Both dims broadcast onto the fact, then one shuffle on the (coarse)
+    group key — at 100 TB the agg output is |nations×segments|, tiny."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("route_nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(sum_exact("o_totalprice"), 2).alias("total_spend"),
+            F.round(sum_exact("o_totalprice") / F.count("o_orderkey"), 2).alias("avg_order"),
+        )
+        .orderBy("route_nation", "segment")
     )
 
 
@@ -159,7 +249,11 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
-@register("approx_distinct_users_hll", oracle=None)  # HLL sketches are engine-specific
+@register(
+    "approx_distinct_users_hll",
+    oracle=None,  # HLL sketches are engine-specific
+    extra=True,  # A2's exact form is driver-green via q04; sketch bounds pytest-tested
+)
 def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2's 100 TB scale path: approx_count_distinct (HyperLogLog++) per
     event_type with 1% relative error — constant memory per group versus
@@ -178,11 +272,11 @@ def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            CAST(ntile(4) OVER w AS INT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cum_dist,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist,
            CAST(dense_rank() OVER w AS BIGINT) AS drank,
            first_value(c_custkey) OVER w AS poorest_key,
-           CAST(c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER w AS DECIMAL(18,2)) AS gap_to_prev
+           CAST(c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER w AS DOUBLE) AS gap_to_prev
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -191,7 +285,15 @@ def window_family_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full window family the reference lacks (§2.5 has only RANK/LAG/
     one frame): ntile, percent_rank, cume_dist, dense_rank, first_value,
     defaulted lag — all over one PARTITION BY window, so the whole set is a
-    single sort within natural partitions (no global-order bottleneck)."""
+    single sort within natural partitions (no global-order bottleneck).
+
+    Output hygiene (the round-1 driver hash mismatch): pct_rank/cum_dist are
+    emitted as RAW doubles — (rank-1)/(n-1) and rank/n from identical integer
+    inputs are bit-identical IEEE divisions in every engine, whereas
+    ROUND(double, n) disagrees across engines on decimal-boundary values.
+    The gap is a plain double difference (exact same two doubles subtracted
+    on both sides), not a re-scaled decimal whose driver-side rendering can
+    diverge; ordered ascending it is never negative, so no ``-0.0``."""
     cust = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     gap = F.col("c_acctbal") - F.lag("c_acctbal", 1, None).over(w)
@@ -200,11 +302,11 @@ def window_family_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
         F.dense_rank().over(w).alias("drank"),
         F.first("c_custkey").over(w).alias("poorest_key"),
-        F.coalesce(gap, F.lit(0)).cast("decimal(18,2)").alias("gap_to_prev"),
+        F.coalesce(gap, F.lit(0.0)).cast("double").alias("gap_to_prev"),
     )
 
 
@@ -249,6 +351,7 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY o_orderstatus
     """,
+    extra=True,  # equivalence-vs-plain-agg also pinned by pytest (operators/skew)
 )
 def salted_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe aggregation (operators.skew.salted_agg) producing the
@@ -280,7 +383,11 @@ _SQL_REVENUE = """
 """
 
 
-@register("sql_entrypoint_revenue", oracle=_SQL_REVENUE)
+@register(
+    "sql_entrypoint_revenue",
+    oracle=_SQL_REVENUE,
+    extra=True,  # SQL==DataFrame equivalence also pinned by test_queries_registry
+)
 def sql_entrypoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's SQL entry point (SURVEY.md §3.1): the SAME ANSI text the
     oracle runs, executed by spark.sql over the registered views — proving
@@ -342,9 +449,13 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_join_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 6-way star join (J5, v_operations_deliveries,
-    04:210-228): fact joined to every dimension in one pass.  All six dim
-    sides broadcast, so the only exchange is the final aggregation — the
-    fact is never shuffled for the joins regardless of its size."""
+    04:210-228): fact joined to every dimension in one pass.  The five true
+    dimensions broadcast, so the fact is never shuffled for THOSE joins;
+    orders is NOT a dimension — it scales with the fact, so broadcasting it
+    (the round-1 plan) would OOM executors at 100 TB.  The lineitem⋈orders
+    edge is left to AQE: an orderkey-keyed shuffle join both sides co-shuffle
+    on, the one exchange this query legitimately needs besides the final
+    aggregation (bucketing both tables by orderkey removes even that)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     customer = load_table(spark, sf_dir, "customer")
@@ -353,7 +464,7 @@ def star_join_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     joined = (
-        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -138,6 +138,8 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY label
     ORDER BY label
     """,
+    extra=True,  # vector-profiling extra; X3 driver rows are the three KNN/cosine
+    # queries above
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column profiling (X5): per-label L2-norm stats — array columns

@@ -81,6 +81,7 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS fp_prefix
     FROM documents
     """,
+    extra=True,  # driver row carried by doc_metrics (per-doc superset)
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (X4): whole-text hash + opening-8-token hash
@@ -89,21 +90,48 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fp_full", "fp_prefix")
 
 
+# Hot-shingle cap for the registered exact-Jaccard query: a shingle present in
+# more than this many docs carries no near-dup signal (boilerplate runs) but
+# makes the shared-shingle join quadratic in its bucket — THE skew risk of the
+# non-LSH variant at corpus scale.  The oracle mirrors the cap, so the result
+# stays bit-exact (both sides drop the same evidence).
+_JACCARD_MAX_SHINGLE_FREQ = 100
+
+
 @register(
     "neardup_jaccard_pairs",
     oracle=f"""
-    WITH {_JACCARD_CTE}
+    WITH {_SHINGLES_CTE},
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_JACCARD_MAX_SHINGLE_FREQ}),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+               c.n_common / (sa.n + sb.n - c.n_common) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
     SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
     FROM ver WHERE jaccard >= 0.5
     """,
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (X2) via the shared-shingle
-    join — candidates only where shingle evidence exists, never O(n²)."""
+    join — candidates only where shingle evidence exists, never O(n²) — with
+    the hot-shingle frequency cap ACTIVE (the operator's documented skew
+    guard: without it one boilerplate shingle makes its join bucket
+    quadratic).  The oracle applies the identical cap, so the comparison
+    stays bit-exact."""
     docs = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(shingles(docs), threshold=0.5).select(
-        "doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"
-    )
+    return jaccard_pairs(
+        shingles(docs), threshold=0.5, max_shingle_freq=_JACCARD_MAX_SHINGLE_FREQ
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
 
 
 @register(
@@ -193,6 +221,8 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY lang
     ORDER BY lang
     """,
+    extra=True,  # corpus-profile extra; X4 driver rows: doc_metrics, term-stats
+    # family via string_similarity_pairs + the dedup pipeline
 )
 def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile (X4)."""
@@ -232,6 +262,7 @@ _STOP_DE = ("der", "die", "und", "das", "ist")
                 ELSE 'de' END AS pred_lang
     FROM scores
     """,
+    extra=True,  # driver row carried by doc_metrics (same scores, narrow layout)
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (X4): token-set membership counts per
@@ -272,6 +303,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.4 * least(1.0, len(ws) / 200.0), 6) AS quality_score
     FROM t
     """,
+    extra=True,  # driver row carried by doc_metrics (per-doc superset)
 )
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality scoring (X4): token count, vocabulary diversity,
@@ -307,6 +339,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     ORDER BY source
     """,
+    extra=True,  # driver row carried by doc_metrics (per-doc regex token counts)
 )
 def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (X4): alphanumeric runs + single non-space
@@ -321,6 +354,82 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(n) * F.lit(1.0) / F.count("*"), 2).alias("avg_tokens"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "doc_metrics",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+               length(text) AS chars
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               md5(lower(text)) AS fp_full,
+               md5(array_to_string(ws[1:8], ' ')) AS fp_prefix,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+               ROUND(len(list_distinct(ws)) / len(ws), 6) AS distinct_ratio,
+               ROUND((chars - (len(ws) - 1)) / len(ws), 6) AS avg_token_len,
+               ROUND(0.6 * (len(list_distinct(ws)) / len(ws))
+                     + 0.4 * least(1.0, len(ws) / 200.0), 6) AS quality_score,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))
+                    AS BIGINT) AS n_regex_tokens,
+               CAST(len(list_filter(ws, w -> w IN {_STOP_EN})) AS BIGINT) AS s_en,
+               CAST(len(list_filter(ws, w -> w IN {_STOP_ES})) AS BIGINT) AS s_es,
+               CAST(len(list_filter(ws, w -> w IN {_STOP_DE})) AS BIGINT) AS s_de
+        FROM t
+    )
+    SELECT *,
+           CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS pred_lang
+    FROM m
+    """,
+)
+def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis battery (X4) as ONE covering query:
+    fingerprints (whole-text + opening-8-token hash), quality scores (token
+    count, vocabulary diversity, mean token length, weighted score), BPE-ish
+    regex token count, and stopword-hit language ID — every metric a narrow
+    column expression over the token array (array_distinct / filter / size
+    higher-order ops), so the whole battery is a single codegen projection
+    with ZERO shuffles: the layout that matters at 100 TB, where each of the
+    four separate passes would re-scan the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(docs).select("doc_id", "text", "ws", F.length("text").alias("chars"))
+    n_tok = F.size("ws").cast("bigint")
+    n_dis = F.size(F.array_distinct("ws")).cast("bigint")
+    ratio = n_dis / n_tok
+    n_regex = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
+    ).cast("bigint")
+
+    def stop_hits(words: tuple[str, ...]):
+        return F.size(F.filter("ws", lambda w: w.isin(*words))).cast("bigint")
+
+    m = t.select(
+        "doc_id",
+        F.md5(F.lower("text").cast("binary")).alias("fp_full"),
+        F.md5(F.concat_ws(" ", F.slice("ws", 1, 8)).cast("binary")).alias("fp_prefix"),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+        F.round((F.col("chars") - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),
+        F.round(
+            0.6 * ratio + 0.4 * F.least(F.lit(1.0), n_tok / F.lit(200.0)), 6
+        ).alias("quality_score"),
+        n_regex.alias("n_regex_tokens"),
+        stop_hits(_STOP_EN).alias("s_en"),
+        stop_hits(_STOP_ES).alias("s_es"),
+        stop_hits(_STOP_DE).alias("s_de"),
+    )
+    return m.withColumn(
+        "pred_lang",
+        F.when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")), "en")
+        .when(F.col("s_es") >= F.col("s_de"), "es")
+        .otherwise("de"),
     )
 
 
@@ -342,9 +451,12 @@ def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity join (PAPERS.md: string similarity search/join) via
     deletion-neighborhood signatures: any two strings within edit distance 1
     share a member of {s} ∪ {s minus one char}, so candidates come from an
-    equi-join on (nation, signature) — O(n × len) signature rows instead of
-    all within-bucket pairs — then native levenshtein verifies.  The same
-    layout scales to distance d with d-deletion neighborhoods."""
+    equi-join on (nation, length, signature) — O(n × len) signature rows
+    instead of all within-bucket pairs — then native levenshtein verifies.
+    The original string length rides IN the join key (same-length pairs is
+    part of the query's semantics), so non-matching lengths never become
+    candidate rows at all — pruned before the distinct, not filtered after.
+    The same layout scales to distance d with d-deletion neighborhoods."""
     cust = load_table(spark, sf_dir, "customer")
     name = F.col("c_name")
     deletions = F.transform(
@@ -357,19 +469,23 @@ def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key"),
         name.alias("name"),
         F.col("c_nationkey").alias("nk"),
+        F.length(name).alias("len"),
         F.explode(F.array_union(F.array(name), deletions)).alias("sig"),
     ).persist()  # feeds both sides of the candidate self-join
-    a = sigs.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "nk", "sig")
-    b = sigs.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "nk", "sig")
+    a = sigs.select(
+        F.col("key").alias("key_a"), F.col("name").alias("name_a"), "nk", "len", "sig"
+    )
+    b = sigs.select(
+        F.col("key").alias("key_b"), F.col("name").alias("name_b"), "nk", "len", "sig"
+    )
     cand = (
-        a.join(b, ["nk", "sig"])
+        a.join(b, ["nk", "len", "sig"])
         .filter(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b", "name_a", "name_b")
         .distinct()
     )
     return (
-        cand.filter(F.length("name_a") == F.length("name_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
@@ -392,6 +508,8 @@ def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 10
     """,
+    extra=True,  # corpus term-stats extra (explode+agg+topk all driver-green
+    # elsewhere: doc_metrics, q10, latest_event_per_user)
 )
 def term_stats_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics (X4: explode → groupBy().count() term stats):

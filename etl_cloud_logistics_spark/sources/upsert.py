@@ -21,10 +21,29 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def atomic_overwrite(df: DataFrame, target_path: str) -> None:
+    """Materialize ``df`` to a sibling temp dir, then swap it in with
+    directory renames — readers (and a crash at any point) see the complete
+    old table or the complete new one, never a half-written directory.
+    A plain ``mode('overwrite')`` on the target deletes the existing data
+    BEFORE the new files land, so a mid-write crash loses the table.
+    Local-fs semantics (same pattern as sources.maintenance.compact_partition);
+    object stores use a commit protocol / table format instead."""
+    tmp = target_path.rstrip("/") + "._tmp_swap"
+    old = target_path.rstrip("/") + "._old"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _merge_latest(existing: DataFrame | None, updates: DataFrame, keys: list[str], version_col: str) -> DataFrame:
@@ -47,20 +66,14 @@ def upsert_parquet(
 ) -> DataFrame:
     """Merge ``updates`` into the keyed table at ``target_path``: per key the
     row with the highest ``version_col`` wins.  Returns the merged frame
-    (also written back, atomically via write-then-swap directory)."""
+    (also written back, atomically via write-then-RENAME swap — the merged
+    table is fully materialized beside the target before any rename, so a
+    crash at any point leaves a complete table on disk)."""
     existing = None
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
     merged = _merge_latest(existing, updates, keys, version_col)
-    tmp = target_path.rstrip("/") + "._tmp_swap"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(target_path)
-    # clean the staging copy; local-fs semantics (object stores use a
-    # committer / table format instead — see module docstring)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    atomic_overwrite(merged, target_path)
     return spark.read.parquet(target_path)
 
 

@@ -293,3 +293,59 @@ def test_grouped_normalize_pandas_equals_native(spark, sf_small):
     for k in native:
         a, b = native[k], arrow[k]
         assert (a is None and b is None) or abs(a - b) < 1e-9
+
+
+def test_replicated_skew_join_rejects_build_outer(spark, sf_small):
+    """right/full outer would emit each unmatched (replicated) build row once
+    per salt — the operator must refuse instead of silently duplicating."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.skew import replicated_skew_join
+
+    orders = load_table(spark, sf_small, "orders")
+    customer = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError, match="inner.*left"):
+            replicated_skew_join(
+                orders, customer, "o_custkey", hot_keys=[1], n_salts=4, how=how
+            )
+
+
+def test_neardup_components_raises_on_non_convergence(spark):
+    """A duplicate chain longer than max_iter must fail loudly — silent
+    truncation would hand the caller bogus split components (wrong keep/drop
+    decisions downstream)."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    n = 8  # path graph: min label travels one hop per iteration
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, nodes, max_iter=3)
+
+
+def test_atomic_overwrite_swaps_complete_tables(spark, tmp_path):
+    """The upsert/dim sink must never leave a half table: the new snapshot is
+    fully materialized BESIDE the target, then swapped in by rename."""
+    import os
+
+    from etl_cloud_logistics_spark.sources.upsert import atomic_overwrite
+
+    target = str(tmp_path / "state_tbl")
+    atomic_overwrite(spark.range(5).withColumn("v", F.lit("a")), target)
+    assert spark.read.parquet(target).count() == 5
+
+    # overwrite with new content: target readable throughout, old dirs cleaned
+    atomic_overwrite(spark.range(3).withColumn("v", F.lit("b")), target)
+    got = spark.read.parquet(target)
+    assert got.count() == 3
+    assert {r["v"] for r in got.collect()} == {"b"}
+    assert not os.path.exists(target + "._tmp_swap")
+    assert not os.path.exists(target + "._old")

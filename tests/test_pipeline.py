@@ -41,12 +41,20 @@ def test_daily_etl_two_runs(spark, sf_small, tmp_path):
     assert dim_date.count() == 2
     assert dim_date.select("date_key").distinct().count() == 2
 
-    # SCD2 invariant: exactly one current row per key, no overlaps
-    dim_cust = spark.read.parquet(os.path.join(wh, "dim_customer"))
-    per_key = dim_cust.groupBy("c_custkey").agg(
-        F.sum(F.col("is_current").cast("int")).alias("n_current")
-    )
-    assert per_key.filter(F.col("n_current") != 1).count() == 0
+    # SCD2 invariant on BOTH tracked dimensions (ref dual SCD2, 04:53-85):
+    # exactly one current row per key, no overlaps
+    for dim_name, key in (("dim_customer", "c_custkey"), ("dim_supplier", "s_suppkey")):
+        dim = spark.read.parquet(os.path.join(wh, dim_name))
+        per_key = dim.groupBy(key).agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_current")
+        )
+        assert per_key.filter(F.col("n_current") != 1).count() == 0, dim_name
+    assert a2.records["dim_supplier"] > 0
+
+    # the PAIR of report tables exists (ref dual reports)
+    status_report = spark.read.parquet(os.path.join(wh, "report_status_totals"))
+    assert status_report.count() > 0
+    assert "o_orderstatus" in status_report.columns
 
     # fact is date-partitioned; both days present
     fact = spark.read.parquet(os.path.join(wh, "fact_orders"))

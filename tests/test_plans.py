@@ -51,6 +51,25 @@ def test_candidate_joins_never_cartesian(spark, sf_small, name):
     assert "CartesianProduct" not in plan
 
 
+def test_star_join_broadcasts_only_true_dims(spark, sf_small):
+    """star_join_operations must NOT carry a broadcast hint on orders (it is
+    fact-sized — a forced broadcast OOMs at 100 TB).  With auto-broadcast
+    disabled, only explicitly hinted joins broadcast: the five true dims
+    must, the lineitem⋈orders edge must become a shuffle join (at real SF
+    with auto-broadcast on, AQE makes this size-based call at runtime)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_small, "star_join_operations")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") == 5
+    orders_edge = [
+        ln for ln in plan.splitlines() if "Join" in ln and "l_orderkey" in ln
+    ]
+    assert orders_edge and all("Broadcast" not in ln for ln in orders_edge), orders_edge
+
+
 def test_column_pruning_reaches_scan(spark, sf_small):
     """q01 projects one column; the parquet ReadSchema must not include the
     rest of the customer table."""
