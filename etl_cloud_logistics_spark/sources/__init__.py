@@ -9,6 +9,7 @@ from .bucketed import bucketed_join, read_bucketed, write_bucketed
 from .generator import generate_trips_like, uniform_ts, weighted_choice
 from .jdbc import build_jdbc_options, jdbc_reader
 from .lake import read_lake, write_partitioned_lake
+from .snapshots import ConcurrentWriteError, SnapshotTable, foreach_batch_merge
 from .staging import read_json_staging, write_json_staging
 from .upsert import apply_cdc, foreach_batch_upsert, upsert_parquet
 
@@ -20,6 +21,9 @@ __all__ = [
     "upsert_parquet",
     "foreach_batch_upsert",
     "apply_cdc",
+    "SnapshotTable",
+    "ConcurrentWriteError",
+    "foreach_batch_merge",
     "write_bucketed",
     "read_bucketed",
     "bucketed_join",

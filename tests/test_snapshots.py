@@ -1,0 +1,121 @@
+"""Versioned lake table (sources/snapshots.py): transaction-log commits,
+snapshot isolation, time travel, copy-on-write MERGE, restore, vacuum,
+optimistic-concurrency conflict detection."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_cloud_logistics_spark.sources.snapshots import (
+    ConcurrentWriteError,
+    SnapshotTable,
+    foreach_batch_merge,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def _mk(spark, data):
+    return spark.createDataFrame(data, "k int, val string, version int")
+
+
+def test_write_read_roundtrip_and_versions(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.latest_version() is None
+    v0 = t.write(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    assert v0 == 0
+    v1 = t.write(_mk(spark, [(3, "c", 2)]), mode="append")
+    assert v1 == 1
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel: v0 unchanged by the append
+    assert _rows(t.read(spark, version=0), "k", "val") == [(1, "a"), (2, "b")]
+    ops = [m["operation"] for m in t.history()]
+    assert ops == ["overwrite", "append"]
+
+
+def test_merge_is_copy_on_write_with_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1), (2, "b", 1)]))
+    t.merge(spark, _mk(spark, [(2, "B", 5), (3, "c", 5)]), keys=["k"], version_col="version")
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "B"), (3, "c")]
+    # stale update loses: version 3 < current winner 5
+    t.merge(spark, _mk(spark, [(2, "stale", 3)]), keys=["k"], version_col="version")
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "B"), (3, "c")]
+    # every pre-merge snapshot still readable byte-for-byte
+    assert _rows(t.read(spark, version=0), "k", "val") == [(1, "a"), (2, "b")]
+
+
+def test_restore_commits_forward_without_copying(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]))
+    t.write(_mk(spark, [(9, "z", 9)]))  # v1: bad overwrite
+    v2 = t.restore(0)
+    assert v2 == 2
+    assert _rows(t.read(spark), "k", "val") == [(1, "a")]
+    # restore shares v0's files — no new data directory was written
+    assert t._read_manifest(2)["files"] == t._read_manifest(0)["files"]
+    # the rolled-back-over version is still in history and readable
+    assert _rows(t.read(spark, version=1), "k", "val") == [(9, "z")]
+
+
+def test_commit_conflict_raises_and_leaves_table_intact(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]))
+    # a racing writer claims version 1 between our read and our commit
+    racer = SnapshotTable(t.path)
+    racer._commit(1, {"version": 1, "parent": 0, "operation": "race", "files": t._read_manifest(0)["files"]})
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(1, {"version": 1, "parent": 0, "operation": "lost", "files": []})
+    # the winner's manifest is untouched
+    assert t._read_manifest(1)["operation"] == "race"
+    # rebase-and-retry path: merge now lands on version 2
+    assert t.merge(spark, _mk(spark, [(2, "b", 2)]), keys=["k"], version_col="version") == 2
+
+
+def test_crash_debris_is_invisible_to_readers(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]))
+    # simulate a writer that died after writing data but before commit:
+    # an orphan data dir and a temp manifest
+    _mk(spark, [(99, "ghost", 9)]).write.parquet(os.path.join(t.data_dir, "v1-merge-deadbeef"))
+    with open(os.path.join(t.log_dir, "_tmp-deadbeef.json"), "w") as fh:
+        json.dump({"version": 1}, fh)
+    assert t.latest_version() == 0
+    assert _rows(t.read(spark), "k", "val") == [(1, "a")]
+    # vacuum sweeps the orphan
+    removed = t.vacuum(keep_last=1)
+    assert any("deadbeef" in r for r in removed)
+
+
+def test_vacuum_drops_old_versions_keeps_retained(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]))
+    t.merge(spark, _mk(spark, [(2, "b", 2)]), keys=["k"], version_col="version")
+    t.merge(spark, _mk(spark, [(3, "c", 3)]), keys=["k"], version_col="version")
+    removed = t.vacuum(keep_last=2)
+    assert removed  # v0's data dir went away
+    assert t._versions() == [1, 2]
+    assert _rows(t.read(spark, version=1), "k", "val") == [(1, "a"), (2, "b")]
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b"), (3, "c")]
+    with pytest.raises(FileNotFoundError):
+        t._read_manifest(0)
+
+
+def test_foreach_batch_merge_idempotent_replay(spark, tmp_path):
+    """Checkpoint replay of a micro-batch must not change the result:
+    resolution is by version_col, so re-merging the same batch is a no-op."""
+    t = SnapshotTable(str(tmp_path / "state"))
+    sink = foreach_batch_merge(t, keys=["k"], version_col="version")
+    b1 = _mk(spark, [(1, "a", 1), (2, "b", 1)])
+    b2 = _mk(spark, [(2, "B", 2)])
+    sink(b1, 0)
+    sink(b2, 1)
+    after = _rows(t.read(spark), "k", "val", "version")
+    sink(b2, 1)  # replayed batch after a simulated crash
+    assert _rows(t.read(spark), "k", "val", "version") == after
+    assert after == [(1, "a", 1), (2, "B", 2)]
