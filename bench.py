@@ -11,7 +11,8 @@ Three measurements per the round-1 review (PERFORMANCE.md):
 
 - run-once wall time per query (cold: includes Python-side DataFrame
   construction, Catalyst planning, codegen compilation and job scheduling
-  for that plan shape) — the "queries"/"value" numbers;
+  for that plan shape; median of 3 rebuilds so one machine-load spike
+  can't corrupt a row) — the "queries"/"value" numbers;
 - WARM per-query time for the core-12 suite ("core12_warm_sec"): the
   DataFrame is built once, its plan compiled by the run-once pass, and the
   timed unit is the ACTION alone (median of 3).  At toy SF the run-once
@@ -76,9 +77,15 @@ def main() -> None:
         suite[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    # median of 3 per query: a single pass is not noise-robust — one OS-level
+    # load spike during one query inflates that row ~20x and poisons the
+    # round artifact (round-2 postmortem: json_extract_agg recorded 13.2 s
+    # against a 0.6 s isolated re-measure).  Each run rebuilds the DataFrame
+    # so the timing keeps its run-once meaning (plan construction, analysis
+    # and scheduling included); the median discards transient machine noise.
     times: dict[str, float] = {}
     for name in suite:
-        times[name] = round(run_once(name), 3)
+        times[name] = round(statistics.median(run_once(name) for _ in range(3)), 3)
 
     # warm per-query time: reuse the built DataFrame (plan already analyzed
     # and compiled), time the action alone; median of 3

@@ -2,8 +2,8 @@
 storage path for the keyed sinks (SURVEY.md §2.1 S4/S6/S8, §4).
 
 The reference leans on warehouse-native table services: Snowflake Time
-Travel / zero-copy clones (``scripts/03_snowflake_setup.sql``) and DynamoDB
-point upserts (``scripts/07_lambda_functions.py:108-120``).  Spark has no
+Travel / zero-copy clones (``scripts/04_dimensional_model.sql:162-168``)
+and DynamoDB point upserts (``scripts/07_lambda_functions.py:108-120``).  Spark has no
 built-in versioned table, so this module implements the public
 transaction-log design (Delta Lake, VLDB 2020; Apache Iceberg spec) over
 plain parquet:
@@ -25,23 +25,37 @@ plain parquet:
   exactly Delta's "mutual exclusion on log-record creation" (paper §3.2),
   expressed with local-fs primitives; on S3 the same slot-claim runs via a
   conditional PUT / DynamoDB lock table.
-- MERGE is copy-on-write: read the current snapshot, resolve
-  last-writer-wins per key with one ``max_by`` hash-agg (no window sort),
-  write the result as a new data directory, commit a manifest that points
-  only at it.  A crash anywhere before the final link leaves the previous
-  version intact and visible.
+- MERGE is FILE-LEVEL copy-on-write (the Delta design: per-file column
+  stats decide which files a merge must touch).  The manifest carries
+  min/max key stats per data directory, read from the parquet footers at
+  write time (no data scan).  A merge computes the updates' key range,
+  splits the parent's file set into directories whose key range is
+  provably disjoint from the updates (carried into the new version
+  UNTOUCHED) and directories that may contain matched keys (read, resolved
+  last-writer-wins per key with one ``max_by`` hash-agg — no window sort —
+  and rewritten as one new directory).  A crash anywhere before the final
+  link leaves the previous version intact and visible.
+- The parent version is pinned ONCE at the start of a merge; the snapshot
+  is read at that pinned version and the commit targets ``parent + 1``, so
+  any commit that interleaves collides on the ``os.link`` slot-claim and
+  raises ``ConcurrentWriteError`` — the lost-update window between "read
+  snapshot" and "pick version" is closed by construction.
 
 Scale notes (100 TB):
 - The log is tiny (one small JSON per commit) regardless of table size;
   readers list one directory and read one file before any data I/O.
-- Copy-on-write rewrites the whole table per merge, which is right for
-  dimension/state tables (orders of magnitude smaller than facts) — the
-  fact path appends instead (``mode="append"`` adds a data dir without
-  touching existing files).  File-level CoW (rewrite only files containing
-  matched keys, as Delta does via per-file stats) is the next refinement
-  and slots in at ``merge`` without changing the log format.
+- File-level CoW means merge cost scales with the updated key range, not
+  the table: a point update on a table laid out by key touches one data
+  directory and references the rest.  The fact path appends instead
+  (``mode="append"`` adds a data dir without touching existing files).
+- File skipping assumes the keyed-table invariant (one row per key across
+  the snapshot) that ``merge`` itself maintains; ``mode="append"`` writes
+  that duplicate existing keys break it, so keyed tables must be built via
+  ``merge`` (or appends of provably-new keys), same contract as ``upsert``.
 - ``vacuum`` unreferences old versions explicitly; nothing is deleted at
-  commit time, so concurrent readers of older snapshots never break.
+  commit time, so concurrent readers of older snapshots never break.  Data
+  sweeps honor a retention age so an in-flight writer's not-yet-committed
+  directory (which looks unreferenced) is never swept mid-commit.
 """
 
 from __future__ import annotations
@@ -49,16 +63,23 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .upsert import _merge_latest
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _MANIFEST_WIDTH = 20
+# stats are kept only for types that JSON-round-trip and compare cleanly
+# across the footer/JSON/py4j boundary; anything else simply gets no stats
+# for that column, which degrades to "always rewrite" — safe, never wrong
+_STATS_TYPES = (int, float, str)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -67,6 +88,52 @@ class ConcurrentWriteError(RuntimeError):
 
 def _manifest_name(version: int) -> str:
     return f"{version:0{_MANIFEST_WIDTH}d}.json"
+
+
+def _dir_stats(path: str, cols: list[str]) -> dict[str, list] | None:
+    """Min/max of ``cols`` across every parquet file in ``path``, read from
+    the row-group footers alone — no data scan, the same metadata a Delta
+    writer records in its add-file actions.  Returns None when any column
+    is absent, has no footer stats, or is of a type that does not
+    JSON-round-trip safely (then the directory is never skipped)."""
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    try:
+        names = [n for n in os.listdir(path) if n.endswith(".parquet")]
+    except OSError:
+        return None
+    for name in names:
+        meta = pq.ParquetFile(os.path.join(path, name)).metadata
+        col_idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+        for c in cols:
+            idx = col_idx.get(c)
+            if idx is None:
+                return None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo, hi = st.min, st.max
+                if not isinstance(lo, _STATS_TYPES) or isinstance(lo, bool):
+                    return None
+                mins[c] = lo if c not in mins else min(mins[c], lo)
+                maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+    if len(mins) != len(cols):
+        return None  # no row groups at all, or a column never appeared
+    return {c: [mins[c], maxs[c]] for c in cols}
+
+
+def _ranges_disjoint(file_stats: dict[str, list], bounds: dict[str, tuple]) -> bool:
+    """True when the file's key ranges prove it cannot contain any updated
+    key: for composite keys it is enough that ONE key column's ranges are
+    disjoint (a matching key must agree on every column)."""
+    for c, (lo, hi) in bounds.items():
+        s = file_stats.get(c)
+        if s is None or lo is None or hi is None:
+            continue
+        if s[1] < lo or s[0] > hi:
+            return True
+    return False
 
 
 class SnapshotTable:
@@ -120,21 +187,41 @@ class SnapshotTable:
         df.write.mode("error").parquet(os.path.join(self.path, rel))
         return rel
 
-    def write(self, df: DataFrame, mode: str = "overwrite", operation: str | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        operation: str | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         """Commit ``df`` as the next version.  ``overwrite`` replaces the
         file set; ``append`` adds a data directory and keeps the prior ones
-        (the fact-table path: no existing file is read or touched)."""
+        (the fact-table path: no existing file is read or touched).
+        ``stats_cols`` records per-directory min/max footer stats for those
+        columns in the manifest so a later ``merge`` on them can skip the
+        directory (pass the table's key columns)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
-        files = [] if (mode == "overwrite" or parent is None) else list(self._read_manifest(parent)["files"])
-        files.append(self._write_data(df, version, operation or mode))
+        files = []
+        stats: dict[str, dict] = {}
+        if mode == "append" and parent is not None:
+            manifest = self._read_manifest(parent)
+            files = list(manifest["files"])
+            stats = dict(manifest.get("stats", {}))
+        rel = self._write_data(df, version, operation or mode)
+        files.append(rel)
+        if stats_cols:
+            dstat = _dir_stats(os.path.join(self.path, rel), stats_cols)
+            if dstat:
+                stats[rel] = dstat
         self._commit(version, {
             "version": version,
             "parent": parent,
             "operation": operation or mode,
             "files": files,
+            "stats": stats,
         })
         return version
 
@@ -162,22 +249,67 @@ class SnapshotTable:
         keys: list[str],
         version_col: str,
     ) -> int:
-        """Copy-on-write MERGE: last-writer-wins-by-``version_col`` per key
-        against the current snapshot (same resolution as
-        ``upsert.upsert_parquet``), committed as a new version.  Retries are
-        safe: a lost race raises ``ConcurrentWriteError`` before anything
-        becomes visible, and the orphaned data directory is swept by
-        ``vacuum``."""
-        existing = None if self.latest_version() is None else self.read(spark)
-        merged = _merge_latest(existing, updates, keys, version_col)
+        """File-level copy-on-write MERGE: last-writer-wins-by-
+        ``version_col`` per key (same resolution as
+        ``upsert.upsert_parquet``), committed as a new version.
+
+        The parent version is pinned ONCE up front and the commit targets
+        ``parent + 1``, so a commit that interleaves between our snapshot
+        read and our commit collides on the log slot and raises
+        ``ConcurrentWriteError`` — no lost update is possible.  Retries are
+        safe: nothing becomes visible before the final link, and an
+        orphaned data directory is swept by ``vacuum`` once old enough.
+
+        Parent data directories whose manifest key stats prove they cannot
+        contain any updated key are carried into the new version untouched
+        (no read, no write); only potentially-matching directories are read,
+        resolved against ``updates`` with one ``max_by`` hash-agg, and
+        rewritten as a single new directory whose stats are recorded in
+        turn.  Requires the keyed-table invariant (module docstring)."""
         parent = self.latest_version()
-        version = 0 if parent is None else parent + 1
+        if parent is None:
+            merged = _merge_latest(None, updates, keys, version_col)
+            rel = self._write_data(merged, 0, "merge")
+            stats = {}
+            dstat = _dir_stats(os.path.join(self.path, rel), keys)
+            if dstat:
+                stats[rel] = dstat
+            self._commit(0, {
+                "version": 0, "parent": None, "operation": "merge",
+                "files": [rel], "stats": stats,
+            })
+            return 0
+        manifest = self._read_manifest(parent)  # pinned — never re-fetched
+        file_stats: dict[str, dict] = manifest.get("stats", {})
+        # the updates' key envelope, one tiny agg job; None bounds (empty or
+        # all-null keys) prove nothing, so every directory gets rewritten
+        row = updates.agg(
+            *[F.min(k).alias(f"__lo_{k}") for k in keys],
+            *[F.max(k).alias(f"__hi_{k}") for k in keys],
+        ).first()
+        bounds = {k: (row[f"__lo_{k}"], row[f"__hi_{k}"]) for k in keys}
+        kept = [
+            rel for rel in manifest["files"]
+            if rel in file_stats and _ranges_disjoint(file_stats[rel], bounds)
+        ]
+        rewrite = [rel for rel in manifest["files"] if rel not in kept]
+        existing = (
+            spark.read.parquet(*[os.path.join(self.path, rel) for rel in rewrite])
+            if rewrite else None
+        )
+        merged = _merge_latest(existing, updates, keys, version_col)
+        version = parent + 1
         rel = self._write_data(merged, version, "merge")
+        stats = {r: file_stats[r] for r in kept}
+        dstat = _dir_stats(os.path.join(self.path, rel), keys)
+        if dstat:
+            stats[rel] = dstat
         self._commit(version, {
             "version": version,
             "parent": parent,
             "operation": "merge",
-            "files": [rel],
+            "files": kept + [rel],
+            "stats": stats,
         })
         return version
 
@@ -193,14 +325,24 @@ class SnapshotTable:
             "parent": parent,
             "operation": f"restore-v{version}",
             "files": list(manifest["files"]),
+            "stats": dict(manifest.get("stats", {})),
         })
         return new_version
 
     # -------------------------------------------------------------- vacuum
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2, retention_seconds: float = 3600.0) -> list[str]:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data directories no retained version references (including
-        orphans from crashed/lost-race writers).  Returns removed paths."""
+        orphans from crashed/lost-race writers).  Returns removed paths.
+
+        An unreferenced directory is swept only once its mtime is older
+        than ``retention_seconds``: a writer that is between ``_write_data``
+        and ``_commit`` (a full Spark job wide) is indistinguishable from
+        crash debris by reference-counting alone, so a freshly written
+        directory must survive the sweep or its commit would point at
+        deleted files (the same reasoning behind Delta's 7-day default).
+        Set the retention above any plausible writer job duration; 0 is
+        for single-process tests only."""
         versions = self._versions()
         keep = versions[-keep_last:] if keep_last > 0 else versions
         referenced = set()
@@ -210,11 +352,13 @@ class SnapshotTable:
         for v in versions:
             if v not in keep:
                 os.unlink(os.path.join(self.log_dir, _manifest_name(v)))
+        cutoff = time.time() - retention_seconds
         if os.path.isdir(self.data_dir):
             for name in sorted(os.listdir(self.data_dir)):
                 rel = f"{_DATA_DIR}/{name}"
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(self.path, rel))
+                full = os.path.join(self.path, rel)
+                if rel not in referenced and os.path.getmtime(full) <= cutoff:
+                    shutil.rmtree(full)
                     removed.append(rel)
         return removed
 

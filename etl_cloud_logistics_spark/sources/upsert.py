@@ -30,20 +30,37 @@ from pyspark.sql import functions as F
 
 def atomic_overwrite(df: DataFrame, target_path: str) -> None:
     """Materialize ``df`` to a sibling temp dir, then swap it in with
-    directory renames — readers (and a crash at any point) see the complete
-    old table or the complete new one, never a half-written directory.
-    A plain ``mode('overwrite')`` on the target deletes the existing data
-    BEFORE the new files land, so a mid-write crash loses the table.
-    Local-fs semantics (same pattern as sources.maintenance.compact_partition);
-    object stores use a commit protocol / table format instead."""
+    directory renames.  A complete table is always on disk: a plain
+    ``mode('overwrite')`` on the target deletes the existing data BEFORE
+    the new files land, so a mid-write crash loses the table; here the old
+    directory survives (as ``._old``) until the new one is in place.
+
+    Contract: SINGLE writer (the swap itself is not serialized), and there
+    is a brief window between the two renames where ``target_path`` does
+    not exist — a concurrent reader must retry.  A crash inside that window
+    leaves the table at ``._old`` only; the next call recovers it
+    automatically before writing.  Local-fs semantics (same pattern as
+    sources.maintenance.compact_partition); object stores use a commit
+    protocol / table format instead — or ``SnapshotTable``, whose readers
+    never observe a missing path."""
     tmp = target_path.rstrip("/") + "._tmp_swap"
     old = target_path.rstrip("/") + "._old"
+    _recover_interrupted_swap(target_path)
     df.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(tmp, target_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_interrupted_swap(target_path: str) -> None:
+    """If a previous ``atomic_overwrite`` crashed between its two renames,
+    the table exists only at '._old' — restore it so readers and the next
+    merge see the pre-crash state."""
+    old = target_path.rstrip("/") + "._old"
+    if not os.path.exists(target_path) and os.path.isdir(old):
+        os.rename(old, target_path)
 
 
 def _merge_latest(existing: DataFrame | None, updates: DataFrame, keys: list[str], version_col: str) -> DataFrame:
@@ -66,9 +83,12 @@ def upsert_parquet(
 ) -> DataFrame:
     """Merge ``updates`` into the keyed table at ``target_path``: per key the
     row with the highest ``version_col`` wins.  Returns the merged frame
-    (also written back, atomically via write-then-RENAME swap — the merged
-    table is fully materialized beside the target before any rename, so a
-    crash at any point leaves a complete table on disk)."""
+    (also written back via the write-then-RENAME swap: the merged table is
+    fully materialized beside the target before any rename, so a crash at
+    any point leaves a complete table on disk — at the target, or at
+    ``._old`` from which the next call auto-recovers; see
+    ``atomic_overwrite`` for the single-writer contract)."""
+    _recover_interrupted_swap(target_path)
     existing = None
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)

@@ -349,3 +349,33 @@ def test_atomic_overwrite_swaps_complete_tables(spark, tmp_path):
     assert {r["v"] for r in got.collect()} == {"b"}
     assert not os.path.exists(target + "._tmp_swap")
     assert not os.path.exists(target + "._old")
+
+
+def test_atomic_overwrite_recovers_from_crash_between_renames(spark, tmp_path):
+    """A crash between rename(target, old) and rename(tmp, target) leaves
+    the table only at '._old'; the next call must restore it before
+    writing, so the swap still sees (and can serve) the prior state."""
+    import os
+
+    from etl_cloud_logistics_spark.sources.upsert import atomic_overwrite, upsert_parquet
+
+    target = str(tmp_path / "state_tbl")
+    base = spark.range(4).withColumn("v", F.lit("a")).withColumn("version", F.lit(1))
+    atomic_overwrite(base, target)
+    # simulate the crash window: target renamed away, new table never landed
+    os.rename(target, target + "._old")
+    assert not os.path.exists(target)
+
+    # next writer call recovers '._old' and completes its own overwrite
+    new = spark.range(2).withColumn("v", F.lit("b")).withColumn("version", F.lit(2))
+    atomic_overwrite(new, target)
+    got = spark.read.parquet(target)
+    assert got.count() == 2
+    assert not os.path.exists(target + "._old")
+
+    # and the recovery matters for merge semantics: an upsert after a crash
+    # still sees the pre-crash rows as the existing side
+    os.rename(target, target + "._old")
+    updates = spark.createDataFrame([(0, "c", 9)], "id long, v string, version long")
+    merged = upsert_parquet(spark, target, updates, keys=["id"], version_col="version")
+    assert sorted((r["id"], r["v"]) for r in merged.collect()) == [(0, "c"), (1, "b")]

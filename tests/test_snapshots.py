@@ -87,8 +87,11 @@ def test_crash_debris_is_invisible_to_readers(spark, tmp_path):
         json.dump({"version": 1}, fh)
     assert t.latest_version() == 0
     assert _rows(t.read(spark), "k", "val") == [(1, "a")]
-    # vacuum sweeps the orphan
-    removed = t.vacuum(keep_last=1)
+    # default retention protects the fresh orphan: it is indistinguishable
+    # from an in-flight writer that has not committed yet
+    assert t.vacuum(keep_last=1) == []
+    # past the retention age it is genuine debris and gets swept
+    removed = t.vacuum(keep_last=1, retention_seconds=0)
     assert any("deadbeef" in r for r in removed)
 
 
@@ -97,13 +100,83 @@ def test_vacuum_drops_old_versions_keeps_retained(spark, tmp_path):
     t.write(_mk(spark, [(1, "a", 1)]))
     t.merge(spark, _mk(spark, [(2, "b", 2)]), keys=["k"], version_col="version")
     t.merge(spark, _mk(spark, [(3, "c", 3)]), keys=["k"], version_col="version")
-    removed = t.vacuum(keep_last=2)
+    removed = t.vacuum(keep_last=2, retention_seconds=0)
     assert removed  # v0's data dir went away
     assert t._versions() == [1, 2]
     assert _rows(t.read(spark, version=1), "k", "val") == [(1, "a"), (2, "b")]
     assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b"), (3, "c")]
     with pytest.raises(FileNotFoundError):
         t._read_manifest(0)
+
+
+def _dir_file_hashes(root):
+    import hashlib
+
+    out = {}
+    for dirpath, _dirs, names in os.walk(root):
+        for name in names:
+            p = os.path.join(dirpath, name)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_merge_skips_key_disjoint_files_byte_identical(spark, tmp_path):
+    """File-level CoW: a merge whose update key range is provably disjoint
+    from a data directory's footer stats carries that directory into the
+    new version untouched — byte-identical on disk, not rewritten."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1), (2, "b", 1)]), stats_cols=["k"])
+    t.write(_mk(spark, [(10, "x", 1), (11, "y", 1)]), mode="append", stats_cols=["k"])
+    files_before = t._read_manifest(1)["files"]
+    low_rel, high_rel = files_before
+    low_dir = os.path.join(t.path, low_rel)
+    low_bytes_before = _dir_file_hashes(low_dir)
+    # update touches only the high key range [10, 11]
+    t.merge(spark, _mk(spark, [(11, "Y", 2)]), keys=["k"], version_col="version")
+    m = t._read_manifest(2)
+    assert low_rel in m["files"], "disjoint directory must be carried over"
+    assert high_rel not in m["files"], "overlapping directory must be rewritten"
+    assert _dir_file_hashes(low_dir) == low_bytes_before
+    # the carried-over directory keeps its stats for the NEXT merge
+    assert m["stats"][low_rel]["k"] == [1, 2]
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b"), (10, "x"), (11, "Y")]
+    # time travel across a file-skipping merge still works
+    assert _rows(t.read(spark, version=1), "k", "val") == [(1, "a"), (2, "b"), (10, "x"), (11, "y")]
+
+
+def test_merge_without_stats_rewrites_and_stays_correct(spark, tmp_path):
+    """Directories written without stats_cols can never be skipped — merge
+    degrades to the full rewrite and the result is still exact."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1), (2, "b", 1)]))  # no stats recorded
+    t.merge(spark, _mk(spark, [(3, "c", 2)]), keys=["k"], version_col="version")
+    m = t._read_manifest(1)
+    assert len(m["files"]) == 1  # everything rewritten into one directory
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_pinned_parent_detects_interleaved_commit(spark, tmp_path):
+    """The lost-update race from the round-2 review: a commit landing
+    between our snapshot read and our commit must make OUR merge raise
+    ConcurrentWriteError (parent is pinned once), never silently drop the
+    racer's update."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]))
+    racer = SnapshotTable(t.path)
+    orig_write_data = t._write_data
+
+    def interleave(df, version, operation):
+        rel = orig_write_data(df, version, operation)
+        # racer commits while our merge's Spark write job is "running"
+        racer.merge(spark, _mk(spark, [(7, "r", 7)]), keys=["k"], version_col="version")
+        return rel
+
+    t._write_data = interleave
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(spark, _mk(spark, [(2, "b", 2)]), keys=["k"], version_col="version")
+    # the racer's update is the table's latest state — nothing was lost
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (7, "r")]
 
 
 def test_foreach_batch_merge_idempotent_replay(spark, tmp_path):
