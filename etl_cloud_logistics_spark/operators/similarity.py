@@ -147,6 +147,150 @@ def cosine_neardup_pairs(
     )
 
 
+def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance from a vector column to a literal centroid."""
+    lit_arr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit_arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_buckets(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Ids of the ``nprobe`` centroids nearest to ``vec`` (ascending distance,
+    centroid id as deterministic tiebreaker).  Centroids are literals — model
+    metadata baked into the plan, no join — so assignment is a narrow
+    projection that scales embarrassingly."""
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(_sq_dist_to(vec, c).alias("dist"), F.lit(i).alias("bucket"))
+            for i, c in enumerate(centroids)
+        ])
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["bucket"])
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_clusters: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    - Seeding: one hash-agg — ``min_by(vec, id)`` within ``xxhash64(id) % k``
+      groups.  Deterministic and distributed (no global sort, no RNG).
+    - Iteration: assignment is a narrow projection against literal
+      centroids; the update is one ``posexplode`` + hash-agg with
+      decimal-exact sums, so the trained model is bit-reproducible
+      regardless of partitioning.
+    - Only the k×dims centroid matrix ever reaches the driver (model
+      metadata, not data rows) — the corpus itself never collects.
+
+    The returned centroids feed ``nearest_buckets`` / ``knn_ivf_trained``;
+    at 100 TB train on a sample (the quantizer needs ~256k vectors, not the
+    corpus) and persist the matrix next to the index."""
+    seeds = (
+        corpus.groupBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_clusters)).alias("g"))
+        .agg(F.min_by(vec_col, F.col(id_col)).alias("v"))
+        .orderBy("g")
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in seeds]
+    dims = len(cents[0])
+    for _ in range(n_iter):
+        # two selects: a generator (posexplode) in the same projection as the
+        # lambda-built struct array makes Catalyst re-derive the struct field
+        # names (col1/col2), breaking the named access inside nearest_buckets
+        assigned = corpus.select(
+            nearest_buckets(F.col(vec_col), cents, 1)[0].alias("b"),
+            F.col(vec_col).alias("v"),
+        ).select("b", F.posexplode("v").alias("pos", "x"))
+        rows = (
+            assigned.groupBy("b", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast(_DEC)).cast("double") / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_bucket.setdefault(r["b"], {})[r["pos"]] = r["m"]
+        cents = [
+            [by_bucket[b][p] for p in range(dims)] if b in by_bucket else cents[b]
+            for b in range(len(cents))
+        ]
+    return cents
+
+
+def knn_ivf_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k with a trained coarse quantizer and multi-probe: the corpus
+    is assigned to its nearest centroid (narrow projection, indexed once);
+    each query probes its ``nprobe`` nearest buckets.  Candidate generation
+    is an equi-join on the bucket id — shuffle O(corpus × nprobe/k_buckets),
+    never O(queries × corpus).  Recall is tuned by ``nprobe`` and measured
+    by ``recall_at_k`` against ``knn_bruteforce`` — an ANN path without a
+    recall figure is not operable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("q_norm"),
+        nearest_buckets(F.col(vec_col), centroids, nprobe).alias("probes"),
+    ).select("query_id", "q_vec", "q_norm", F.explode("probes").alias("bucket"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+        nearest_buckets(F.col(vec_col), centroids, 1)[0].alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact| by ``query_id``.  Pure joins/aggs —
+    runs distributed as an operational metric next to the index build
+    (inputs are (query_id, neighbor_id, ...) frames from the knn_*
+    operators)."""
+    truth = exact.select("query_id", "neighbor_id")
+    hit = (
+        truth.join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    return base.join(hit, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,

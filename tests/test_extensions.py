@@ -84,6 +84,84 @@ def test_knn_constructed_vectors(spark):
     assert all(r.neighbor_id != 0 for r in out)  # self excluded
 
 
+def test_ivf_trained_perfect_recall_on_clustered_data(spark):
+    """On data with real cluster structure the trained IVF quantizer must
+    route every query to the bucket holding its true neighbors: recall@3 =
+    1.0 with nprobe=1.  (The sf corpus is near-isotropic, so this planted
+    fixture is what proves the machinery; the sf numbers are measured in
+    test_ivf_recall_at_k_on_sf_corpus.)"""
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_ivf_trained,
+        recall_at_k,
+        train_ivf_centroids,
+    )
+
+    # 4 well-separated clusters in 16-dim: center = 10*one-hot(axis), member
+    # i offset deterministically on a second axis
+    rows = []
+    for c in range(4):
+        for i in range(20):
+            v = [0.0] * 16
+            v[c] = 10.0
+            v[(c + 4 + i % 4) % 16] = 1.0 + 0.1 * i
+            rows.append((c * 20 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(emb, n_clusters=4, n_iter=3)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    q = emb.filter(F.col("vec_id") % 10 == 0)  # 8 queries, 2 per cluster
+    exact = knn_bruteforce(q, emb, k=3)
+    approx = knn_ivf_trained(q, emb, k=3, centroids=cents, nprobe=1)
+    per_q = recall_at_k(approx, exact)
+    overall = per_q.agg(F.avg("recall").alias("r")).first()["r"]
+    print(f"planted-cluster IVF recall@3 (nprobe=1): {overall:.3f}")
+    assert overall >= 0.95
+
+
+def test_ivf_recall_at_k_on_sf_corpus(spark, sf_med):
+    """Recall@3 of the ANN serving paths against the brute-force ground
+    truth over the sf0.01 corpus (the VERDICT's operability requirement:
+    an approximate index without a measured recall number isn't operable).
+
+    Measured (deterministic: training uses decimal-exact sums and hash
+    seeding): trained IVF k=8 recall@3 ≈ 0.53/0.77/0.93 at nprobe=1/2/4;
+    the label-bucket variant ≈ 0.03 because the synthetic labels are
+    uncorrelated with embedding geometry (same-label mean cosine 0.013 vs
+    -0.003 cross-label) — documented in COVERAGE.md."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_trained,
+        recall_at_k,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_med, "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(queries, emb, k=3).persist()
+    exact.count()
+
+    cents = train_ivf_centroids(emb, n_clusters=8, n_iter=3)
+    got = {}
+    for nprobe in (1, 2, 4):
+        approx = knn_ivf_trained(queries, emb, k=3, centroids=cents, nprobe=nprobe)
+        got[nprobe] = recall_at_k(approx, exact).agg(F.avg("recall")).first()[0]
+    label_recall = recall_at_k(knn_ivf(queries, emb, k=3), exact).agg(F.avg("recall")).first()[0]
+    print(
+        "sf0.01 recall@3 — trained IVF nprobe=1/2/4: "
+        f"{got[1]:.3f}/{got[2]:.3f}/{got[4]:.3f}; label-bucket: {label_recall:.3f}"
+    )
+    emb.unpersist()
+    exact.unpersist()
+    # floors, not exact pins: deterministic today, but the floor is the
+    # operability contract (nprobe must buy recall, monotonically)
+    assert got[1] >= 0.4
+    assert got[2] >= 0.6
+    assert got[4] >= 0.85
+    assert got[1] <= got[2] <= got[4]
+    # the trained quantizer must beat the geometry-blind label bucketing
+    assert got[1] > label_recall + 0.2
+
+
 def test_multimodal_plumbing(spark, sf_small):
     from etl_cloud_logistics_spark.catalog import load_table
 
