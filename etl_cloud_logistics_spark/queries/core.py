@@ -599,6 +599,87 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q10b — the scale-safe variant of Q10's ranking (SURVEY §7-M2): ranks are
+# PARTITIONed BY nation, so no single task ever materializes the global
+# customer dimension.  Operator W1 at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q10b_rank_within_nation",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT n.n_name AS nacion,
+               c.c_custkey,
+               c.c_name AS nombre,
+               COUNT(DISTINCT o.o_orderkey) AS viajes,
+               {_sumx('o.o_totalprice')} AS ingreso_raw
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP '{CUT_3M} 00:00:00'
+        GROUP BY n.n_name, c.c_custkey, c.c_name
+    )
+    SELECT nacion, c_custkey, nombre, viajes,
+           ROUND(ingreso_raw, 2) AS ingreso, rank_nacional
+    FROM (
+        SELECT *, RANK() OVER (PARTITION BY nacion
+                               ORDER BY ingreso_raw DESC, c_custkey) AS rank_nacional
+        FROM per_cust
+    )
+    WHERE rank_nacional <= 3
+    ORDER BY nacion, rank_nacional, c_custkey
+    """,
+    extra=True,  # scale-safe twin of q10 (its W1 driver row); locally exact
+)
+def q10b_rank_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10's ranking, partitioned: top-3 customers by revenue WITHIN each
+    nation (ref 02:182-213's ranks, scoped per SURVEY §7-M2).
+
+    Scale (the 100 TB design note for every global-order window in this
+    module): q10/q11 keep the reference's exact global-ORDER-BY semantics,
+    which Spark executes in ONE task after coalescing to a single partition
+    — correct, and fine there because both rank post-HAVING aggregates
+    (bounded candidate sets), but NOT the shape to run over an unbounded
+    dimension.  This variant is that shape: ``partitionBy(nacion)`` hash-
+    distributes the window, every partition ranks independently (shuffle on
+    the partition key, no coalesce-to-1 anywhere in the plan), and the
+    rank<=k filter cuts before the final (tiny) presentation sort.  With a
+    skewed partition key, pre-aggregate per (key, salt) and re-rank the
+    per-salt survivors — the same two-stage cut topk_events_per_type uses."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(CUT_3M).cast("timestamp")
+    )
+    per_cust = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nacion"),
+            "c_custkey",
+            F.col("c_name").alias("nombre"),
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("viajes"),
+            sum_exact("o_totalprice").alias("ingreso_raw"),
+        )
+    )
+    w = W.partitionBy("nacion").orderBy(F.desc("ingreso_raw"), F.asc("c_custkey"))
+    return (
+        per_cust.withColumn("rank_nacional", F.rank().over(w))
+        .filter(F.col("rank_nacional") <= 3)
+        .select(
+            "nacion",
+            "c_custkey",
+            "nombre",
+            "viajes",
+            F.round("ingreso_raw", 2).alias("ingreso"),
+            "rank_nacional",
+        )
+        .orderBy("nacion", "rank_nacional", "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q11 — monthly trend with LAG/LEAD + moving average (02:221-244).
 # Operators W2, W3, A10, F4, F7.
 # ---------------------------------------------------------------------------

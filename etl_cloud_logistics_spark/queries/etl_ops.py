@@ -330,7 +330,8 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
-    extra=True,  # driver row carried by grouping_sets_status_priority
+    # r3 rotation (VERDICT r2 item 6): standalone takes the grouping-sets
+    # driver row this round; grouping_sets_status_priority moves to extra
 )
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP totals — the capability extension flagged in

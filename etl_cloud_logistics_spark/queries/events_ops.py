@@ -65,7 +65,9 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY 1, 2
     """,
-    extra=True,  # driver row carried by windowed_counts (tumbling+sliding union)
+    # r3 rotation (VERDICT r2 item 6): standalone takes the ST6 driver row
+    # this round; its former carrier windowed_counts moves to extra so the
+    # merged battery is proven against the driver oracle via its parts
 )
 def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time aggregation (ST6) — the batch twin of the
@@ -126,6 +128,9 @@ def sliding_2h_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events, range(2) o(n)
     GROUP BY 2
     """,
+    extra=True,  # r3 rotation: tumbling_hourly_counts holds the ST6 driver
+    # row this round; the sliding half stays covered here + by the
+    # stream==batch tests (tests/test_streaming.py)
 )
 def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time window aggregation family (ST6) in one covering query:

@@ -35,6 +35,9 @@ from . import register
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    extra=True,  # r3 rotation: rollup_status_priority holds the driver row
+    # this round; the CUBE half stays covered by cube_status_priority
+    # (locally verified) and this merged battery under verify_local
 )
 def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The grouping-sets family in one covering query (SURVEY.md §2.4 note —

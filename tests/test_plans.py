@@ -70,6 +70,16 @@ def test_star_join_broadcasts_only_true_dims(spark, sf_small):
     assert orders_edge and all("Broadcast" not in ln for ln in orders_edge), orders_edge
 
 
+def test_q10b_window_is_hash_partitioned_not_global(spark, sf_small):
+    """The scale-safe ranking variant must never coalesce to one partition:
+    its window exchange hashes on the partition key.  (q10/q11 keep the
+    reference's global-ORDER-BY semantics over bounded post-agg sets; q10b
+    is the shape for unbounded inputs — see queries/core.py.)"""
+    plan = plan_of(spark, sf_small, "q10b_rank_within_nation")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(nacion" in plan
+
+
 def test_column_pruning_reaches_scan(spark, sf_small):
     """q01 projects one column; the parquet ReadSchema must not include the
     rest of the customer table."""

@@ -39,6 +39,28 @@ def test_oracle_parses_and_columns_match(spark, sf_small, duck, name):
     assert sorted(oracle_cols) == sorted(spark_cols), f"{name}: column drift"
 
 
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in REGISTRY.items() if s.extra and s.oracle)
+)
+def test_extra_query_values_match_oracle(spark, sf_small, duck, name):
+    """The covering-set trim (round 2) moved redundant variants off the
+    driver surface; this is the CI invariant that their correctness never
+    rests on nothing — every extra=True query is differential-tested for
+    EXACT values against its oracle here (sf0.001; verify_local repeats it
+    at sf0.01)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.verify_local import compare
+
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_small).toPandas()
+    ddf = duck.execute(spec.oracle).df()
+    problems = compare(name, sdf, ddf)
+    assert not problems, f"{name}: {problems[:3]}"
+
+
 def test_sql_api_over_registered_views(spark, sf_small):
     """spark.sql over the catalog's temp views matches the DataFrame path —
     the engine's second entry point (SURVEY.md §3.1)."""
