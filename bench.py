@@ -83,14 +83,26 @@ def main() -> None:
     # against a 0.6 s isolated re-measure).  Each run rebuilds the DataFrame
     # so the timing keeps its run-once meaning (plan construction, analysis
     # and scheduling included); the median discards transient machine noise.
+    # Between query blocks, drop leaked cache entries and hint a GC: the
+    # dedup/text queries persist() intermediates that outlive the action
+    # (their caller owns cleanup), and ~150 accumulated cached blocks shrink
+    # execution memory for every later query — round-3 postmortem: doc_metrics
+    # measured 3.5 s polluted vs 0.6 s clean, purely from its position after
+    # the dedup block.  Cleanup runs OUTSIDE the timed region.
+    def reset_memory() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     times: dict[str, float] = {}
     for name in suite:
         times[name] = round(statistics.median(run_once(name) for _ in range(3)), 3)
+        reset_memory()
 
     # warm per-query time: reuse the built DataFrame (plan already analyzed
     # and compiled), time the action alone; median of 3
     core = [n for n in times if n.startswith("q")]
     core_dfs = {n: suite[n].fn(spark, sf_dir) for n in core}
+    reset_memory()
     warm: dict[str, float] = {}
     for name in core:
         runs = []
@@ -104,6 +116,7 @@ def main() -> None:
     def run_action(name: str) -> None:
         core_dfs[name].write.mode("overwrite").format("noop").save()
 
+    reset_memory()
     conc_runs = []
     for _ in range(3):
         t0 = time.perf_counter()
