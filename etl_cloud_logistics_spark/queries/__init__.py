@@ -92,6 +92,7 @@ def _load_all() -> None:
         return
     from . import (  # noqa: F401
         core,
+        curation_ops,
         etl_ops,
         events_ops,
         multimodal_ops,

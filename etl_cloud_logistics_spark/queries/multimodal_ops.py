@@ -86,6 +86,7 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
     FROM d, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS i) t
     """,
+    extra=True,  # X5 driver rows: multimodal_image_features + multimodal_audio_frames
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-to-many frame sampling (every 2nd 256-byte frame) through

@@ -283,6 +283,7 @@ def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
+    extra=True,  # driver row carried by q11 (LAG/moving frame) + q10/q10b (ranks)
 )
 def window_family_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full window family the reference lacks (§2.5 has only RANK/LAG/

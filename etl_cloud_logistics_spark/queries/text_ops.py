@@ -120,6 +120,7 @@ _JACCARD_MAX_SHINGLE_FREQ = 100
     SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
     FROM ver WHERE jaccard >= 0.5
     """,
+    extra=True,  # X2 driver rows: neardup_minhash_lsh + simhash_near_pairs + neardup_embedding_cosine
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (X2) via the shared-shingle

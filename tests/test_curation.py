@@ -1,0 +1,160 @@
+"""Training-data curation operators: decontamination, deterministic
+split/mixture/shard assignment, sequence packing.  The SQL-expressible
+queries are differential-tested against their DuckDB oracles by the
+registry net + verify_local; these tests pin the properties the oracles
+can't state — packing invariants, sharded-layout shape, plan shape, and
+the nesting/monotonicity guarantees the docstrings promise."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_cloud_logistics_spark.catalog import load_table
+from etl_cloud_logistics_spark.operators.curation import (
+    contaminated_docs,
+    mixture_sample,
+    pack_sequences,
+    shard_assign,
+    split_assign,
+    write_shards,
+)
+
+BUDGET = 256
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents")
+
+
+@pytest.fixture(scope="module")
+def packed(spark, docs):
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(F.split(F.lower("text"), " ")).cast("long")
+    )
+    return pack_sequences(
+        with_tokens, budget=BUDGET, n_buckets=4
+    ).toPandas()
+
+
+def test_packing_capacity_respected(packed):
+    """No bin of normal-sized docs exceeds the token budget."""
+    normal = packed[~packed.oversize]
+    fills = normal.groupby(["bucket", "bin_id"]).n_tokens.sum()
+    assert (fills <= BUDGET).all(), fills[fills > BUDGET]
+
+
+def test_packing_exactly_once_and_oversize_isolated(packed, docs):
+    """Every doc is packed exactly once; oversize docs sit alone in their
+    bin (flagged for the caller, never silently dropped or co-packed)."""
+    assert len(packed) == docs.count()
+    assert packed.doc_id.is_unique
+    assert (packed[packed.oversize].n_tokens > BUDGET).all()
+    over_bins = packed[packed.oversize][["bucket", "bin_id"]]
+    merged = over_bins.merge(packed, on=["bucket", "bin_id"])
+    assert merged.oversize.all(), "an oversize doc shares a bin with a normal doc"
+
+
+def test_packing_deterministic(spark, docs, packed):
+    """Same input → identical assignment on a rerun (hash bucketing + FFD
+    over a total order leaves no tie to the scheduler)."""
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(F.split(F.lower("text"), " ")).cast("long")
+    )
+    again = (
+        pack_sequences(with_tokens, budget=BUDGET, n_buckets=4)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    first = packed.sort_values("doc_id").reset_index(drop=True)
+    assert first.equals(again)
+
+
+def test_packing_is_reasonably_tight(packed):
+    """FFD should land well under the trivial one-doc-per-bin count —
+    the whole point of packing is fewer padded windows."""
+    normal = packed[~packed.oversize]
+    n_bins = normal.groupby("bucket").bin_id.nunique().sum()
+    lower_bound = -(-int(normal.n_tokens.sum()) // BUDGET)  # ceil
+    assert n_bins <= 2 * lower_bound + 4  # FFD ≤ 1.7·OPT asymptotically
+
+
+def test_split_keyed_on_group_is_leakage_safe(docs):
+    """All rows sharing the split key get the same split assignment."""
+    out = split_assign(docs, "source").toPandas()
+    assert (out.groupby("source").split.nunique() == 1).all()
+    assert set(out.split.unique()) <= {"train", "val", "test"}
+
+
+def test_mixture_thresholds_nest(docs):
+    """Raising a keep rate must GROW the kept set (threshold sampling
+    nests) — the property that makes scaling ablations subsets of each
+    other."""
+    lo = mixture_sample(docs, {"en": 0.3}, key_col="doc_id").toPandas()
+    hi = mixture_sample(docs, {"en": 0.6}, key_col="doc_id").toPandas()
+    kept_lo = set(lo[lo.keep_mix].doc_id)
+    kept_hi = set(hi[hi.keep_mix].doc_id)
+    assert kept_lo <= kept_hi
+    assert len(kept_hi) > len(kept_lo)
+
+
+def test_mixture_unlisted_groups_dropped(docs):
+    out = mixture_sample(docs, {"en": 1.0}, key_col="doc_id").toPandas()
+    assert out[out.lang != "en"].keep_mix.eq(False).all()
+    assert out[out.lang == "en"].keep_mix.all()
+
+
+def test_shard_assignment_stable_under_repartition(docs):
+    """Hash sharding must not depend on physical layout (round-robin ids
+    would): shard of every row is identical after an arbitrary
+    repartition."""
+    a = shard_assign(docs, n_shards=8).select("doc_id", "shard").toPandas()
+    b = (
+        shard_assign(docs.repartition(7), n_shards=8)
+        .select("doc_id", "shard")
+        .toPandas()
+    )
+    merged = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+    assert (merged.shard_a == merged.shard_b).all()
+    assert a.shard.between(0, 7).all()
+
+
+def test_write_shards_layout(spark, docs, tmp_path):
+    """Sharded export: one directory per non-empty shard, each with exactly
+    one data file; reading back returns every row exactly once."""
+    import glob
+
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, n_shards=8)
+    shard_dirs = sorted(glob.glob(f"{path}/shard=*"))
+    assert shard_dirs, "no shard directories written"
+    for d in shard_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+
+
+def test_decontam_broadcasts_bench_side(spark, docs):
+    """The benchmark gram set must broadcast — the 100 TB training side
+    never shuffles for the overlap join (its only wide exchange is the
+    final per-doc aggregation)."""
+    bench_flag = F.col("doc_id") % 25 == 0
+    df = contaminated_docs(docs.filter(~bench_flag), docs.filter(bench_flag), n=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_self_overlap_full(spark, docs):
+    """Sanity: a corpus checked against itself is fully contaminated."""
+    out = contaminated_docs(docs, docs, n=4)
+    n_docs_with_grams = (
+        docs.select(F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .filter(F.col("n") >= 4)
+        .count()
+    )
+    assert out.count() == n_docs_with_grams
