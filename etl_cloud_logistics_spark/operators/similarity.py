@@ -58,6 +58,20 @@ def dot_fast(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product for a KNOWN dimensionality as a static sum of
+    ``a[i] * b[i]`` terms.  GetArrayItem arithmetic participates in
+    whole-stage codegen, where the ``zip_with``/``aggregate`` higher-order
+    fold of ``dot_fast`` is interpreted per row — measured ~1.6x faster on
+    the ~200k-pair neardup prefilter at sf0.1.  Order-dependent in the
+    last bits exactly like ``dot_fast``: prefilter use only, never an
+    emitted value."""
+    out = a[0].cast("double") * b[0].cast("double")
+    for i in range(1, dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out
+
+
 def knn_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -103,6 +117,7 @@ def cosine_neardup_pairs(
     bucket_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (extension X2, vector variant):
     unordered pairs (a < b) with cosine ≥ threshold, candidates restricted to
@@ -125,14 +140,19 @@ def cosine_neardup_pairs(
     # two-phase: double-dot prefilter over all candidate pairs (≥ 10x cheaper
     # than the decimal fold), exact decimal cosine only for survivors — the
     # 1e-6 margin dwarfs double-summation error (~1e-15 relative), so no
-    # qualifying pair is lost and emitted values stay bit-exact
+    # qualifying pair is lost and emitted values stay bit-exact.  With a
+    # known dim the prefilter dot is statically unrolled so it runs inside
+    # whole-stage codegen (higher-order folds are interpreted).
+    pre_dot = (
+        dot_unrolled(F.col("a_vec"), F.col("b_vec"), dim)
+        if dim is not None
+        else dot_fast(F.col("a_vec"), F.col("b_vec"))
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(
-            dot_fast(F.col("a_vec"), F.col("b_vec"))
-            / (F.col("a_norm") * F.col("b_norm"))
-            >= threshold - 1e-6
+            pre_dot / (F.col("a_norm") * F.col("b_norm")) >= threshold - 1e-6
         )
         .select(
             "vec_a",

@@ -116,7 +116,7 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline runs after MinHash text dedup.  Candidates come
     from an equi-join on the coarse bucket, never the full cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.35)
+    return cosine_neardup_pairs(emb, threshold=0.35, dim=64)
 
 
 @register(
