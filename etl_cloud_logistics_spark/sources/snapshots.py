@@ -124,14 +124,17 @@ def _dir_stats(path: str, cols: list[str]) -> dict[str, list] | None:
 
 
 def _ranges_disjoint(file_stats: dict[str, list], bounds: dict[str, tuple]) -> bool:
-    """True when the file's key ranges prove it cannot contain any updated
+    """True when the file's key ranges prove it cannot contain any bounded
     key: for composite keys it is enough that ONE key column's ranges are
-    disjoint (a matching key must agree on every column)."""
+    disjoint (a matching key must agree on every column).  A ``None`` end
+    is unbounded on that side (half-open ranges from ``read_pruned``; a
+    merge envelope from an empty/all-null update is ``(None, None)``,
+    which constrains nothing — every directory rewrites, never wrong)."""
     for c, (lo, hi) in bounds.items():
         s = file_stats.get(c)
-        if s is None or lo is None or hi is None:
+        if s is None:
             continue
-        if s[1] < lo or s[0] > hi:
+        if (lo is not None and s[1] < lo) or (hi is not None and s[0] > hi):
             return True
     return False
 
@@ -236,6 +239,100 @@ class SnapshotTable:
         manifest = self._read_manifest(pick)
         paths = [os.path.join(self.path, rel) for rel in manifest["files"]]
         return spark.read.parquet(*paths)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot read with manifest-stats data skipping: data directories
+        whose recorded min/max ranges are provably disjoint from ``bounds``
+        (``{col: (lo, hi)}``, either end ``None`` = unbounded) are never
+        opened — the same add-file-stats pruning a Delta/Iceberg reader does
+        before Spark's own row-group pruning gets a say.
+
+        Correctness never depends on the pruning: the bounds are re-applied
+        as an ordinary residual ``filter`` on the surviving files (which
+        Spark pushes into the parquet scan), so a directory with missing or
+        stale stats merely reads more data.  Point-lookup and key-range
+        queries over a keyed state table touch O(matching files), not
+        O(table)."""
+        latest = self.latest_version()
+        if latest is None:
+            raise FileNotFoundError(f"{self.path} has no committed version")
+        pick = latest if version is None else version
+        manifest = self._read_manifest(pick)
+        file_stats: dict[str, dict] = manifest.get("stats", {})
+        keep = [
+            rel
+            for rel in manifest["files"]
+            if not (rel in file_stats and _ranges_disjoint(file_stats[rel], bounds))
+        ]
+        if keep:
+            df = spark.read.parquet(*[os.path.join(self.path, rel) for rel in keep])
+        else:
+            # every file pruned: preserve the schema from one footer, no rows
+            first = os.path.join(self.path, manifest["files"][0])
+            df = spark.read.parquet(first).filter(F.lit(False))
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        return df
+
+    def compact(
+        self,
+        spark: SparkSession,
+        min_dirs: int = 2,
+        target_files: int = 4,
+        stats_cols: list[str] | None = None,
+    ) -> int | None:
+        """Small-file compaction: rewrite the current version's data
+        directories into one and commit the identical logical content as a
+        new version (operation ``compact``).  The streaming-merge path
+        produces one directory per micro-batch; left alone, every read pays
+        per-file open/footer costs that grow without bound — the classic
+        lakehouse small-file problem.  Pre-compaction versions still
+        time-travel (their manifests and directories are untouched until
+        ``vacuum`` retires them).
+
+        No-op (returns None) when fewer than ``min_dirs`` directories exist.
+        ``stats_cols`` defaults to the columns already tracked in the
+        manifest stats, so merge file-skipping keeps working across
+        compaction.  OCC: the parent is pinned once; a racing commit
+        collides on the log slot and raises ``ConcurrentWriteError``."""
+        parent = self.latest_version()
+        if parent is None:
+            return None
+        manifest = self._read_manifest(parent)  # pinned — never re-fetched
+        if len(manifest["files"]) < min_dirs:
+            return None
+        if stats_cols is None:
+            prior = manifest.get("stats", {})
+            cols: set[str] = set()
+            for dstat in prior.values():
+                cols.update(dstat)
+            stats_cols = sorted(cols)
+        df = spark.read.parquet(
+            *[os.path.join(self.path, rel) for rel in manifest["files"]]
+        )
+        version = parent + 1
+        rel = self._write_data(df.repartition(target_files), version, "compact")
+        stats: dict[str, dict] = {}
+        if stats_cols:
+            dstat = _dir_stats(os.path.join(self.path, rel), stats_cols)
+            if dstat:
+                stats[rel] = dstat
+        self._commit(version, {
+            "version": version,
+            "parent": parent,
+            "operation": "compact",
+            "files": [rel],
+            "stats": stats,
+        })
+        return version
 
     def history(self) -> list[dict]:
         """All committed manifests, oldest first (operation, parent, files)."""

@@ -192,3 +192,80 @@ def test_foreach_batch_merge_idempotent_replay(spark, tmp_path):
     sink(b2, 1)  # replayed batch after a simulated crash
     assert _rows(t.read(spark), "k", "val", "version") == after
     assert after == [(1, "a", 1), (2, "B", 2)]
+
+
+def test_read_pruned_skips_disjoint_dirs_and_stays_exact(spark, tmp_path):
+    """Data skipping: a bounded read opens only directories whose manifest
+    stats can intersect the bounds; result equals the full read filtered."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1), (2, "b", 1)]), stats_cols=["k"])
+    t.write(_mk(spark, [(10, "x", 1), (11, "y", 1)]), mode="append", stats_cols=["k"])
+    pruned = t.read_pruned(spark, {"k": (10, None)})
+    # only the high directory's files are opened
+    opened = {f for f in pruned.inputFiles()}
+    low_rel = t._read_manifest(1)["files"][0]
+    assert not any(low_rel in f for f in opened), "disjoint dir was opened"
+    assert _rows(pruned, "k", "val") == [(10, "x"), (11, "y")]
+    # residual filter still applies inside a surviving directory
+    assert _rows(t.read_pruned(spark, {"k": (11, 11)}), "k", "val") == [(11, "y")]
+
+
+def test_read_pruned_all_pruned_keeps_schema(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]), stats_cols=["k"])
+    out = t.read_pruned(spark, {"k": (100, 200)})
+    assert out.count() == 0
+    assert out.columns == ["k", "val", "version"]
+
+
+def test_read_pruned_without_stats_degrades_to_filter(spark, tmp_path):
+    """No stats recorded -> nothing is skipped, bounds still filter rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1), (5, "e", 1)]))  # no stats_cols
+    assert _rows(t.read_pruned(spark, {"k": (5, None)}), "k", "val") == [(5, "e")]
+
+
+def test_compact_rewrites_to_one_dir_same_content(spark, tmp_path):
+    """Compaction folds the micro-batch directory sprawl into one directory
+    with identical logical content; pre-compaction versions still
+    time-travel, and merge file-skipping keeps working off the recomputed
+    stats."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]), stats_cols=["k"])
+    for i in range(2, 5):
+        t.write(_mk(spark, [(i, f"v{i}", 1)]), mode="append", stats_cols=["k"])
+    before = _rows(t.read(spark), "k", "val")
+    assert len(t._read_manifest(3)["files"]) == 4
+    v = t.compact(spark, target_files=1)
+    assert v == 4
+    m = t._read_manifest(v)
+    assert len(m["files"]) == 1
+    assert m["operation"] == "compact"
+    assert _rows(t.read(spark), "k", "val") == before
+    # stats were recomputed for the compacted directory (same cols as before)
+    assert m["stats"][m["files"][0]]["k"] == [1, 4]
+    # time travel to the pre-compaction sprawl still works
+    assert _rows(t.read(spark, version=3), "k", "val") == before
+    # compacting a compacted table is a no-op
+    assert t.compact(spark) is None
+
+
+def test_compact_pinned_parent_detects_interleaved_commit(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1)]))
+    t.write(_mk(spark, [(2, "b", 1)]), mode="append")
+    # steal the slot compact will target
+    t._commit(2, {"version": 2, "parent": 1, "operation": "steal",
+                  "files": t._read_manifest(1)["files"], "stats": {}})
+    orig = SnapshotTable.latest_version
+
+    def stale(self):
+        v = orig(self)
+        return 1 if v == 2 else v
+
+    SnapshotTable.latest_version = stale
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.compact(spark, target_files=1)
+    finally:
+        SnapshotTable.latest_version = orig
