@@ -120,7 +120,7 @@ _JACCARD_MAX_SHINGLE_FREQ = 100
     SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
     FROM ver WHERE jaccard >= 0.5
     """,
-    extra=True,  # X2 driver rows: neardup_minhash_lsh + simhash_near_pairs + neardup_embedding_cosine
+    extra=True,  # X2 driver rows: neardup_minhash_lsh + neardup_embedding_cosine + components
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (X2) via the shared-shingle
@@ -198,6 +198,8 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
+    extra=True,  # rotated out round 3 for incremental_report_refresh; X2 driver
+    # rows: neardup_minhash_lsh + neardup_embedding_cosine + components
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (X2): 60-bit token-level SimHash, pigeonhole

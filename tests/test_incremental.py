@@ -1,0 +1,89 @@
+"""Incremental aggregate maintenance (operators/incremental.py): delta
+refresh equals full rebuild bit-for-bit, arbitrary fold orders agree
+(monoid merge), and the streaming foreachBatch adapter is replay-safe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_cloud_logistics_spark.operators.incremental import (
+    AggSpec,
+    foreach_batch_refresh,
+    publish,
+    refresh,
+)
+from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
+
+SPEC = AggSpec(
+    keys=["k"],
+    measures=[
+        ("n", "v", "count"),
+        ("total_dec", "v", "sum"),
+        ("lo", "v", "min"),
+        ("hi", "v", "max"),
+    ],
+    derived=[
+        ("total", lambda df: F.col("total_dec").cast("double")),
+        ("avg", lambda df: F.col("total_dec").cast("double") / F.col("n")),
+    ],
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double")
+
+
+def _out(df):
+    return sorted(
+        tuple(r) for r in df.select("k", "n", "total", "avg", "lo", "hi").collect()
+    )
+
+
+def test_incremental_equals_full_rebuild(spark):
+    rows = [(i % 7, float(i) * 0.1 + 0.01) for i in range(500)]
+    full = publish(refresh(None, _mk(spark, rows), SPEC), SPEC)
+    state = None
+    for start in range(0, 500, 137):  # uneven deltas, incl. a short tail
+        state = refresh(state, _mk(spark, rows[start:start + 137]), SPEC)
+    assert _out(publish(state, SPEC)) == _out(full)
+
+
+def test_fold_order_irrelevant(spark):
+    """Decimal partials make the merge associative AND exact — any delta
+    order produces identical state (a double sum would drift)."""
+    rows = [(1, 0.1), (1, 0.2), (2, 0.3), (1, 0.4), (2, 0.5), (2, 0.7)]
+    a = refresh(refresh(None, _mk(spark, rows[:3]), SPEC), _mk(spark, rows[3:]), SPEC)
+    b = refresh(refresh(None, _mk(spark, rows[3:]), SPEC), _mk(spark, rows[:3]), SPEC)
+    assert _out(publish(a, SPEC)) == _out(publish(b, SPEC))
+
+
+def test_delta_with_unseen_and_missing_keys(spark):
+    """A delta may introduce new keys and omit existing ones; untouched
+    keys carry through unchanged."""
+    s0 = refresh(None, _mk(spark, [(1, 1.0), (2, 2.0)]), SPEC)
+    s1 = refresh(s0, _mk(spark, [(3, 3.0)]), SPEC)
+    out = {r["k"]: r["n"] for r in publish(s1, SPEC).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_unmergeable_kind_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        AggSpec(keys=["k"], measures=[("a", "v", "avg")])
+
+
+def test_foreach_batch_refresh_folds_and_skips_replay(spark, tmp_path):
+    """Each micro-batch folds into the versioned state; re-delivery of the
+    last batch id (checkpoint replay after a crash) must not double-count."""
+    t = SnapshotTable(str(tmp_path / "agg"))
+    sink = foreach_batch_refresh(t, SPEC)
+    sink(_mk(spark, [(1, 1.0), (2, 2.0)]), batch_id=0)
+    sink(_mk(spark, [(1, 10.0)]), batch_id=1)
+    after = _out(publish(t.read(spark), SPEC))
+    assert after == _out(
+        publish(refresh(None, _mk(spark, [(1, 1.0), (2, 2.0), (1, 10.0)]), SPEC), SPEC)
+    )
+    sink(_mk(spark, [(1, 10.0)]), batch_id=1)  # replayed batch
+    assert _out(publish(t.read(spark), SPEC)) == after
+    assert t.latest_version() == 1  # replay committed nothing
