@@ -289,3 +289,21 @@ def stream_stream_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact deduplication (extension X1's stream twin): an
+    at-least-once source (Kafka redelivery, file-source replays) emits the
+    same event more than once; the first arrival per ``keys`` passes, later
+    copies are dropped.  ``dropDuplicatesWithinWatermark`` keys the dedup
+    state on ``keys`` and EVICTS an entry once the event-time watermark
+    passes it — bounded state at any corpus size, where a plain
+    ``dropDuplicates`` on a stream retains every key forever and OOMs a
+    100 TB ingest.  Duplicates arriving later than the watermark delay are
+    not caught (the documented at-most-watermark contract); size the delay
+    to the source's redelivery horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -416,3 +416,39 @@ def test_streaming_pipeline_end_to_end(spark, chunked_events, tmp_path_factory):
     }
     for r in counts.collect():
         assert batch[(r["window_start"], r["event_type"])] == r["n_events"]
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path_factory):
+    """Redelivered events (same event_id, later micro-batch within the
+    watermark) must be dropped; the surviving set equals the batch-side
+    distinct-by-key, and state is keyed not unbounded-buffered."""
+    import os
+
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.streaming.jobs import dedup_stream
+
+    base = str(tmp_path_factory.mktemp("dedup_src"))
+    events = load_table(spark, sf_small, "events").orderBy("ts", "event_id")
+    rows = events.collect()
+    chunk = (len(rows) + 1) // 2
+    batches = [rows[:chunk], rows[chunk:] + rows[: chunk // 2]]  # redeliver half of batch 0
+    for i, part in enumerate(batches):
+        df = spark.createDataFrame(part, events.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{i}")
+        src = [f for f in os.listdir(f"{base}/_tmp_{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp_{i}/{src}", f"{base}/chunk_{i}.parquet")
+    stream = read_event_stream(spark, base)
+    q = run_stream_to_memory(
+        dedup_stream(stream, watermark="10 hours"),
+        "dedup_out",
+        _ckpt(tmp_path_factory),
+    )
+    try:
+        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    finally:
+        q.stop()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)), "a duplicate survived"
+    assert sorted(ids) == sorted(
+        r["event_id"] for r in events.dropDuplicates(["event_id"]).collect()
+    )
