@@ -574,3 +574,80 @@ def neardup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return neardup_components(pairs, nodes)
+
+
+@register(
+    "doc_quality_battery",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               greatest(len(ws) - 2, 0) AS total_3grams,
+               CASE WHEN len(ws) >= 3 THEN (
+                   SELECT COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   FROM (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+               ) ELSE 0 END AS distinct_3grams
+        FROM tok
+    )
+    SELECT tok.doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CASE WHEN total_3grams > 0
+                THEN CAST(total_3grams - distinct_3grams AS DOUBLE) / total_3grams
+                ELSE CAST(0.0 AS DOUBLE) END AS rep_3gram_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / length(text) AS digit_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+               / length(text) AS upper_ratio,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INT) AS n_emails,
+           (len(ws) >= 10 AND len(ws) <= 1000
+            AND CASE WHEN total_3grams > 0
+                     THEN CAST(total_3grams - distinct_3grams AS DOUBLE) / total_3grams
+                     ELSE 0.0 END <= 0.2) AS quality_pass
+    FROM tok JOIN g ON tok.doc_id = g.doc_id
+    """,
+    extra=True,  # X4 driver row is doc_metrics; this is the Gopher-style
+    # repetition/ratio/PII filter battery, CI-exact-gated
+)
+def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition- and ratio-based quality/safety filters (the
+    MassiveText/Gopher heuristics a pretraining pipeline applies before
+    dedup): repeated-3-gram fraction, digit/uppercase character ratios,
+    URL/email counts (PII + boilerplate signal), and the combined
+    quality_pass gate.  Every measure is a narrow single-pass column
+    expression — the whole battery runs shuffle-free over the corpus scan,
+    so it costs one read at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n_words = F.size(ws)
+    grams = F.when(
+        n_words >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 3),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.greatest(n_words - 2, F.lit(0))
+    distinct = F.size(F.array_distinct(grams))
+    rep = F.when(
+        total > 0, (total - distinct).cast("double") / total
+    ).otherwise(F.lit(0.0))
+    txt_len = F.length("text")
+    digit_ratio = (
+        txt_len - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("double") / txt_len
+    upper_ratio = (
+        txt_len - F.length(F.regexp_replace("text", "[A-Z]", ""))
+    ).cast("double") / txt_len
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        rep.alias("rep_3gram_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        F.regexp_count("text", F.lit("https?://[^ ]+")).cast("int").alias("n_urls"),
+        F.regexp_count("text", F.lit("[a-z0-9.]+@[a-z0-9.]+")).cast("int").alias("n_emails"),
+        ((n_words >= 10) & (n_words <= 1000) & (rep <= 0.2)).alias("quality_pass"),
+    )
