@@ -311,6 +311,187 @@ def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+def train_sq8_bounds(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [lo, hi] bounds for SQ8 scalar quantization, computed
+    with one ``posexplode`` + hash-agg over the corpus.  Like the IVF
+    centroids, only the 2×dims bounds matrix reaches the driver (model
+    metadata, not data); at 100 TB train on a sample and persist the bounds
+    next to the index."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    return [r["lo"] for r in rows], [r["hi"] for r in rows]
+
+
+def _sq8_steps(lo: list[float], hi: list[float]) -> list[float]:
+    # a constant dimension (hi == lo) gets a dummy positive step; every value
+    # quantizes to code -128 and dequantizes back to exactly lo — no div-by-0
+    return [(h - l) / 255.0 if h > l else 1.0 for l, h in zip(lo, hi)]
+
+
+def quantize_sq8(vec: Column, lo: list[float], hi: list[float]) -> Column:
+    """8-bit scalar quantization: per-dimension affine map of a float vector
+    onto ``array<tinyint>`` codes in [-128, 127].  This is the at-rest /
+    in-memory index format — 1 byte per dimension instead of 4, the 4×
+    footprint cut that makes a 100 TB corpus' index fit a cluster's RAM.
+    Rounding is ``floor(x + 0.5)`` (identical semantics in Spark and DuckDB,
+    so the oracle reproduces codes bit-exactly; ``round`` half-even vs
+    half-up ambiguity never enters)."""
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    step_arr = F.array(*[F.lit(s) for s in _sq8_steps(lo, hi)])
+    return F.transform(
+        vec,
+        lambda x, i: F.least(
+            F.lit(127),
+            F.greatest(
+                F.lit(-128),
+                (
+                    F.floor(
+                        (x.cast("double") - F.element_at(lo_arr, i + 1))
+                        / F.element_at(step_arr, i + 1)
+                        + F.lit(0.5)
+                    ).cast("int")
+                    - 128
+                ),
+            ),
+        ).cast("tinyint"),
+    )
+
+
+def dequantize_sq8(codes: Column, lo: list[float], hi: list[float]) -> Column:
+    """Inverse of ``quantize_sq8`` up to step/2 per element: reconstructs the
+    double vector the asymmetric scorer uses (query stays float, candidate is
+    reconstructed from its codes — FAISS's asymmetric distance computation)."""
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    step_arr = F.array(*[F.lit(s) for s in _sq8_steps(lo, hi)])
+    return F.transform(
+        codes,
+        lambda c, i: F.element_at(lo_arr, i + 1)
+        + (c.cast("double") + F.lit(128.0)) * F.element_at(step_arr, i + 1),
+    )
+
+
+def knn_sq8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    lo: list[float],
+    hi: list[float],
+    shortlist: int | None = None,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized top-k serving path: IVF bucket pruning + SQ8 asymmetric
+    scoring + exact rerank.
+
+    1. INDEX (what a 100 TB deployment stores): per corpus vector its coarse
+       bucket, its ``array<tinyint>`` codes, and the reconstruction norm —
+       the float vectors are NOT part of the scored index.
+    2. SHORTLIST: candidates from the probed buckets (equi-join on bucket
+       id) are scored with the cheap asymmetric dot (float query ×
+       dequantized codes); the top ``shortlist`` (default 4k) per query
+       survive.  Deterministic: fixed-order fold + neighbor-id tiebreaker.
+    3. RERANK: only the shortlist joins back to the float vectors (at scale
+       a point-lookup fetch of k×4 rows per query, not a corpus scan) and
+       the emitted cos_sim is the decimal-exact cosine — bit-identical to
+       ``knn_bruteforce`` values, so quantization error can demote/promote
+       only candidates, never distort a reported score.
+
+    Buckets come from ``centroids`` (trained, multi-probe) or a precomputed
+    ``bucket_col``; exactly one must be given."""
+    if (centroids is None) == (bucket_col is None):
+        raise ValueError("give exactly one of centroids= or bucket_col=")
+    if shortlist is None:
+        shortlist = 4 * k
+    if centroids is not None:
+        q_probe = F.explode(nearest_buckets(F.col(vec_col), centroids, nprobe))
+        c_bucket = nearest_buckets(F.col(vec_col), centroids, 1)[0]
+    else:
+        q_probe = F.col(bucket_col)
+        c_bucket = F.col(bucket_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("q_norm"),
+        q_probe.alias("bucket"),
+    )
+    # the stored index: bucket + codes + reconstruction norm, no floats
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        c_bucket.alias("bucket"),
+        quantize_sq8(F.col(vec_col), lo, hi).alias("codes"),
+    ).withColumn(
+        "approx_norm",
+        F.sqrt(F.aggregate(
+            dequantize_sq8(F.col("codes"), lo, hi),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )),
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            dequantize_sq8(F.col("codes"), lo, hi),
+            lambda qx, cx: qx.cast("double") * cx,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlisted = (
+        index.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            # rounded to 9 decimals before ranking: double-fold summation
+            # noise (~1e-15 relative) must not decide the shortlist cut, so
+            # the cut is reproducible across engines/partitionings; real
+            # similarity gaps are orders of magnitude above 1e-9
+            F.round(approx_dot / (F.col("q_norm") * F.col("approx_norm")), 9).alias("approx_sim"),
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # rerank: fetch floats for the shortlist only, emit exact cosine
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("q_norm"),
+    )
+    cf = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        shortlisted.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def knn_ivf(
     queries: DataFrame,
     corpus: DataFrame,

@@ -16,7 +16,9 @@ from ..operators.similarity import (
     cosine_neardup_pairs,
     knn_bruteforce,
     knn_ivf,
+    knn_sq8,
     norm_exact,
+    train_sq8_bounds,
 )
 from . import register
 
@@ -117,6 +119,97 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on the coarse bucket, never the full cross product."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup_pairs(emb, threshold=0.35, dim=64)
+
+
+@register(
+    "knn_sq8_rerank",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT i,
+               MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+               MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+        FROM embeddings, range(1, 65) r(i)
+        GROUP BY i
+    ),
+    steps AS (
+        SELECT i, lo,
+               CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS step
+        FROM bounds
+    ),
+    codes AS (
+        SELECT e.vec_id, s.i,
+               LEAST(127, GREATEST(-128,
+                   CAST(FLOOR((CAST(e.embedding[s.i] AS DOUBLE) - s.lo) / s.step + 0.5) AS INT) - 128)) AS code
+        FROM embeddings e, steps s
+    ),
+    deq AS (
+        SELECT c.vec_id, c.i, s.lo + (c.code + 128.0) * s.step AS xhat
+        FROM codes c JOIN steps s USING (i)
+    ),
+    anorm AS (SELECT vec_id, sqrt(SUM(xhat * xhat)) AS approx_norm FROM deq GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 10),
+    qn AS (
+        SELECT query_id,
+               sqrt(CAST(SUM(CAST(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS q_norm
+        FROM q, range(1, 65) r(i)
+        GROUP BY query_id
+    ),
+    cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.qv
+        FROM q JOIN embeddings e ON q.label = e.label AND e.vec_id <> q.query_id
+    ),
+    adot AS (
+        SELECT c.query_id, c.neighbor_id, SUM(CAST(c.qv[d.i] AS DOUBLE) * d.xhat) AS adot
+        FROM cand c JOIN deq d ON d.vec_id = c.neighbor_id
+        GROUP BY c.query_id, c.neighbor_id
+    ),
+    approx AS (
+        SELECT a.query_id, a.neighbor_id,
+               ROUND(a.adot / (qn.q_norm * an.approx_norm), 9) AS approx_sim
+        FROM adot a
+        JOIN qn USING (query_id)
+        JOIN anorm an ON an.vec_id = a.neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY approx_sim DESC, neighbor_id) AS srank
+              FROM approx)
+        WHERE srank <= 12
+    ),
+    pairs AS (
+        SELECT s.query_id, s.neighbor_id, q.qv, e.embedding AS cv
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN embeddings e ON e.vec_id = s.neighbor_id
+    ),
+    terms AS ({_COS_TERMS}),
+    scored AS (
+        SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms
+    )
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    extra=True,  # X3 quantized serving path; driver rows stay the three KNN/cosine
+    # queries above — exactness of this one is held by the extra-query CI gate
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN serving path (X3 at 100 TB): SQ8 int8 codes are the
+    scored index (4× smaller than float32 — the footprint that decides
+    whether the index fits cluster RAM), asymmetric scoring shortlists 4×k
+    per query, and only the shortlist touches the float vectors for a
+    decimal-exact rerank.  Emitted cos_sim values are bit-identical to the
+    brute-force path; quantization can only affect which candidates reach
+    the rerank, and that loss is measured (tests/test_extensions.py recall
+    tests, figures in COVERAGE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lo, hi = train_sq8_bounds(emb)
+    return knn_sq8(emb.filter(F.col("vec_id") < 10), emb, k=3, lo=lo, hi=hi, bucket_col="label")
 
 
 @register(

@@ -162,6 +162,97 @@ def test_ivf_recall_at_k_on_sf_corpus(spark, sf_med):
     assert got[1] > label_recall + 0.2
 
 
+def test_sq8_codes_schema_and_roundtrip(spark):
+    """SQ8 codes must be genuine array<tinyint> (the 4x footprint claim) and
+    dequantization must reconstruct within step/2 per element; a constant
+    dimension reconstructs exactly."""
+    from etl_cloud_logistics_spark.operators.similarity import (
+        _sq8_steps,
+        dequantize_sq8,
+        quantize_sq8,
+        train_sq8_bounds,
+    )
+
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 1.0, 5.0]),
+        (2, [0.25, 0.3, 5.0]),   # third dim constant across the corpus
+        (3, [0.75, -0.4, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lo, hi = train_sq8_bounds(emb)
+    assert lo == [0.0, -1.0, 5.0] and hi == [1.0, 1.0, 5.0]
+    steps = _sq8_steps(lo, hi)
+    coded = emb.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        quantize_sq8(F.col("embedding"), lo, hi).alias("codes"),
+    )
+    assert dict(coded.dtypes)["codes"] == "array<tinyint>"
+    out = coded.select(
+        "orig", "codes", dequantize_sq8(F.col("codes"), lo, hi).alias("xhat")
+    ).collect()
+    for r in out:
+        for x, c, xh, st in zip(r.orig, r.codes, r.xhat, steps):
+            assert -128 <= c <= 127
+            assert abs(xh - x) <= st / 2 + 1e-9
+        assert r.xhat[2] == 5.0  # constant dim: code -128, exact lo
+
+
+def test_sq8_full_shortlist_equals_float_path(spark, sf_med):
+    """With a shortlist covering every candidate, the SQ8 path's rerank sees
+    exactly what the float IVF path scores — results must be IDENTICAL
+    (same ids, bit-same rounded cosines).  Proves the rerank emits exact
+    scores and quantization only ever gates shortlist membership."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_ivf,
+        knn_sq8,
+        train_sq8_bounds,
+    )
+
+    emb = load_table(spark, sf_med, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    lo, hi = train_sq8_bounds(emb)
+    sq8 = knn_sq8(
+        queries, emb, k=3, lo=lo, hi=hi, shortlist=10**6, bucket_col="label"
+    )
+    flt = knn_ivf(queries, emb, k=3)
+    assert sq8.exceptAll(flt).count() == 0 and flt.exceptAll(sq8).count() == 0
+
+
+def test_sq8_recall_on_sf_corpus(spark, sf_med):
+    """Recall@3 of the quantized serving path (trained IVF buckets + SQ8
+    shortlist + exact rerank) vs brute force on the sf0.01 corpus.  The
+    contract: quantization with a 4x-k shortlist costs (almost) no recall
+    over the float IVF path at the same nprobe — the loss budget is 0.05."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_ivf_trained,
+        knn_sq8,
+        recall_at_k,
+        train_ivf_centroids,
+        train_sq8_bounds,
+    )
+
+    emb = load_table(spark, sf_med, "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(queries, emb, k=3).persist()
+    exact.count()
+    cents = train_ivf_centroids(emb, n_clusters=8, n_iter=3)
+    lo, hi = train_sq8_bounds(emb)
+    r_float = recall_at_k(
+        knn_ivf_trained(queries, emb, k=3, centroids=cents, nprobe=2), exact
+    ).agg(F.avg("recall")).first()[0]
+    r_sq8 = recall_at_k(
+        knn_sq8(queries, emb, k=3, lo=lo, hi=hi, centroids=cents, nprobe=2), exact
+    ).agg(F.avg("recall")).first()[0]
+    print(f"sf0.01 recall@3 nprobe=2 — float IVF: {r_float:.3f}; SQ8+rerank: {r_sq8:.3f}")
+    emb.unpersist()
+    exact.unpersist()
+    assert r_sq8 >= r_float - 0.05
+
+
 def test_multimodal_plumbing(spark, sf_small):
     from etl_cloud_logistics_spark.catalog import load_table
 
