@@ -90,37 +90,53 @@ def _manifest_name(version: int) -> str:
     return f"{version:0{_MANIFEST_WIDTH}d}.json"
 
 
-def _dir_stats(path: str, cols: list[str]) -> dict[str, list] | None:
-    """Min/max of ``cols`` across every parquet file in ``path``, read from
-    the row-group footers alone — no data scan, the same metadata a Delta
-    writer records in its add-file actions.  Returns None when any column
-    is absent, has no footer stats, or is of a type that does not
-    JSON-round-trip safely (then the directory is never skipped)."""
+def _collect_stats(
+    path: str, cols: list[str]
+) -> tuple[dict[str, list] | None, dict[str, dict] | None]:
+    """Min/max of ``cols`` from the parquet row-group footers alone — no
+    data scan, the same metadata a Delta writer records in its add-file
+    actions.  Returns (directory-level ranges, per-file ranges); both are
+    None when any column is absent, has no footer stats, or is of a type
+    that does not JSON-round-trip safely (then nothing is ever skipped —
+    degrades to a full read, never wrong).  Per-file ranges are what
+    ``read_pruned`` skips individual files with; the directory envelope is
+    what ``merge`` decides rewrites with."""
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    per_file: dict[str, dict] = {}
     try:
         names = [n for n in os.listdir(path) if n.endswith(".parquet")]
     except OSError:
-        return None
+        return None, None
     for name in names:
         meta = pq.ParquetFile(os.path.join(path, name)).metadata
         col_idx = {meta.schema.column(i).path: i for i in range(meta.num_columns)}
+        fmins: dict[str, object] = {}
+        fmaxs: dict[str, object] = {}
         for c in cols:
             idx = col_idx.get(c)
             if idx is None:
-                return None
+                return None, None
             for rg in range(meta.num_row_groups):
                 st = meta.row_group(rg).column(idx).statistics
                 if st is None or not st.has_min_max:
-                    return None
+                    return None, None
                 lo, hi = st.min, st.max
                 if not isinstance(lo, _STATS_TYPES) or isinstance(lo, bool):
-                    return None
+                    return None, None
+                fmins[c] = lo if c not in fmins else min(fmins[c], lo)
+                fmaxs[c] = hi if c not in fmaxs else max(fmaxs[c], hi)
                 mins[c] = lo if c not in mins else min(mins[c], lo)
                 maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+        if len(fmins) == len(cols):
+            per_file[name] = {c: [fmins[c], fmaxs[c]] for c in cols}
     if len(mins) != len(cols):
-        return None  # no row groups at all, or a column never appeared
-    return {c: [mins[c], maxs[c]] for c in cols}
+        return None, None  # no row groups at all, or a column never appeared
+    return {c: [mins[c], maxs[c]] for c in cols}, per_file
+
+
+def _dir_stats(path: str, cols: list[str]) -> dict[str, list] | None:
+    return _collect_stats(path, cols)[0]
 
 
 def _ranges_disjoint(file_stats: dict[str, list], bounds: dict[str, tuple]) -> bool:
@@ -200,31 +216,37 @@ class SnapshotTable:
         """Commit ``df`` as the next version.  ``overwrite`` replaces the
         file set; ``append`` adds a data directory and keeps the prior ones
         (the fact-table path: no existing file is read or touched).
-        ``stats_cols`` records per-directory min/max footer stats for those
-        columns in the manifest so a later ``merge`` on them can skip the
-        directory (pass the table's key columns)."""
+        ``stats_cols`` records min/max footer stats for those columns in the
+        manifest at both directory granularity (what ``merge`` skips whole
+        directories with) and per-file granularity (what ``read_pruned``
+        skips individual files with); pass the table's key columns."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_version()
         version = 0 if parent is None else parent + 1
         files = []
         stats: dict[str, dict] = {}
+        fstats: dict[str, dict] = {}
         if mode == "append" and parent is not None:
             manifest = self._read_manifest(parent)
             files = list(manifest["files"])
             stats = dict(manifest.get("stats", {}))
+            fstats = dict(manifest.get("file_stats", {}))
         rel = self._write_data(df, version, operation or mode)
         files.append(rel)
         if stats_cols:
-            dstat = _dir_stats(os.path.join(self.path, rel), stats_cols)
+            dstat, per_file = _collect_stats(os.path.join(self.path, rel), stats_cols)
             if dstat:
                 stats[rel] = dstat
+            if per_file:
+                fstats[rel] = per_file
         self._commit(version, {
             "version": version,
             "parent": parent,
             "operation": operation or mode,
             "files": files,
             "stats": stats,
+            "file_stats": fstats,
         })
         return version
 
@@ -257,20 +279,42 @@ class SnapshotTable:
         Spark pushes into the parquet scan), so a directory with missing or
         stale stats merely reads more data.  Point-lookup and key-range
         queries over a keyed state table touch O(matching files), not
-        O(table)."""
+        O(table).
+
+        Skipping runs at two granularities: whole directories via their
+        stats envelope, then individual parquet files inside a surviving
+        directory via the per-file ranges the writer recorded (tight when
+        the table was laid out with ``compact(cluster_by=...)``).  A
+        directory with no per-file entry reads whole — degrade, never
+        wrong."""
         latest = self.latest_version()
         if latest is None:
             raise FileNotFoundError(f"{self.path} has no committed version")
         pick = latest if version is None else version
         manifest = self._read_manifest(pick)
-        file_stats: dict[str, dict] = manifest.get("stats", {})
+        dir_stats: dict[str, dict] = manifest.get("stats", {})
+        per_file: dict[str, dict] = manifest.get("file_stats", {})
         keep = [
             rel
             for rel in manifest["files"]
-            if not (rel in file_stats and _ranges_disjoint(file_stats[rel], bounds))
+            if not (rel in dir_stats and _ranges_disjoint(dir_stats[rel], bounds))
         ]
-        if keep:
-            df = spark.read.parquet(*[os.path.join(self.path, rel) for rel in keep])
+        paths: list[str] = []
+        for rel in keep:
+            fstats = per_file.get(rel)
+            if fstats:
+                # the writer's per-file entry covers every parquet file in
+                # the (immutable) directory, so reading only the surviving
+                # file paths loses no rows
+                paths.extend(
+                    os.path.join(self.path, rel, name)
+                    for name, st in sorted(fstats.items())
+                    if not _ranges_disjoint(st, bounds)
+                )
+            else:
+                paths.append(os.path.join(self.path, rel))
+        if paths:
+            df = spark.read.parquet(*paths)
         else:
             # every file pruned: preserve the schema from one footer, no rows
             first = os.path.join(self.path, manifest["files"][0])
@@ -288,6 +332,7 @@ class SnapshotTable:
         min_dirs: int = 2,
         target_files: int = 4,
         stats_cols: list[str] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int | None:
         """Small-file compaction: rewrite the current version's data
         directories into one and commit the identical logical content as a
@@ -298,16 +343,26 @@ class SnapshotTable:
         time-travel (their manifests and directories are untouched until
         ``vacuum`` retires them).
 
-        No-op (returns None) when fewer than ``min_dirs`` directories exist.
-        ``stats_cols`` defaults to the columns already tracked in the
-        manifest stats, so merge file-skipping keeps working across
-        compaction.  OCC: the parent is pinned once; a racing commit
-        collides on the log slot and raises ``ConcurrentWriteError``."""
+        No-op (returns None) when fewer than ``min_dirs`` directories exist
+        (``cluster_by`` lowers the bar to 1: re-clustering a single
+        directory is useful work).  ``stats_cols`` defaults to the columns
+        already tracked in the manifest stats, plus ``cluster_by``, so
+        file-skipping keeps working across compaction.
+
+        ``cluster_by`` rewrites through ``layout.cluster_by_zorder``: each
+        output file covers one compact Morton-key range, so its recorded
+        per-file min/max is tight on EVERY clustering column and
+        ``read_pruned`` skips at file granularity on any of them — the
+        warehouse-native micro-partition clustering of the reference
+        (Snowflake, ``scripts/04_dimensional_model.sql:162-168``) rebuilt
+        from parquet footers + the manifest.  OCC: the parent is pinned
+        once; a racing commit collides on the log slot and raises
+        ``ConcurrentWriteError``."""
         parent = self.latest_version()
         if parent is None:
             return None
         manifest = self._read_manifest(parent)  # pinned — never re-fetched
-        if len(manifest["files"]) < min_dirs:
+        if len(manifest["files"]) < (1 if cluster_by else min_dirs):
             return None
         if stats_cols is None:
             prior = manifest.get("stats", {})
@@ -315,22 +370,34 @@ class SnapshotTable:
             for dstat in prior.values():
                 cols.update(dstat)
             stats_cols = sorted(cols)
+        if cluster_by:
+            stats_cols = sorted(set(stats_cols) | set(cluster_by))
         df = spark.read.parquet(
             *[os.path.join(self.path, rel) for rel in manifest["files"]]
         )
+        if cluster_by:
+            from .layout import cluster_by_zorder
+
+            df = cluster_by_zorder(df, cluster_by, target_files)
+        else:
+            df = df.repartition(target_files)
         version = parent + 1
-        rel = self._write_data(df.repartition(target_files), version, "compact")
+        rel = self._write_data(df, version, "compact")
         stats: dict[str, dict] = {}
+        fstats: dict[str, dict] = {}
         if stats_cols:
-            dstat = _dir_stats(os.path.join(self.path, rel), stats_cols)
+            dstat, per_file = _collect_stats(os.path.join(self.path, rel), stats_cols)
             if dstat:
                 stats[rel] = dstat
+            if per_file:
+                fstats[rel] = per_file
         self._commit(version, {
             "version": version,
             "parent": parent,
             "operation": "compact",
             "files": [rel],
             "stats": stats,
+            "file_stats": fstats,
         })
         return version
 
@@ -367,13 +434,16 @@ class SnapshotTable:
         if parent is None:
             merged = _merge_latest(None, updates, keys, version_col)
             rel = self._write_data(merged, 0, "merge")
-            stats = {}
-            dstat = _dir_stats(os.path.join(self.path, rel), keys)
+            stats: dict[str, dict] = {}
+            fstats: dict[str, dict] = {}
+            dstat, per_file = _collect_stats(os.path.join(self.path, rel), keys)
             if dstat:
                 stats[rel] = dstat
+            if per_file:
+                fstats[rel] = per_file
             self._commit(0, {
                 "version": 0, "parent": None, "operation": "merge",
-                "files": [rel], "stats": stats,
+                "files": [rel], "stats": stats, "file_stats": fstats,
             })
             return 0
         manifest = self._read_manifest(parent)  # pinned — never re-fetched
@@ -397,16 +467,21 @@ class SnapshotTable:
         merged = _merge_latest(existing, updates, keys, version_col)
         version = parent + 1
         rel = self._write_data(merged, version, "merge")
+        parent_fstats: dict[str, dict] = manifest.get("file_stats", {})
         stats = {r: file_stats[r] for r in kept}
-        dstat = _dir_stats(os.path.join(self.path, rel), keys)
+        fstats = {r: parent_fstats[r] for r in kept if r in parent_fstats}
+        dstat, per_file = _collect_stats(os.path.join(self.path, rel), keys)
         if dstat:
             stats[rel] = dstat
+        if per_file:
+            fstats[rel] = per_file
         self._commit(version, {
             "version": version,
             "parent": parent,
             "operation": "merge",
             "files": kept + [rel],
             "stats": stats,
+            "file_stats": fstats,
         })
         return version
 
@@ -423,6 +498,7 @@ class SnapshotTable:
             "operation": f"restore-v{version}",
             "files": list(manifest["files"]),
             "stats": dict(manifest.get("stats", {})),
+            "file_stats": dict(manifest.get("file_stats", {})),
         })
         return new_version
 

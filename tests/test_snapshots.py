@@ -269,3 +269,92 @@ def test_compact_pinned_parent_detects_interleaved_commit(spark, tmp_path):
             t.compact(spark, target_files=1)
     finally:
         SnapshotTable.latest_version = orig
+
+
+# ---------------------------------------------------------------- file-level
+# skipping + z-order clustering (sources/layout.py)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Morton key: bit b of column j lands at position b*n+j — checked
+    against a pure-python interleave for a spread of bucket values."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.sources.layout import zorder_key
+
+    def py_morton(a, b):
+        out = 0
+        for bit in range(16):
+            out |= ((a >> bit) & 1) << (bit * 2)
+            out |= ((b >> bit) & 1) << (bit * 2 + 1)
+        return out
+
+    vals = [(0, 0), (1, 0), (0, 1), (65535, 0), (0, 65535), (12345, 54321)]
+    df = spark.createDataFrame(vals, "a long, b long").withColumn(
+        "z", zorder_key([F.col("a"), F.col("b")])
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    assert got == {(a, b): py_morton(a, b) for a, b in vals}
+
+
+def test_read_pruned_skips_files_inside_a_directory(spark, tmp_path):
+    """Per-file manifest stats: a point lookup inside one data directory
+    opens only the parquet file whose recorded range matches — file
+    granularity, not just directory granularity."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = _mk(spark, [(i, f"v{i}", 1) for i in range(30)]).repartitionByRange(3, "k")
+    t.write(df, stats_cols=["k"])
+    m = t._read_manifest(0)
+    rel = m["files"][0]
+    assert len(m["file_stats"][rel]) == 3  # every file has a recorded range
+    pruned = t.read_pruned(spark, {"k": (4, 4)})
+    assert len(pruned.inputFiles()) == 1
+    assert _rows(pruned, "k", "val") == [(4, "v4")]
+
+
+def test_read_pruned_dir_survives_but_all_files_pruned(spark, tmp_path):
+    """Bounds inside the directory envelope but between two files' ranges:
+    the directory survives dir-level skipping, every file is pruned, and
+    the schema-preserving empty path is taken."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = _mk(
+        spark, [(i, f"v{i}", 1) for i in list(range(0, 11)) + list(range(20, 31))]
+    ).repartitionByRange(2, "k")
+    t.write(df, stats_cols=["k"])
+    out = t.read_pruned(spark, {"k": (12, 18)})
+    assert out.count() == 0
+    assert out.columns == ["k", "val", "version"]
+
+
+def test_compact_cluster_by_prunes_on_every_clustered_column(spark, tmp_path):
+    """Z-order compaction: after compact(cluster_by=[k1, k2]) a bounded
+    read on EITHER column skips files — the multi-column locality a linear
+    sort cannot give (it prunes only its leading column)."""
+    from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    grid = spark.createDataFrame(
+        [(a, b, f"c{a}-{b}", 1) for a in range(16) for b in range(16)],
+        "k1 int, k2 int, val string, version int",
+    )
+    t.write(grid.repartition(1), stats_cols=["k1"])
+    v = t.compact(spark, target_files=4, cluster_by=["k1", "k2"])
+    assert v == 1
+    m = t._read_manifest(v)
+    rel = m["files"][0]
+    assert len(m["file_stats"][rel]) == 4
+    full = sorted(tuple(r) for r in t.read(spark).collect())
+    for bounds in ({"k1": (0, 3)}, {"k2": (0, 3)}):
+        pruned = t.read_pruned(spark, bounds)
+        assert len(pruned.inputFiles()) < 4, f"no file skipped for {bounds}"
+        col, (lo, hi) = next(iter(bounds.items()))
+        want = [r for r in full if lo <= r[0 if col == "k1" else 1] <= hi]
+        assert sorted(tuple(r) for r in pruned.collect()) == want
+
+
+def test_compact_cluster_by_allows_single_directory(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(_mk(spark, [(1, "a", 1), (2, "b", 1)]), stats_cols=["k"])
+    assert t.compact(spark, target_files=1, cluster_by=["k"]) == 1
+    assert t.compact(spark, target_files=1) is None  # plain compact: no-op at 1 dir
+    assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b")]
