@@ -651,3 +651,105 @@ def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[a-z0-9.]+@[a-z0-9.]+")).cast("int").alias("n_emails"),
         ((n_words >= 10) & (n_words <= 1000) & (rep <= 0.2)).alias("quality_pass"),
     )
+
+
+@register(
+    "bm25_retrieval_topk",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM tok)
+        WHERE w IN ('spark', 'vector', 'merge', 'stream')
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                           / (CAST(d.df AS DOUBLE) + 0.5))
+                    * t.tf * 2.2
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                    AS DECIMAL(20, 10)) AS term_score
+        FROM tf t
+        JOIN dfreq d USING (w)
+        JOIN dl l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+    ),
+    agg AS (SELECT doc_id, SUM(term_score) AS s, COUNT(*) AS n_terms_hit
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, CAST(n_terms_hit AS INT) AS n_terms_hit,
+           round(CAST(s AS DOUBLE), 4) AS score, rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY round(CAST(s AS DOUBLE), 4) DESC, doc_id) AS rnk
+        FROM agg
+    )
+    WHERE rnk <= 15
+    """,
+    extra=True,  # X4 relevance-ranking extra; the driver window is the
+    # 50-entry covering set, so this is CI-exact-gated like the other extras
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 4-term query over
+    the corpus: the text-retrieval shape an LLM-data pipeline uses for
+    decontamination probes and quality-targeted sampling.
+
+    Distributed layout: postings are built by explode -> filter to the query
+    terms BEFORE the tf agg (the filter prunes ~all token rows map-side, so
+    the shuffle carries only query-term postings); document frequencies and
+    the corpus stats row are tiny aggregates broadcast back onto the
+    postings; one hash-agg sums per-doc term scores.  Per-term scores pass
+    through DECIMAL(20,10) so the per-doc SUM is order-independent (the
+    addition order of a parallel double sum is not), then round to 4
+    decimals on output.  The final top-15 is rank-limited: Catalyst rewrites
+    the row_number-then-filter into Sort + LocalLimit(15)/GlobalLimit(15)
+    BELOW the window (verified in the optimized plan), so each partition
+    forwards 15 rows and the single-partition window ranks exactly 15 —
+    O(k x partitions) moves, not O(corpus).  avgdl is computed as exact
+    integer SUM/COUNT, never a parallel double mean."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "merge", "stream"]
+    tok = tokens(docs)
+    dl = tok.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "w").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    tfd = F.col("tf").cast("double")
+    idf = F.ln(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = tfd + F.lit(1.2) * (
+        F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = (idf * tfd * F.lit(2.2) / denom).cast("decimal(20,10)")
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(term_score).alias("s"), F.count("*").alias("n_terms_hit")
+    )
+    score = F.round(F.col("s").cast("double"), 4)
+    rn = F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+    return (
+        agg.select(
+            "doc_id",
+            F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+            score.alias("score"),
+        )
+        .withColumn("rnk", rn)
+        .filter(F.col("rnk") <= 15)
+    )
