@@ -19,6 +19,8 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -365,6 +367,7 @@ def neardup_components(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative min-label
     propagation: every doc's label converges to the smallest doc_id reachable
@@ -379,6 +382,17 @@ def neardup_components(
     ``moved`` flag off the already-checkpointed round result rather than
     joining old-vs-new labels, so each round costs one shuffle job plus one
     cheap scan.
+
+    ``checkpoint_dir`` selects the lineage-truncation mechanism.  ``None``
+    (default) uses ``localCheckpoint``: zero I/O, but the checkpoint blocks
+    live on executors, so a lost executor fails the job — fine on local[n]
+    and for short batch steps.  A path switches to RELIABLE checkpointing:
+    each round's labels are written to parquet under the path (two slots,
+    alternating, so a round never overwrites the files it is reading) and
+    read back, which survives executor loss on a real cluster — the
+    restart-safe choice for long iterative jobs at 100 TB.  Both mechanisms
+    keep the plan one-iteration deep; without truncation the final plan
+    nests every prior round's join and planning cost explodes.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -386,15 +400,22 @@ def neardup_components(
         .distinct()
         .persist()
     )
-    # localCheckpoint (not persist) each round: it TRUNCATES lineage, so the
-    # plan stays one-iteration deep instead of nesting every prior round —
-    # without it the final plan holds O(iterations²) joins and planning cost
-    # explodes.  (Caveat: checkpoint blocks live on executors; a lost
-    # executor fails the job — acceptable for an iterative batch step, and
-    # reliable checkpointing to the lake is the cluster-grade swap-in.)
-    labels = all_ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
-    ).localCheckpoint(eager=True)
+    chk_calls = 0
+
+    def checkpoint(df: DataFrame) -> DataFrame:
+        nonlocal chk_calls
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        # alternate between two slots: the write target is never a slot any
+        # live DataFrame still reads from (round i reads slot (i-1) % 2)
+        path = os.path.join(checkpoint_dir, f"labels-slot-{chk_calls % 2}")
+        chk_calls += 1
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    labels = checkpoint(
+        all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    )
     frontier = labels  # round 0: every initial label still needs propagating
     converged = False
     for _ in range(max_iter):
@@ -405,14 +426,13 @@ def neardup_components(
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        new_labels = checkpoint(
             labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
             .select(
                 "node",
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
                 F.coalesce(F.col("nlbl") < F.col("lbl"), F.lit(False)).alias("moved"),
             )
-            .localCheckpoint(eager=True)
         )
         labels = new_labels.select("node", "lbl")
         frontier = new_labels.filter("moved").select("node", "lbl")

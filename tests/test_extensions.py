@@ -366,3 +366,26 @@ def test_neardup_components_long_chain(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     out = {r["doc_id"]: r["component"] for r in neardup_components(pairs, nodes).collect()}
     assert out == {i: 0 for i in range(n)}
+
+
+def test_neardup_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation from localCheckpoint to
+    parquet round-trips (the executor-loss-safe mechanism for a real
+    cluster); results must be identical, including on the path-graph worst
+    case that exercises many alternating-slot rounds."""
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    n = 9
+    pairs = spark.createDataFrame(
+        [(i + 1, i) for i in range(n - 1)] + [(20, 21)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(20,), (21,)], "doc_id long"
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(
+            pairs, nodes, checkpoint_dir=str(tmp_path / "chk")
+        ).collect()
+    }
+    assert out == {**{i: 0 for i in range(n)}, 20: 20, 21: 20}
