@@ -347,6 +347,41 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantile_order_prices",
+    oracle=None,  # sketch quantiles are engine-specific (GK/KLL summaries)
+    extra=True,  # the exact-percentile driver row is percentile_order_prices;
+    # sketch accuracy is bound against it by pytest (tests/test_extensions.py)
+)
+def approx_quantile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-percentile query's 100 TB scale path: approx_percentile
+    (Greenwald-Khanna summary, accuracy 10000 -> error <= 1e-4 of rank) per
+    priority.  The sketch is a mergeable constant-memory partial aggregate —
+    map-side combine then one small merge per group, no per-key value
+    collection — which is why it is the form that survives high-cardinality
+    keys; the exact variant is the correctness anchor.  Values differ across
+    engines at the last rank, so the driver records rows-only; pytest bounds
+    each sketch quantile between the group's exact neighboring ranks."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile(
+                "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+            ).alias("q_sketch"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("q_sketch")[0].alias("p25"),
+            F.col("q_sketch")[1].alias("p50"),
+            F.col("q_sketch")[2].alias("p75"),
+            "n_orders",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "salted_agg_status",
     oracle="""
     SELECT o_orderstatus,

@@ -389,3 +389,37 @@ def test_neardup_components_reliable_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert out == {**{i: 0 for i in range(n)}, 20: 20, 21: 20}
+
+
+def test_approx_quantile_rank_bound(spark, sf_small):
+    """approx_percentile at accuracy=10000 guarantees rank error <= n/10000
+    per group; assert each sketch quantile's true rank lands within that
+    bound (+1 for interpolation slack) of the target rank, per priority."""
+    from etl_cloud_logistics_spark.queries import REGISTRY, _load_all
+    from etl_cloud_logistics_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    _load_all()
+    sketch = {
+        r["o_orderpriority"]: r
+        for r in REGISTRY["approx_quantile_order_prices"].fn(spark, sf_small).collect()
+    }
+    orders = load_table(spark, sf_small, "orders")
+    for prio, row in sketch.items():
+        vals = sorted(
+            v[0] for v in orders.filter(F.col("o_orderpriority") == prio)
+            .select("o_totalprice").collect()
+        )
+        n = len(vals)
+        assert n == row["n_orders"]
+        slack = n / 10000 + 1
+        for frac, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            import bisect
+            lo_rank = bisect.bisect_left(vals, row[col])
+            hi_rank = bisect.bisect_right(vals, row[col])
+            target = frac * (n - 1)
+            # the sketch value occupies ranks [lo_rank, hi_rank); the target
+            # rank must fall within `slack` of that span
+            assert lo_rank - slack <= target <= hi_rank - 1 + slack, (
+                prio, col, row[col], lo_rank, hi_rank, target
+            )
