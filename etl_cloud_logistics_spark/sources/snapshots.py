@@ -40,6 +40,13 @@ plain parquet:
   any commit that interleaves collides on the ``os.link`` slot-claim and
   raises ``ConcurrentWriteError`` — the lost-update window between "read
   snapshot" and "pick version" is closed by construction.
+- The LOG owns the table schema (Delta's rule): every manifest records the
+  version's full schema, readers apply it by name over the data files, and
+  evolution is ADDITIVE — a merge/append whose frame carries new columns
+  appends them (files committed earlier read them as NULL, no rewrite); a
+  type change to an existing column raises ``SchemaEvolutionError``.
+  Update rows that omit an old column set it NULL for the keys they win —
+  whole-row last-writer-wins, the row model of this sink.
 
 Scale notes (100 TB):
 - The log is tiny (one small JSON per commit) regardless of table size;
@@ -70,6 +77,7 @@ from collections.abc import Callable
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .upsert import _merge_latest
 
@@ -86,8 +94,48 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+class SchemaEvolutionError(ValueError):
+    """An incoming schema changes the type of an existing column."""
+
+
+def _nullable(schema: StructType) -> StructType:
+    """All top-level fields nullable: after evolution, files committed
+    before a column existed read that column as NULL, so the table-level
+    contract for every column is nullable."""
+    out = StructType()
+    for f in schema.fields:
+        out = out.add(f.name, f.dataType, True)
+    return out
+
+
+def _merge_schemas(parent: StructType | None, new: StructType) -> StructType:
+    """Additive schema evolution (the Delta/Iceberg rule): parent columns
+    keep their position and type; columns new in ``new`` append at the end;
+    a type CHANGE to an existing column raises — rewriting history is a
+    different operation than evolving forward."""
+    if parent is None:
+        return _nullable(new)
+    merged = _nullable(parent)
+    by_name = {f.name: f for f in merged.fields}
+    for f in new.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            merged = merged.add(f.name, f.dataType, True)
+        elif have.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: {have.dataType.simpleString()} -> "
+                f"{f.dataType.simpleString()} is a type change, not an evolution"
+            )
+    return merged
+
+
 def _manifest_name(version: int) -> str:
     return f"{version:0{_MANIFEST_WIDTH}d}.json"
+
+
+def _schema_of(manifest: dict) -> StructType | None:
+    raw = manifest.get("schema")
+    return StructType.fromJson(raw) if raw else None
 
 
 def _collect_stats(
@@ -182,6 +230,20 @@ class SnapshotTable:
         with open(os.path.join(self.log_dir, _manifest_name(version))) as fh:
             return json.load(fh)
 
+    def _read_files(
+        self, spark: SparkSession, manifest: dict, paths: list[str]
+    ) -> DataFrame:
+        """Read data paths under the manifest's recorded table schema (the
+        log, not the files, owns the schema — Delta's rule): a file
+        committed before a column was added simply reads it as NULL, which
+        is what makes additive evolution work without rewriting history.
+        Manifests from before schema tracking fall back to footer
+        inference."""
+        schema = _schema_of(manifest)
+        if schema is not None:
+            return spark.read.schema(schema).parquet(*paths)
+        return spark.read.parquet(*paths)
+
     def _commit(self, version: int, manifest: dict) -> None:
         """Atomically claim ``version``: full temp write + fsync, then a
         hard link to the final name (atomic, fails-if-exists)."""
@@ -227,11 +289,14 @@ class SnapshotTable:
         files = []
         stats: dict[str, dict] = {}
         fstats: dict[str, dict] = {}
+        parent_schema: StructType | None = None
         if mode == "append" and parent is not None:
             manifest = self._read_manifest(parent)
             files = list(manifest["files"])
             stats = dict(manifest.get("stats", {}))
             fstats = dict(manifest.get("file_stats", {}))
+            parent_schema = _schema_of(manifest)
+        schema = _merge_schemas(parent_schema, df.schema)
         rel = self._write_data(df, version, operation or mode)
         files.append(rel)
         if stats_cols:
@@ -247,6 +312,7 @@ class SnapshotTable:
             "files": files,
             "stats": stats,
             "file_stats": fstats,
+            "schema": json.loads(schema.json()),
         })
         return version
 
@@ -260,7 +326,7 @@ class SnapshotTable:
         pick = latest if version is None else version
         manifest = self._read_manifest(pick)
         paths = [os.path.join(self.path, rel) for rel in manifest["files"]]
-        return spark.read.parquet(*paths)
+        return self._read_files(spark, manifest, paths)
 
     def read_pruned(
         self,
@@ -314,11 +380,11 @@ class SnapshotTable:
             else:
                 paths.append(os.path.join(self.path, rel))
         if paths:
-            df = spark.read.parquet(*paths)
+            df = self._read_files(spark, manifest, paths)
         else:
-            # every file pruned: preserve the schema from one footer, no rows
+            # every file pruned: preserve the schema, produce no rows
             first = os.path.join(self.path, manifest["files"][0])
-            df = spark.read.parquet(first).filter(F.lit(False))
+            df = self._read_files(spark, manifest, [first]).filter(F.lit(False))
         for c, (lo, hi) in bounds.items():
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo))
@@ -372,8 +438,9 @@ class SnapshotTable:
             stats_cols = sorted(cols)
         if cluster_by:
             stats_cols = sorted(set(stats_cols) | set(cluster_by))
-        df = spark.read.parquet(
-            *[os.path.join(self.path, rel) for rel in manifest["files"]]
+        df = self._read_files(
+            spark, manifest,
+            [os.path.join(self.path, rel) for rel in manifest["files"]],
         )
         if cluster_by:
             from .layout import cluster_by_zorder
@@ -398,6 +465,7 @@ class SnapshotTable:
             "files": [rel],
             "stats": stats,
             "file_stats": fstats,
+            "schema": manifest.get("schema") or json.loads(_nullable(df.schema).json()),
         })
         return version
 
@@ -444,6 +512,7 @@ class SnapshotTable:
             self._commit(0, {
                 "version": 0, "parent": None, "operation": "merge",
                 "files": [rel], "stats": stats, "file_stats": fstats,
+                "schema": json.loads(_nullable(merged.schema).json()),
             })
             return 0
         manifest = self._read_manifest(parent)  # pinned — never re-fetched
@@ -460,11 +529,31 @@ class SnapshotTable:
             if rel in file_stats and _ranges_disjoint(file_stats[rel], bounds)
         ]
         rewrite = [rel for rel in manifest["files"] if rel not in kept]
+        # rewrite dirs read under the PARENT's recorded schema, so files
+        # predating an earlier evolution present their missing columns as
+        # NULL before this merge's own evolution applies on top
         existing = (
-            spark.read.parquet(*[os.path.join(self.path, rel) for rel in rewrite])
+            self._read_files(
+                spark, manifest,
+                [os.path.join(self.path, rel) for rel in rewrite],
+            )
             if rewrite else None
         )
         merged = _merge_latest(existing, updates, keys, version_col)
+        # additive evolution validated against the parent schema (a type
+        # change raises before anything is written).  The committed schema
+        # is parent-columns-first plus appended new columns — computed from
+        # the PARENT manifest, not merged.schema alone, because when every
+        # parent directory is key-disjoint (kept) the merged frame is just
+        # the updates and would otherwise drop parent-only columns
+        parent_schema = _schema_of(manifest)
+        if parent_schema is None and manifest["files"]:
+            # pre-schema-tracking manifest: recover the parent schema from
+            # the parquet footers (driver-side metadata read only)
+            parent_schema = spark.read.parquet(
+                *[os.path.join(self.path, r) for r in manifest["files"]]
+            ).schema
+        schema = _merge_schemas(parent_schema, merged.schema)
         version = parent + 1
         rel = self._write_data(merged, version, "merge")
         parent_fstats: dict[str, dict] = manifest.get("file_stats", {})
@@ -482,6 +571,7 @@ class SnapshotTable:
             "files": kept + [rel],
             "stats": stats,
             "file_stats": fstats,
+            "schema": json.loads(schema.json()),
         })
         return version
 
@@ -499,6 +589,7 @@ class SnapshotTable:
             "files": list(manifest["files"]),
             "stats": dict(manifest.get("stats", {})),
             "file_stats": dict(manifest.get("file_stats", {})),
+            "schema": manifest.get("schema"),
         })
         return new_version
 

@@ -64,7 +64,19 @@ def _recover_interrupted_swap(target_path: str) -> None:
 
 
 def _merge_latest(existing: DataFrame | None, updates: DataFrame, keys: list[str], version_col: str) -> DataFrame:
-    all_rows = updates if existing is None else existing.unionByName(updates)
+    missing = [c for c in [*keys, version_col] if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates must carry key/version columns, missing {missing}")
+    # allowMissingColumns = schema evolution: a column present on only one
+    # side reads as NULL on the other.  Semantics are whole-row last-writer-
+    # wins (the row model of this sink), so an update row that wins a key
+    # but lacks an old column sets it NULL — documented, and what full-row
+    # CDC feeds produce; a newly added column is NULL for never-updated keys
+    all_rows = (
+        updates
+        if existing is None
+        else existing.unionByName(updates, allowMissingColumns=True)
+    )
     payload = [c for c in all_rows.columns if c not in keys]
     # one hash-agg: per key, take every payload column from the max-version
     # row (ties broken by the later union operand is NOT deterministic, so

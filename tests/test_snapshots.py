@@ -358,3 +358,47 @@ def test_compact_cluster_by_allows_single_directory(spark, tmp_path):
     assert t.compact(spark, target_files=1, cluster_by=["k"]) == 1
     assert t.compact(spark, target_files=1) is None  # plain compact: no-op at 1 dir
     assert _rows(t.read(spark), "k", "val") == [(1, "a"), (2, "b")]
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    """A merge whose updates carry a new column evolves the table schema
+    additively: kept (key-disjoint, untouched) files read the new column as
+    NULL, updated keys carry its values, and time travel to the pre-
+    evolution version still shows the old schema."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.merge(spark, _mk(spark, [(1, "a", 1), (2, "b", 1)]), ["k"], "version")
+    # second merge on a disjoint key range -> first directory will be kept
+    t.merge(spark, _mk(spark, [(100, "x", 1)]), ["k"], "version")
+    updates = spark.createDataFrame(
+        [(100, "x2", 2, "new")], "k int, val string, version int, tag string"
+    )
+    v = t.merge(spark, updates, ["k"], "version")
+    out = t.read(spark)
+    assert set(out.columns) == {"k", "val", "version", "tag"}
+    got = {r["k"]: (r["val"], r["tag"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 100: ("x2", "new")}
+    old = t.read(spark, version=v - 1)
+    assert "tag" not in old.columns
+
+
+def test_merge_rejects_type_change(spark, tmp_path):
+    from etl_cloud_logistics_spark.sources.snapshots import SchemaEvolutionError
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.merge(spark, _mk(spark, [(1, "a", 1)]), ["k"], "version")
+    bad = spark.createDataFrame([(1, 5, 2)], "k int, val int, version int")
+    with pytest.raises(SchemaEvolutionError):
+        t.merge(spark, bad, ["k"], "version")
+    assert t.latest_version() == 0  # nothing committed
+
+
+def test_merge_update_missing_column_nulls_won_rows(spark, tmp_path):
+    """Whole-row last-writer-wins: an update row that omits an existing
+    column sets it NULL for the keys it wins; other keys keep their
+    values."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.merge(spark, _mk(spark, [(1, "a", 1), (2, "b", 1)]), ["k"], "version")
+    slim = spark.createDataFrame([(2, 9)], "k int, version int")
+    t.merge(spark, slim, ["k"], "version")
+    got = {r["k"]: (r["val"], r["version"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", 1), 2: (None, 9)}
