@@ -399,6 +399,7 @@ class SnapshotTable:
         target_files: int = 4,
         stats_cols: list[str] | None = None,
         cluster_by: list[str] | None = None,
+        where: dict[str, tuple] | None = None,
     ) -> int | None:
         """Small-file compaction: rewrite the current version's data
         directories into one and commit the identical logical content as a
@@ -423,24 +424,41 @@ class SnapshotTable:
         (Snowflake, ``scripts/04_dimensional_model.sql:162-168``) rebuilt
         from parquet footers + the manifest.  OCC: the parent is pinned
         once; a racing commit collides on the log slot and raises
-        ``ConcurrentWriteError``."""
+        ``ConcurrentWriteError``.
+
+        ``where`` (``{col: (lo, hi)}``, either end ``None`` = unbounded)
+        scopes the rewrite (Delta's ``OPTIMIZE ... WHERE``): only data
+        directories whose recorded stats INTERSECT the bounds are rewritten;
+        provably-disjoint directories carry into the new version untouched,
+        stats and all.  At 100 TB compaction always runs scoped — the
+        streaming merge fragments only the recent key range, so that is the
+        only range worth rewriting; a directory without stats counts as
+        intersecting (rewritten — degrade, never wrong)."""
         parent = self.latest_version()
         if parent is None:
             return None
         manifest = self._read_manifest(parent)  # pinned — never re-fetched
-        if len(manifest["files"]) < (1 if cluster_by else min_dirs):
+        dir_stats: dict[str, dict] = manifest.get("stats", {})
+        if where:
+            kept_dirs = [
+                rel for rel in manifest["files"]
+                if rel in dir_stats and _ranges_disjoint(dir_stats[rel], where)
+            ]
+        else:
+            kept_dirs = []
+        rewrite_dirs = [rel for rel in manifest["files"] if rel not in kept_dirs]
+        if len(rewrite_dirs) < (1 if cluster_by else min_dirs):
             return None
         if stats_cols is None:
-            prior = manifest.get("stats", {})
             cols: set[str] = set()
-            for dstat in prior.values():
+            for dstat in dir_stats.values():
                 cols.update(dstat)
             stats_cols = sorted(cols)
         if cluster_by:
             stats_cols = sorted(set(stats_cols) | set(cluster_by))
         df = self._read_files(
             spark, manifest,
-            [os.path.join(self.path, rel) for rel in manifest["files"]],
+            [os.path.join(self.path, rel) for rel in rewrite_dirs],
         )
         if cluster_by:
             from .layout import cluster_by_zorder
@@ -450,8 +468,9 @@ class SnapshotTable:
             df = df.repartition(target_files)
         version = parent + 1
         rel = self._write_data(df, version, "compact")
-        stats: dict[str, dict] = {}
-        fstats: dict[str, dict] = {}
+        parent_fstats: dict[str, dict] = manifest.get("file_stats", {})
+        stats = {r: dir_stats[r] for r in kept_dirs}
+        fstats = {r: parent_fstats[r] for r in kept_dirs if r in parent_fstats}
         if stats_cols:
             dstat, per_file = _collect_stats(os.path.join(self.path, rel), stats_cols)
             if dstat:
@@ -462,7 +481,7 @@ class SnapshotTable:
             "version": version,
             "parent": parent,
             "operation": "compact",
-            "files": [rel],
+            "files": kept_dirs + [rel],
             "stats": stats,
             "file_stats": fstats,
             "schema": manifest.get("schema") or json.loads(_nullable(df.schema).json()),

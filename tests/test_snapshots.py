@@ -402,3 +402,60 @@ def test_merge_update_missing_column_nulls_won_rows(spark, tmp_path):
     t.merge(spark, slim, ["k"], "version")
     got = {r["k"]: (r["val"], r["version"]) for r in t.read(spark).collect()}
     assert got == {1: ("a", 1), 2: (None, 9)}
+
+
+def test_compact_where_rewrites_only_intersecting_dirs(spark, tmp_path):
+    """Scoped compaction (OPTIMIZE ... WHERE): directories whose stats are
+    provably disjoint from the bounds carry into the new version untouched
+    (byte-identical, stats preserved); only intersecting directories are
+    rewritten.  Content is unchanged."""
+    import glob
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    # three key-disjoint directories via append writes with stats
+    for lo in (0, 100, 200):
+        t.write(
+            spark.createDataFrame(
+                [(lo + i, f"v{lo + i}", 1) for i in range(5)],
+                "k int, val string, version int",
+            ),
+            mode="append" if lo else "overwrite",
+            stats_cols=["k"],
+        )
+    before = t.read(spark).count()
+    m0 = t._read_manifest(t.latest_version())
+    cold = [r for r in m0["files"] if m0["stats"][r]["k"][1] < 100]
+    assert len(cold) == 1
+    snap = {
+        f: open(f, "rb").read()
+        for f in glob.glob(os.path.join(str(tmp_path / "tbl"), cold[0], "*"))
+    }
+    v = t.compact(spark, min_dirs=2, where={"k": (100, None)})
+    assert v is not None
+    m1 = t._read_manifest(v)
+    # the cold directory is referenced unchanged, with its stats
+    assert cold[0] in m1["files"]
+    assert m1["stats"][cold[0]] == m0["stats"][cold[0]]
+    # and its bytes are untouched
+    for f, blob in snap.items():
+        assert open(f, "rb").read() == blob
+    # the two hot directories collapsed into one new directory
+    assert len(m1["files"]) == 2
+    assert t.read(spark).count() == before
+    assert _rows(t.read(spark), "k", "val") == _rows(
+        t.read(spark, version=v - 1), "k", "val"
+    )
+
+
+def test_compact_where_noop_when_nothing_intersects(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(
+        spark.createDataFrame([(1, "a", 1)], "k int, val string, version int"),
+        stats_cols=["k"],
+    )
+    t.write(
+        spark.createDataFrame([(2, "b", 1)], "k int, val string, version int"),
+        mode="append",
+        stats_cols=["k"],
+    )
+    assert t.compact(spark, min_dirs=2, where={"k": (500, None)}) is None
