@@ -753,3 +753,55 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", rn)
         .filter(F.col("rnk") <= 15)
     )
+
+
+@register(
+    "unigram_lm_typicality",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ln(v.c / total.n) AS DECIMAL(20, 10)) AS logp
+        FROM tok t JOIN vocab v USING (w) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp,
+           (round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) < -6.0) AS atypical
+    FROM scored
+    GROUP BY doc_id
+    """,
+    extra=True,  # X4 statistical-LM filter extra; CI-exact-gated like the
+    # rest of the text battery (driver X4 row: doc_metrics)
+)
+def unigram_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model typicality score — the
+    CCNet/Gopher-style statistical filter: per document, the mean token
+    log-probability under the corpus's own unigram distribution; documents
+    far below the mass of the distribution (rare-token soup, boilerplate,
+    wrong-language fragments) flag ``atypical``.
+
+    Two shuffles at any scale: token-count agg (vocabulary-sized output)
+    and the per-doc score agg; the vocabulary rides back onto the token
+    stream as an equi-join (broadcast when it fits, shuffle-hash when not).
+    Per-token log-probs pass through DECIMAL(20,10) so the per-doc SUM is
+    independent of parallel addition order — the oracle-parity trick; a
+    production run keeps plain doubles and tolerates last-ulp drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", F.explode("ws").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    logp = F.ln(F.col("c") / F.col("n")).cast("decimal(20,10)")
+    scored = tok.join(vocab, "w").crossJoin(F.broadcast(total)).select(
+        "doc_id", logp.alias("logp")
+    )
+    avg = F.round(F.sum("logp").cast("double") / F.count("*"), 4)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        avg.alias("avg_logp"),
+        (avg < F.lit(-6.0)).alias("atypical"),
+    )
