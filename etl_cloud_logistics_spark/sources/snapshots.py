@@ -499,6 +499,7 @@ class SnapshotTable:
         updates: DataFrame,
         keys: list[str],
         version_col: str,
+        retries: int = 0,
     ) -> int:
         """File-level copy-on-write MERGE: last-writer-wins-by-
         ``version_col`` per key (same resolution as
@@ -510,6 +511,11 @@ class SnapshotTable:
         ``ConcurrentWriteError`` — no lost update is possible.  Retries are
         safe: nothing becomes visible before the final link, and an
         orphaned data directory is swept by ``vacuum`` once old enough.
+        ``retries`` > 0 REBASES automatically on collision (the Delta-writer
+        loop): re-pin the new latest version and redo the merge — correct
+        because MERGE commutes with any interleaved commit under per-key
+        last-writer-wins resolution; after ``retries`` rebases the final
+        ``ConcurrentWriteError`` propagates.
 
         Parent data directories whose manifest key stats prove they cannot
         contain any updated key are carried into the new version untouched
@@ -517,6 +523,11 @@ class SnapshotTable:
         resolved against ``updates`` with one ``max_by`` hash-agg, and
         rewritten as a single new directory whose stats are recorded in
         turn.  Requires the keyed-table invariant (module docstring)."""
+        for _ in range(retries):
+            try:
+                return self.merge(spark, updates, keys, version_col, retries=0)
+            except ConcurrentWriteError:
+                continue  # rebase: the next attempt re-pins the new latest
         parent = self.latest_version()
         if parent is None:
             merged = _merge_latest(None, updates, keys, version_col)

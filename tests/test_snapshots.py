@@ -459,3 +459,103 @@ def test_compact_where_noop_when_nothing_intersects(spark, tmp_path):
         stats_cols=["k"],
     )
     assert t.compact(spark, min_dirs=2, where={"k": (500, None)}) is None
+
+
+def test_merge_retries_rebase_on_collision(spark, tmp_path):
+    """retries=N rebases on a commit collision (the Delta-writer loop):
+    an interleaved commit between pin and commit makes the first attempt
+    lose the log-slot race; the rebase re-pins and lands on top, and both
+    writers' rows survive."""
+
+    class RacingTable(SnapshotTable):
+        """Injects a racing commit after this writer pins its parent:
+        _write_data runs mid-merge, so committing from a second handle
+        there lands exactly inside the pin->commit window."""
+
+        def __init__(self, path, racer_updates):
+            super().__init__(path)
+            self._racer_updates = racer_updates
+            self._raced = False
+
+        def _write_data(self, df, version, operation):
+            rel = super()._write_data(df, version, operation)
+            if not self._raced and operation == "merge" and version > 0:
+                self._raced = True
+                SnapshotTable(self.path).merge(
+                    df.sparkSession, self._racer_updates, ["k"], "version"
+                )
+            return rel
+
+    racer = _mk(spark, [(50, "racer", 1)])
+    t = RacingTable(str(tmp_path / "tbl"), racer)
+    t.merge(spark, _mk(spark, [(1, "a", 1)]), ["k"], "version")
+
+    # without retries the lost race surfaces
+    with pytest.raises(ConcurrentWriteError):
+        t.merge(spark, _mk(spark, [(2, "b", 1)]), ["k"], "version")
+    # with retries the rebase lands on top of the racer's commit
+    t2 = RacingTable(str(tmp_path / "tbl2"), racer)
+    t2.merge(spark, _mk(spark, [(1, "a", 1)]), ["k"], "version")
+    t2.merge(spark, _mk(spark, [(2, "b", 1)]), ["k"], "version", retries=2)
+    got = {r["k"]: r["val"] for r in t2.read(spark).collect()}
+    assert got == {1: "a", 2: "b", 50: "racer"}
+
+
+def test_snapshot_table_matches_model_under_random_op_sequences(spark, tmp_path):
+    """Model-based property test: random short sequences of merge /
+    append-of-new-keys / scoped-compact / restore, mirrored against a plain
+    dict model (key -> (val, version), last-writer-wins by version).  After
+    every op the table's read must equal the model; restore rolls both back
+    to a random earlier version."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("merge"),
+                  st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("append"), st.just(None)),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("restore"), st.just(None)),
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(ops=st.lists(op, min_size=1, max_size=5), data=st.data())
+    def run(ops, data):
+        import uuid
+
+        t = SnapshotTable(str(tmp_path / f"m-{uuid.uuid4().hex}"))
+        model: dict[int, tuple[str, int]] = {}
+        history: list[dict] = []
+        step = 0
+        fresh = 1000  # append path uses provably-new keys (the table contract)
+        for kind, arg in ops:
+            step += 1
+            if kind == "merge":
+                rows = [(k, f"v{step}-{v}", step) for k, v in arg.items()]
+                t.merge(spark, _mk(spark, rows), ["k"], "version", retries=0)
+                for k, v in arg.items():
+                    prev = model.get(k)
+                    if prev is None or step >= prev[1]:
+                        model[k] = (f"v{step}-{v}", step)
+            elif kind == "append":
+                if t.latest_version() is None:
+                    continue
+                rows = [(fresh, f"a{step}", step), (fresh + 1, f"a{step}", step)]
+                t.write(_mk(spark, rows), mode="append", stats_cols=["k"])
+                for k, _v, _s in rows:
+                    model[k] = (f"a{step}", step)
+                fresh += 2
+            elif kind == "compact":
+                t.compact(spark, min_dirs=2, where={"k": (0, 9)})
+            elif kind == "restore":
+                if not history:
+                    continue
+                pick = data.draw(st.integers(0, len(history) - 1), label="restore_to")
+                t.restore(pick)
+                model = dict(history[pick])
+            if t.latest_version() is not None:
+                history.append(dict(model))
+                got = {r["k"]: (r["val"], r["version"]) for r in t.read(spark).collect()}
+                assert got == model, f"divergence after {kind} at step {step}"
+
+    run()
