@@ -85,3 +85,48 @@ def test_column_pruning_reaches_scan(spark, sf_small):
     rest of the customer table."""
     plan = plan_of(spark, sf_small, "q01_fleet_composition")
     assert "ReadSchema: struct<c_mktsegment:string>" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join splitting is the engine's first line of defense for
+    fact-side hot keys (operators/skew.py docstring delegates the SMJ case
+    to it); prove the configured session actually splits: a 95%-hot-key
+    join under test-scale skew thresholds must mark the sort-merge join
+    skew=true in the final adaptive plan, and results must be exact."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50_000).select(
+        (F.col("id") % 1000).alias("k"), F.lit(1).alias("tag")
+    )
+    confs = {
+        # force the SMJ path and make the hot partition count as skewed at
+        # test scale; restore after — other tests rely on session defaults
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # execute the join's OWN QueryExecution (an action like count()
+        # builds a twin execution whose adaptive plan we would not see, and
+        # an operator above the join that requires a distribution makes AQE
+        # skip the split unless forceOptimizeSkewedJoin is on)
+        joined = big.join(small, "k")
+        n = joined._jdf.queryExecution().executedPlan().execute().count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        # exactness: hot key 7 matches 50 small rows; every 20th id keeps
+        # its own k and matches iff k < 1000 (each matching 50 small rows)
+        hot = 200_000 - 200_000 // 20
+        cold_matching = len(range(0, 1000, 20))
+        assert n == hot * 50 + cold_matching * 50
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
