@@ -559,3 +559,18 @@ def test_snapshot_table_matches_model_under_random_op_sequences(spark, tmp_path)
                 assert got == model, f"divergence after {kind} at step {step}"
 
     run()
+
+
+def test_foreach_batch_merge_evolves_schema_mid_stream(spark, tmp_path):
+    """A later micro-batch carrying a new column evolves the table through
+    the foreachBatch merge sink — the shape a CDC feed takes when the
+    upstream adds a field mid-stream."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    sink = foreach_batch_merge(t, keys=["k"], version_col="version")
+    sink(_mk(spark, [(1, "a", 1), (2, "b", 1)]), 0)
+    evolved = spark.createDataFrame(
+        [(2, "b2", 2, 0.5)], "k int, val string, version int, score double"
+    )
+    sink(evolved, 1)
+    got = {r["k"]: (r["val"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 0.5)}
