@@ -152,3 +152,170 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", F.size(F.split(F.lower("text"), " ")).cast("long")
     )
     return pack_sequences(docs, budget=256, n_buckets=8)
+
+
+@register(
+    "curation_pipeline_end2end",
+    oracle=f"""
+    WITH RECURSIVE tok0 AS (
+        SELECT doc_id, lang, source, text,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    rep AS (
+        SELECT doc_id, len(ws) AS n_tok, greatest(len(ws) - 2, 0) AS tg,
+               CASE WHEN len(ws) >= 3 THEN (
+                   SELECT COUNT(DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                   FROM (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) t
+               ) ELSE 0 END AS dg
+        FROM tok0
+    ),
+    q AS (
+        SELECT t.doc_id, t.lang, t.source, t.text, t.ws, r.n_tok
+        FROM tok0 t JOIN rep r USING (doc_id)
+        WHERE r.n_tok BETWEEN 10 AND 1000
+          AND (CASE WHEN r.tg > 0 THEN CAST(r.tg - r.dg AS DOUBLE) / r.tg
+                    ELSE 0 END) <= 0.2
+    ),
+    ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(lower(text))),
+    qe AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM qe, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+        ) t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE c.n_common / (sa.n + sb.n - c.n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    canon AS (
+        SELECT qe.doc_id, qe.lang, qe.source, qe.ws, qe.n_tok
+        FROM qe LEFT JOIN comp ON comp.doc_id = qe.doc_id
+        WHERE comp.doc_id IS NULL OR comp.component = qe.doc_id
+    ),
+    g4c AS (
+        SELECT DISTINCT c.doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        FROM canon c, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+        ) t
+        WHERE NOT (c.doc_id % 25 = 0)
+    ),
+    g4b AS (
+        SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        FROM tok0, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+        ) t
+        WHERE doc_id % 25 = 0
+    ),
+    contam AS (SELECT DISTINCT g4c.doc_id FROM g4c JOIN g4b USING (s)),
+    clean AS (
+        SELECT c.doc_id, c.lang, c.source, c.n_tok
+        FROM canon c
+        WHERE NOT (c.doc_id % 25 = 0)
+          AND c.doc_id NOT IN (SELECT doc_id FROM contam)
+    )
+    SELECT doc_id, lang, source,
+           CASE WHEN substr(md5('split:' || source), 1, 8) < '19999999' THEN 'val'
+                WHEN substr(md5('split:' || source), 1, 8) < '33333333' THEN 'test'
+                ELSE 'train' END AS split,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM clean
+    WHERE CASE lang
+               WHEN 'en' THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+               WHEN 'de' THEN TRUE
+               WHEN 'fr' THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < 'c0000000'
+               WHEN 'es' THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+               WHEN 'zh' THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+               ELSE FALSE END
+    """,
+    extra=True,  # pipeline composition showcase; every stage's operator
+    # already holds its own driver/CI row — this proves they COMPOSE, under
+    # one oracle spanning quality -> dedup -> canonical -> decontam -> split
+)
+def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-curation pipeline as ONE DataFrame program —
+    the core use case of this engine, assembled from the kit operators and
+    differential-tested end to end against a single oracle:
+
+    1. Gopher-style quality gate (10 <= n_words <= 1000, repeated-3-gram
+       ratio <= 0.2) — shuffle-free column expressions;
+    2. exact dedup by content hash (keep min doc_id per md5);
+    3. near-dup canonicalization: Jaccard-0.5 pairs over the survivors ->
+       connected components -> keep canonical docs only;
+    4. benchmark decontamination: drop training docs sharing any word
+       4-gram with the held-out bench subset (doc_id % 25 = 0), bench
+       grams broadcast, and drop the bench docs themselves;
+    5. leakage-safe md5 split on source + language-mixture downsampling.
+
+    Stage costs at 100 TB: (1) rides the corpus scan, (2) one narrow
+    hash-shuffle, (3) the documented pair-join + iteration (the only
+    super-linear stage, shingle-evidence-bounded), (4) broadcast probe,
+    (5) pure column expressions.  Output: one row per kept training doc."""
+    from ..operators.dedup import jaccard_pairs, neardup_components, shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    n_words = F.size(ws)
+    grams = F.when(
+        n_words >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n_words - 3),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.greatest(n_words - 2, F.lit(0))
+    rep = F.when(
+        total > 0,
+        (total - F.size(F.array_distinct(grams))).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+    q = docs.withColumn("n_tok", n_words.cast("long")).filter(
+        n_words.between(10, 1000) & (rep <= 0.2)
+    )
+    keep = q.groupBy(F.md5(F.lower("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    qe = q.join(keep.select("doc_id"), "doc_id").persist()
+    pairs = (
+        jaccard_pairs(shingles(qe), threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = neardup_components(pairs, nodes)
+    canon = qe.join(comp, "doc_id", "left").filter(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    )
+    bench_flag = F.col("doc_id") % 25 == 0
+    contam = contaminated_docs(
+        canon.filter(~bench_flag), docs.filter(bench_flag), n=4
+    ).select("doc_id")
+    clean = canon.filter(~bench_flag).join(contam, "doc_id", "left_anti")
+    out = split_assign(clean, "source", val=0.1, test=0.1)
+    out = mixture_sample(out, _MIX_RATES, group_col="lang", key_col="doc_id")
+    return out.filter("keep_mix").select("doc_id", "lang", "source", "split", "n_tok")
