@@ -805,3 +805,114 @@ def unigram_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg.alias("avg_logp"),
         (avg < F.lit(-6.0)).alias("atypical"),
     )
+
+
+@register(
+    "passage_dedup_chunks",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, ws[i] AS w,
+               CASE WHEN i >= 3
+                         AND substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 1) = '0'
+                    THEN 1 ELSE 0 END AS boundary
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, len(ws))) AS i
+        ) t
+    ),
+    chunked AS (
+        SELECT doc_id, i, w,
+               SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS chunk_id
+        FROM pos
+    ),
+    chunks AS (
+        SELECT doc_id, COALESCE(chunk_id, 0) AS chunk_id,
+               md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash,
+               COUNT(*) AS n_words
+        FROM chunked GROUP BY doc_id, COALESCE(chunk_id, 0)
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS keep_doc,
+           CAST(MIN(n_words) AS BIGINT) AS n_words
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    extra=True,  # X1/X2 passage-granularity extra; document-granularity
+    # dedup rows are driver-checked (dedup_exact_content, neardup_minhash_lsh)
+)
+def passage_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup via content-defined chunking — the crawl-overlap
+    shape document-granularity dedup misses: two distinct pages sharing a
+    boilerplate or quoted passage.  Chunk boundaries are CONTENT-DEFINED
+    (after any word whose trailing 3-gram md5 starts with '0' -> expected
+    chunk ~16 words), so insertions shift boundaries only locally and
+    shared passages chunk identically in different documents — the Rabin
+    fingerprinting idea from dedup storage systems, at word granularity.
+
+    Distributed shape: posexplode to the token stream, a PARTITION BY doc
+    running sum assigns chunk ids (partition-local window, never global),
+    one agg rebuilds chunk hashes, one agg groups identical chunks across
+    the corpus.  Everything is linear in corpus size; the cross-doc group
+    key is the 32-char chunk hash, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    tok = tokens(docs).select(
+        "doc_id", F.posexplode("ws").alias("i0", "w"),
+        F.col("ws").alias("ws_full"),
+    ).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "w",
+        F.when(
+            (F.col("i0") + 1 >= 3)
+            & (
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.col("ws_full")[F.col("i0") - 2],
+                            F.col("ws_full")[F.col("i0") - 1],
+                            F.col("ws_full")[F.col("i0")],
+                        ).cast("binary")
+                    ),
+                    1, 1,
+                )
+                == "0"
+            ),
+            1,
+        ).otherwise(0).alias("boundary"),
+    )
+    cum = W.partitionBy("doc_id").orderBy("i").rowsBetween(W.unboundedPreceding, -1)
+    chunked = tok.select(
+        "doc_id", "i", "w",
+        F.coalesce(F.sum("boundary").over(cum), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chunk_hash"),
+        F.count("*").alias("n_words"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("keep_doc"),
+            F.min("n_words").alias("n_words"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
