@@ -249,3 +249,108 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH ttok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    tdl AS (SELECT doc_id, len(ws) AS dl FROM ttok),
+    tstats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM tdl),
+    ttf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(ws) AS w FROM ttok)
+        WHERE w IN ('spark', 'vector', 'merge', 'stream')
+        GROUP BY doc_id, w
+    ),
+    tdf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM ttf GROUP BY w),
+    tscored AS (
+        SELECT t.doc_id,
+               CAST(ln(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                           / (CAST(d.df AS DOUBLE) + 0.5))
+                    * t.tf * 2.2
+                    / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                    AS DECIMAL(20, 10)) AS term_score
+        FROM ttf t JOIN tdf d USING (w) JOIN tdl l ON l.doc_id = t.doc_id
+        CROSS JOIN tstats s
+    ),
+    tagg AS (SELECT doc_id, SUM(term_score) AS s FROM tscored GROUP BY doc_id),
+    trank AS (
+        SELECT doc_id, rnk AS r_text FROM (
+            SELECT doc_id, row_number() OVER (
+                ORDER BY round(CAST(s AS DOUBLE), 4) DESC, doc_id) AS rnk
+            FROM tagg
+        ) WHERE rnk <= 15
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    pairs AS (SELECT query_id, neighbor_id, qv, cv FROM q, c WHERE neighbor_id <> query_id),
+    terms AS ({_COS_TERMS}),
+    vscored AS (SELECT neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms),
+    vrank AS (
+        SELECT neighbor_id AS doc_id, rnk AS r_vec FROM (
+            SELECT neighbor_id, row_number() OVER (
+                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+            FROM vscored
+        ) WHERE rnk <= 15
+    )
+    SELECT doc_id, CAST(r_text AS INT) AS r_text, CAST(r_vec AS INT) AS r_vec,
+           rrf, fused_rank
+    FROM (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+               round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.r_text), 0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0), 8) AS rrf,
+               row_number() OVER (
+                   ORDER BY round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.r_text), 0)
+                                  + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), 0), 8) DESC,
+                            COALESCE(t.doc_id, v.doc_id)) AS fused_rank
+        FROM trank t FULL JOIN vrank v ON t.doc_id = v.doc_id
+    )
+    WHERE fused_rank <= 10
+    """,
+    extra=True,  # retrieval-fusion extra; both constituent rankers hold
+    # their own oracle rows (bm25_retrieval_topk CI-gated,
+    # knn_bruteforce_cosine driver-checked)
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 keyword
+    top-15 and the exact-cosine vector top-15 (query = embedding 0) fused
+    by RRF (k=60) — the standard way a retrieval pipeline combines lexical
+    and semantic signals without score calibration, because RRF consumes
+    only RANKS, which are integers and therefore engine-exact even though
+    the underlying scores are floats.
+
+    Distributed shape: each side is its own already-scale-safe ranker; the
+    fusion is a full-outer join of two <=k-row frames followed by a top-10
+    over <=2k rows — free at any corpus size.  A missing side contributes
+    0 (standard RRF on rank union)."""
+    from pyspark.sql.window import Window as W
+
+    from .text_ops import bm25_retrieval_topk
+
+    text = bm25_retrieval_topk(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("r_text")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = knn_bruteforce(emb.filter(F.col("vec_id") == 0), emb, k=15).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_vec")
+    )
+    fused = text.join(vec, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_text")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_vec")), F.lit(0.0)),
+        8,
+    )
+    w = W.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "doc_id",
+            F.col("r_text").cast("int").alias("r_text"),
+            F.col("r_vec").cast("int").alias("r_vec"),
+            "rrf",
+            "fused_rank",
+        )
+    )
