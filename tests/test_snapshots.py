@@ -525,7 +525,10 @@ def test_snapshot_table_matches_model_under_random_op_sequences(spark, tmp_path)
 
         t = SnapshotTable(str(tmp_path / f"m-{uuid.uuid4().hex}"))
         model: dict[int, tuple[str, int]] = {}
-        history: list[dict] = []
+        # model snapshot per committed VERSION (compact can no-op and
+        # restore itself commits, so a flat list indexed by loop step would
+        # misalign with version numbers)
+        history: dict[int, dict] = {}
         step = 0
         fresh = 1000  # append path uses provably-new keys (the table contract)
         for kind, arg in ops:
@@ -550,11 +553,15 @@ def test_snapshot_table_matches_model_under_random_op_sequences(spark, tmp_path)
             elif kind == "restore":
                 if not history:
                     continue
-                pick = data.draw(st.integers(0, len(history) - 1), label="restore_to")
+                versions = sorted(history)
+                pick = versions[
+                    data.draw(st.integers(0, len(versions) - 1), label="restore_to")
+                ]
                 t.restore(pick)
                 model = dict(history[pick])
-            if t.latest_version() is not None:
-                history.append(dict(model))
+            latest = t.latest_version()
+            if latest is not None:
+                history[latest] = dict(model)
                 got = {r["k"]: (r["val"], r["version"]) for r in t.read(spark).collect()}
                 assert got == model, f"divergence after {kind} at step {step}"
 
