@@ -130,3 +130,22 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_no_registry_query_plans_a_cartesian_product(spark, sf_small):
+    """Blanket net over the WHOLE registry (driver surface + extras):
+    no query may plan a CartesianProduct.  Planning-only — no execution —
+    so a new query with a broken candidate join fails CI immediately.
+    (crossJoin against a broadcast side plans as BroadcastNestedLoopJoin,
+    which is the intended shape for tiny broadcast sides and stays
+    allowed; an unhinted cartesian blowup plans as CartesianProduct.)"""
+    offenders = []
+    for name in REGISTRY:
+        try:
+            plan = plan_of(spark, sf_small, name)
+        except Exception as e:  # a query that cannot even plan is its own failure
+            offenders.append((name, f"planning failed: {e}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct in plan"))
+    assert not offenders, offenders
