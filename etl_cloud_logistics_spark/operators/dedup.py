@@ -20,7 +20,10 @@ Scale design (100 TB corpus):
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,8 +107,13 @@ def jaccard_pairs(
         freq = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "s").drop("_df")
     # the shingle frame feeds the self-join (twice) and the size agg (once);
-    # persist so tokenize/shingle/distinct runs a single time
-    sh = sh.persist()
+    # persist so tokenize/shingle/distinct runs a single time.  If the caller
+    # passed an already-persisted frame, reuse it — the caller then owns the
+    # unpersist (the cache added here otherwise lives until session end,
+    # because this function returns a lazy frame and cannot know when it is
+    # consumed)
+    if sh.storageLevel == StorageLevel.NONE:
+        sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")
@@ -393,6 +401,14 @@ def neardup_components(
     restart-safe choice for long iterative jobs at 100 TB.  Both mechanisms
     keep the plan one-iteration deep; without truncation the final plan
     nests every prior round's join and planning cost explodes.
+
+    A ``checkpoint_dir`` may be shared between invocations (and with
+    concurrent jobs): each call namespaces its slots under a unique
+    per-invocation subdirectory, so a later call never overwrites the
+    parquet files backing a still-live result from an earlier one.  The
+    returned DataFrame lazily reads this invocation's final slot — the
+    files stay on disk for the life of the result; the stale intermediate
+    slot is cleaned up before returning.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -401,14 +417,22 @@ def neardup_components(
         .persist()
     )
     chk_calls = 0
+    run_dir = (
+        None
+        if checkpoint_dir is None
+        else os.path.join(checkpoint_dir, f"components-{uuid.uuid4().hex}")
+    )
+
+    def slot_path(i: int) -> str:
+        return os.path.join(run_dir, f"labels-slot-{i % 2}")
 
     def checkpoint(df: DataFrame) -> DataFrame:
         nonlocal chk_calls
-        if checkpoint_dir is None:
+        if run_dir is None:
             return df.localCheckpoint(eager=True)
         # alternate between two slots: the write target is never a slot any
         # live DataFrame still reads from (round i reads slot (i-1) % 2)
-        path = os.path.join(checkpoint_dir, f"labels-slot-{chk_calls % 2}")
+        path = slot_path(chk_calls)
         chk_calls += 1
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
@@ -440,6 +464,13 @@ def neardup_components(
             converged = True
             break
     edges.unpersist()
+    if run_dir is not None and chk_calls >= 2:
+        # the result reads slot (chk_calls-1) % 2; the alternate slot only
+        # backed intermediate rounds — remove it so shared checkpoint dirs
+        # don't accumulate stale files across invocations
+        stale = slot_path(chk_calls)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     if not converged:
         # labels still moved on the last round: a component with diameter >
         # max_iter would be silently split into bogus sub-components, and the

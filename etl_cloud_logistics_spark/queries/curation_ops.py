@@ -87,6 +87,9 @@ _MIX_RATES = {"en": 0.5, "de": 1.0, "fr": 0.75, "es": 0.25, "zh": 0.5}
                 ELSE FALSE END AS keep_mix
     FROM documents
     """,
+    extra=True,  # r4: rotated OUT of the driver window (green in r3); its
+    # split/sample logic is also driver-exercised inside
+    # curation_pipeline_end2end's final stage
 )
 def curation_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic curation battery: leakage-safe train/val/test split
@@ -250,9 +253,10 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN 'zh' THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
                ELSE FALSE END
     """,
-    extra=True,  # pipeline composition showcase; every stage's operator
-    # already holds its own driver/CI row — this proves they COMPOSE, under
-    # one oracle spanning quality -> dedup -> canonical -> decontam -> split
+    # r4: rotated INTO the driver window — the pipeline-composition flagship;
+    # every stage's operator also holds its own driver/CI row, and this row
+    # proves they COMPOSE under one oracle spanning quality -> dedup ->
+    # canonical -> decontam -> split
 )
 def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pretraining-curation pipeline as ONE DataFrame program —
@@ -297,8 +301,9 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     qe = q.join(keep.select("doc_id"), "doc_id").persist()
+    sh = shingles(qe).persist()
     pairs = (
-        jaccard_pairs(shingles(qe), threshold=0.5)
+        jaccard_pairs(sh, threshold=0.5)
         .select("doc_a", "doc_b")
         .persist()
     )
@@ -308,6 +313,16 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     comp = neardup_components(pairs, nodes)
+    # comp is eagerly checkpointed inside neardup_components, so nothing
+    # downstream depends on sh/pairs any more — release those caches here
+    # rather than leaking them for the session's life (registry-wide sweeps
+    # run this query alongside 86 others).  qe is released too: the final
+    # plan re-derives it (twice, via canon's two branches) when the caller
+    # materializes the result — a modest recompute traded for not holding
+    # corpus-sized cached partitions indefinitely.
+    sh.unpersist()
+    pairs.unpersist()
+    qe.unpersist()
     canon = qe.join(comp, "doc_id", "left").filter(
         F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
     )

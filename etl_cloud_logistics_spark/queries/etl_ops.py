@@ -458,6 +458,8 @@ def fact_build_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY d DESC
     LIMIT 5
     """,
+    extra=True,  # r4: rotated OUT of the driver window (green r1-r3); S3
+    # stays CI-exact-gated here
 )
 def nth_last_order_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-load watermark probe (S3, ref etl_pipeline.py:140-165:
@@ -489,6 +491,8 @@ def nth_last_order_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_orderkey % 100 = 0
     """,
+    extra=True,  # r4: rotated OUT of the driver window (green in r2+r3); the
+    # F-family scalars also ride every core-12 driver row
 )
 def derived_measures_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalar-function family the fact build uses (SURVEY.md §2.8 F8

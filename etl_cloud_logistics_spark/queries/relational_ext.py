@@ -79,6 +79,9 @@ def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     FROM customer
     WHERE c_mktsegment = 'BUILDING'
     """,
+    extra=True,  # r4: rotated OUT of the driver window (green in r2+r3) to
+    # make room for the round-3 flagship extensions; exactness now held by
+    # the extra-query CI gate like every other extra
 )
 def secure_view_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-parameterized row+column security (P9; ref 04:196-236's masked
@@ -210,6 +213,8 @@ def report_route_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_name <> b.n_name
     JOIN region r ON r.r_regionkey = a.n_regionkey
     """,
+    extra=True,  # r4: rotated OUT of the driver window (green in r2+r3);
+    # J11 stays CI-exact-gated here
 )
 def cross_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered pair enumeration (J11 — the reference builds all origin≠dest
@@ -447,6 +452,8 @@ def sql_entrypoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     UNPIVOT (val FOR measure IN (o_totalprice, priority_score))
     """,
+    extra=True,  # r4: rotated OUT of the driver window (green in r2+r3);
+    # §2.7 set-ops family keeps its driver row via set_ops_counts
 )
 def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt — the inverse of q12's pivot (wide measures → long

@@ -195,8 +195,8 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rank <= 3
     """,
-    extra=True,  # X3 quantized serving path; driver rows stay the three KNN/cosine
-    # queries above — exactness of this one is held by the extra-query CI gate
+    # r4: rotated INTO the driver window (X3 quantized serving path — the
+    # round-3 flagship; exactness previously held by the extra-query CI gate)
 )
 def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized ANN serving path (X3 at 100 TB): SQ8 int8 codes are the
@@ -308,9 +308,9 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE fused_rank <= 10
     """,
-    extra=True,  # retrieval-fusion extra; both constituent rankers hold
-    # their own oracle rows (bm25_retrieval_topk CI-gated,
-    # knn_bruteforce_cosine driver-checked)
+    # r4: rotated INTO the driver window (retrieval fusion — both constituent
+    # rankers also hold their own rows: bm25_retrieval_topk now driver-checked
+    # too, knn_bruteforce_cosine driver-checked)
 )
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion: the BM25 keyword

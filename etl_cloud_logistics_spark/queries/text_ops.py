@@ -567,13 +567,20 @@ def neardup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # pairs feeds four plan branches (edges forward+reversed, nodes a+b) —
     # without persist the whole shingle⋈shingle pair join runs four times
-    pairs = jaccard_pairs(shingles(docs), threshold=0.5).select("doc_a", "doc_b").persist()
+    sh = shingles(docs).persist()
+    pairs = jaccard_pairs(sh, threshold=0.5).select("doc_a", "doc_b").persist()
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    return neardup_components(pairs, nodes)
+    comp = neardup_components(pairs, nodes)
+    # the component labels are eagerly checkpointed inside
+    # neardup_components, so the returned frame no longer depends on the
+    # caches — release them instead of leaking them for the session's life
+    sh.unpersist()
+    pairs.unpersist()
+    return comp
 
 
 @register(
@@ -608,8 +615,8 @@ def neardup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE 0.0 END <= 0.2) AS quality_pass
     FROM tok JOIN g ON tok.doc_id = g.doc_id
     """,
-    extra=True,  # X4 driver row is doc_metrics; this is the Gopher-style
-    # repetition/ratio/PII filter battery, CI-exact-gated
+    # r4: rotated INTO the driver window — the Gopher-style repetition/ratio/
+    # PII filter battery joins doc_metrics as a second X4 driver row
 )
 def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition- and ratio-based quality/safety filters (the
@@ -690,8 +697,8 @@ def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 15
     """,
-    extra=True,  # X4 relevance-ranking extra; the driver window is the
-    # 50-entry covering set, so this is CI-exact-gated like the other extras
+    # r4: rotated INTO the driver window (X4 relevance ranking — round-3
+    # flagship, previously CI-exact-gated as an extra)
 )
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 4-term query over
@@ -845,8 +852,8 @@ def unigram_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY chunk_hash
     HAVING COUNT(DISTINCT doc_id) > 1
     """,
-    extra=True,  # X1/X2 passage-granularity extra; document-granularity
-    # dedup rows are driver-checked (dedup_exact_content, neardup_minhash_lsh)
+    # r4: rotated INTO the driver window — passage-granularity dedup joins the
+    # document-granularity rows (dedup_exact_content, neardup_minhash_lsh)
 )
 def passage_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Passage-level dedup via content-defined chunking — the crawl-overlap

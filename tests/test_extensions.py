@@ -391,6 +391,29 @@ def test_neardup_components_reliable_checkpoint(spark, tmp_path):
     assert out == {**{i: 0 for i in range(n)}, 20: 20, 21: 20}
 
 
+def test_neardup_components_shared_checkpoint_dir_is_safe(spark, tmp_path):
+    """Two invocations may share one checkpoint_dir: slots are namespaced
+    per invocation, so the second call must not overwrite the parquet files
+    backing the first call's still-live (lazily-read) result — collecting
+    result A AFTER running call B must still give A's labels."""
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    chk = str(tmp_path / "shared-chk")
+
+    def chain(lo: int, n: int):
+        pairs = spark.createDataFrame(
+            [(lo + i + 1, lo + i) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        nodes = spark.createDataFrame([(lo + i,) for i in range(n)], "doc_id long")
+        return neardup_components(pairs, nodes, checkpoint_dir=chk)
+
+    first = chain(0, 9)
+    second = chain(100, 5)  # would clobber first's slots without namespacing
+    assert {r["component"] for r in second.collect()} == {100}
+    out = {r["doc_id"]: r["component"] for r in first.collect()}
+    assert out == {i: 0 for i in range(9)}
+
+
 def test_approx_quantile_rank_bound(spark, sf_small):
     """approx_percentile at accuracy=10000 guarantees rank error <= n/10000
     per group; assert each sketch quantile's true rank lands within that

@@ -134,8 +134,12 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
 
 def test_no_registry_query_plans_a_cartesian_product(spark, sf_small):
     """Blanket net over the WHOLE registry (driver surface + extras):
-    no query may plan a CartesianProduct.  Planning-only — no execution —
-    so a new query with a broken candidate join fails CI immediately.
+    no query may plan a CartesianProduct, so a new query with a broken
+    candidate join fails CI immediately.  Mostly planning-only, but NOT
+    side-effect-free: building the eager iterative queries
+    (neardup_components_canonical, curation_pipeline_end2end) EXECUTES
+    their connected-components rounds (eager checkpoints + per-round count
+    actions) during plan construction — this test costs real compute.
     (crossJoin against a broadcast side plans as BroadcastNestedLoopJoin,
     which is the intended shape for tiny broadcast sides and stays
     allowed; an unhinted cartesian blowup plans as CartesianProduct.)"""
