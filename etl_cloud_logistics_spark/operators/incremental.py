@@ -23,10 +23,21 @@ AVG and other ratios are NOT maintained directly (they don't merge);
 they derive from sum/count at publish time — the same split Spark's own
 partial aggregation performs inside one job, lifted across jobs.
 
-Retractions (late deletes/updates of old facts) are out of scope here,
-as they are for the reference's insert-only fact feed; the state table
-is rebuilt for those (or the deltas carry compensating negative rows,
-which the same monoid merge absorbs).
+Retractions (late deletes/updates of old facts): the reference's feed is
+insert-only (``etl_pipeline.py:1100-1132``), but this module also
+maintains state under deletes/updates via :func:`refresh_ops` — delta
+rows carry an op sign (+1 insert, −1 retract; an update is retract-old +
+insert-new), and the signed partials flow through the SAME monoid merge,
+because count/sum partials form a commutative *group*: the retraction is
+the additive inverse, so mixed insert/retract maintenance stays
+O(|delta| + |groups|) and equals a full rebuild bit-for-bit (decimal
+partials, proven in tests/test_incremental.py and the
+``incremental_refresh_retractions`` oracle entry).  min/max are NOT
+retractable — they form a monoid but not a group (retracting the current
+minimum would need the full history to find the next one), so
+:func:`refresh_ops` rejects specs containing them; keep min/max views on
+the rebuild path or maintain them with an exact-percentile-style
+re-aggregation of affected groups.
 """
 
 from __future__ import annotations
@@ -90,6 +101,71 @@ def refresh(prev: DataFrame | None, delta: DataFrame, spec: AggSpec) -> DataFram
           for n, _, k in spec.measures]
     )
     return merged
+
+
+def _require_retractable(spec: AggSpec) -> None:
+    bad = [(n, k) for n, _, k in spec.measures if k not in ("count", "sum")]
+    if bad:
+        raise ValueError(
+            f"measures not retractable (monoid but not group): {bad}; "
+            "min/max state cannot absorb a compensating delta — maintain "
+            "those on the rebuild path"
+        )
+    if spec.measures[0][2] != "count":
+        raise ValueError(
+            "refresh_ops needs the FIRST measure to be a count over a "
+            "never-null column — it is the group-liveness counter that "
+            "decides when a fully-retracted group leaves the state"
+        )
+
+
+def partial_agg_ops(delta: DataFrame, spec: AggSpec, op_col: str = "_op") -> DataFrame:
+    """Signed partials from a delta whose rows carry ``op_col`` ∈ {+1, −1}
+    (+1 insert, −1 retract).  Same output schema as :func:`partial_agg`,
+    so the result merges into any existing state via the monoid merge."""
+    _require_retractable(spec)
+    op = F.col(op_col).cast("long")
+    aggs = []
+    for name, src, kind in spec.measures:
+        if kind == "count":
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col(src).isNotNull(), op)), F.lit(0).cast("long")
+                ).alias(name)
+            )
+        else:  # sum: negate in the exact decimal domain, then the usual SUM
+            aggs.append(
+                F.sum((F.col(src).cast(_DEC) * op).cast(_DEC)).alias(name)
+            )
+    return delta.groupBy(*spec.keys).agg(*aggs)
+
+
+def refresh_ops(
+    prev: DataFrame | None, delta: DataFrame, spec: AggSpec, op_col: str = "_op"
+) -> DataFrame:
+    """Fold a mixed insert/retract delta into the previous aggregate state.
+
+    ``delta`` rows carry ``op_col`` = +1 (insert) or −1 (retract a
+    previously inserted row; an UPDATE is the retraction of the old row
+    plus the insertion of the new one, in the same or a later delta).
+    Cost is identical to :func:`refresh` — one partial aggregation of the
+    delta plus a |groups|-sized merge; the fact history is never re-read.
+
+    A group whose liveness count (the spec's first measure) reaches zero
+    is dropped from the state, so the maintained table stays row-for-row
+    equal to a full rebuild over the surviving facts.  Feeds must be
+    consistent (never retract more than was inserted) — the standard IVM
+    contract; an over-retracting feed leaves a negative count, which this
+    filter also drops rather than publishing garbage."""
+    part = partial_agg_ops(delta, spec, op_col)
+    live = F.col(spec.measures[0][0]) > 0
+    if prev is None:
+        return part.filter(live)
+    merged = prev.unionByName(part).groupBy(*spec.keys).agg(
+        *[_MERGE["sum" if k == "count" else k](n).alias(n)
+          for n, _, k in spec.measures]
+    )
+    return merged.filter(live)
 
 
 def publish(state: DataFrame, spec: AggSpec) -> DataFrame:

@@ -601,3 +601,71 @@ def incremental_report_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "incremental_refresh_retractions",
+    oracle="""
+    WITH surv AS (
+        SELECT o_orderstatus, o_orderpriority, o_orderkey,
+               CASE WHEN o_orderkey % 10 IN (2, 3) THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 10 >= 2
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
+           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(o_orderkey), 2) AS avg_order
+    FROM surv
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    extra=True,  # X7 retraction path (r4); the insert-only driver row is
+    # incremental_report_refresh — this proves the same state absorbs
+    # deletes/updates, CI-exact-gated like the other extras
+)
+def incremental_refresh_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance under RETRACTIONS (deletes + updates of old
+    facts), the case the reference's insert-only feed never exercises
+    (``etl_pipeline.py:1100-1132`` would full-rebuild): day 1 backfills
+    orders with orderkey%10 < 8; day 2 delivers one mixed delta — new
+    inserts (%10 >= 8), deletes (%10 < 2), and updates (%10 in {2,3},
+    shipped as retract-old + insert-new with price+100).  The signed
+    partials flow through the SAME monoid merge (count/sum partials form a
+    group, so a retraction is an exact additive inverse in DECIMAL(38,6)),
+    and the oracle is the one-shot aggregate over the SURVIVING rows — so
+    the equality proven is delta-maintained state == full rebuild,
+    bit-for-bit, under a mixed insert/retract feed.  Cost per delta stays
+    O(|delta| + |groups|); the day-1 history is never re-read."""
+    from ..operators.incremental import AggSpec, publish, refresh, refresh_ops
+
+    orders = load_table(spark, sf_dir, "orders")
+    m10 = F.col("o_orderkey") % 10
+    spec = AggSpec(
+        keys=["o_orderstatus", "o_orderpriority"],
+        measures=[
+            ("n_orders", "o_orderkey", "count"),
+            ("spend_dec", "o_totalprice", "sum"),
+        ],
+        derived=[
+            ("total_spend", lambda df: F.round(F.col("spend_dec").cast("double"), 2)),
+            ("avg_order", lambda df: F.round(
+                F.col("spend_dec").cast("double") / F.col("n_orders"), 2)),
+        ],
+    )
+    state = refresh(None, orders.filter(m10 < 8), spec)
+    updated = orders.filter(m10.isin(2, 3))
+    ops = (
+        orders.filter(m10 >= 8).withColumn("_op", F.lit(1))          # inserts
+        .unionByName(orders.filter(m10 < 2).withColumn("_op", F.lit(-1)))  # deletes
+        .unionByName(updated.withColumn("_op", F.lit(-1)))           # update: retract old
+        .unionByName(                                                # update: insert new
+            updated.withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+            .withColumn("_op", F.lit(1))
+        )
+    )
+    state = refresh_ops(state, ops, spec)
+    return publish(state, spec).select(
+        "o_orderstatus", "o_orderpriority", "n_orders", "total_spend", "avg_order"
+    )

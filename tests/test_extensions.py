@@ -162,6 +162,61 @@ def test_ivf_recall_at_k_on_sf_corpus(spark, sf_med):
     assert got[1] > label_recall + 0.2
 
 
+def test_sq8_recall_at_k_on_sf_corpus(spark, sf_med):
+    """Recall@3 of the SQ8 serving path END-TO-END, including the quantized
+    shortlist cut the IVF-only figures don't cover (a true neighbor whose
+    approx_sim falls outside the top-``shortlist`` never reaches the exact
+    rerank — r3 VERDICT gap).  Two measurements at shortlist=4k:
+
+    - single global bucket → isolates the pure quantization loss of the
+      shortlist cut (no IVF routing loss mixed in);
+    - trained IVF + SQ8 at nprobe=1/2/4 → the full serving path, to compare
+      against the IVF-only 0.533/0.767/0.933 (equality means SQ8 adds ~0
+      incremental loss at 64-dim).  Figures recorded in COVERAGE.md."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_sq8,
+        recall_at_k,
+        train_ivf_centroids,
+        train_sq8_bounds,
+    )
+
+    emb = load_table(spark, sf_med, "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_bruteforce(queries, emb, k=3).persist()
+    exact.count()
+    lo, hi = train_sq8_bounds(emb)
+
+    one_bucket = emb.withColumn("b", F.lit(0))
+    shortlist_only = knn_sq8(
+        one_bucket.filter(F.col("vec_id") < 10), one_bucket, k=3,
+        lo=lo, hi=hi, bucket_col="b",
+    )
+    r_cut = recall_at_k(shortlist_only, exact).agg(F.avg("recall")).first()[0]
+
+    cents = train_ivf_centroids(emb, n_clusters=8, n_iter=3)
+    got = {}
+    for nprobe in (1, 2, 4):
+        approx = knn_sq8(
+            queries, emb, k=3, lo=lo, hi=hi, centroids=cents, nprobe=nprobe
+        )
+        got[nprobe] = recall_at_k(approx, exact).agg(F.avg("recall")).first()[0]
+    print(
+        f"sf0.01 SQ8 recall@3 (shortlist=4k) — quantized cut alone: {r_cut:.3f}; "
+        f"IVF+SQ8 nprobe=1/2/4: {got[1]:.3f}/{got[2]:.3f}/{got[4]:.3f}"
+    )
+    emb.unpersist()
+    exact.unpersist()
+    # the shortlist cut must be near-lossless: 12 quantized-score slots for
+    # 3 true neighbors leaves huge slack at 64-dim SQ8 error levels
+    assert r_cut >= 0.9
+    # end-to-end floors = the IVF-only floors (quantization adds ~0 loss)
+    assert got[1] >= 0.4
+    assert got[2] >= 0.6
+    assert got[4] >= 0.85
+    assert got[1] <= got[2] <= got[4]
+
+
 def test_sq8_codes_schema_and_roundtrip(spark):
     """SQ8 codes must be genuine array<tinyint> (the 4x footprint claim) and
     dequantization must reconstruct within step/2 per element; a constant

@@ -11,6 +11,7 @@ from etl_cloud_logistics_spark.operators.incremental import (
     foreach_batch_refresh,
     publish,
     refresh,
+    refresh_ops,
 )
 from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
 
@@ -71,6 +72,81 @@ def test_unmergeable_kind_rejected():
 
     with pytest.raises(ValueError):
         AggSpec(keys=["k"], measures=[("a", "v", "avg")])
+
+
+# count+sum only: the retractable (group, not just monoid) measure set
+RSPEC = AggSpec(
+    keys=["k"],
+    measures=[("n", "v", "count"), ("total_dec", "v", "sum")],
+    derived=[
+        ("total", lambda df: F.col("total_dec").cast("double")),
+        ("avg", lambda df: F.col("total_dec").cast("double") / F.col("n")),
+    ],
+)
+
+
+def _mk_ops(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double, _op int")
+
+
+def _rout(df):
+    return sorted(tuple(r) for r in df.select("k", "n", "total", "avg").collect())
+
+
+def test_retraction_refresh_equals_full_rebuild(spark):
+    """Mixed insert/retract/update feed: the maintained state must equal a
+    full rebuild over the SURVIVING rows bit-for-bit — the algebra claim
+    the module docstring makes (count/sum partials form a group, so the
+    compensating delta is an exact additive inverse in decimal)."""
+    base = [(i % 5, float(i) * 0.1 + 0.01) for i in range(200)]
+    state = refresh(None, _mk(spark, base), RSPEC)
+    # delta: delete every 7th row, update every 11th (retract old + insert
+    # new with v+1.0), insert 30 fresh rows — updates of deleted rows excluded
+    deleted = {i for i in range(200) if i % 7 == 0}
+    updated = {i for i in range(200) if i % 11 == 0} - deleted
+    ops = (
+        [(k, v, -1) for i, (k, v) in enumerate(base) if i in deleted]
+        + [(k, v, -1) for i, (k, v) in enumerate(base) if i in updated]
+        + [(k, v + 1.0, 1) for i, (k, v) in enumerate(base) if i in updated]
+        + [(i % 5, float(i), 1) for i in range(200, 230)]
+    )
+    state = refresh_ops(state, _mk_ops(spark, ops), RSPEC)
+    surviving = (
+        [(k, v) for i, (k, v) in enumerate(base) if i not in deleted and i not in updated]
+        + [(k, v + 1.0) for i, (k, v) in enumerate(base) if i in updated]
+        + [(i % 5, float(i)) for i in range(200, 230)]
+    )
+    assert _rout(publish(state, RSPEC)) == _rout(
+        publish(refresh(None, _mk(spark, surviving), RSPEC), RSPEC)
+    )
+
+
+def test_retraction_drops_fully_retracted_group(spark):
+    """Retracting every row of a group must remove its state row entirely
+    (a zero-count remnant would differ from a full rebuild row-for-row)."""
+    state = refresh(None, _mk(spark, [(1, 2.0), (1, 3.0), (2, 4.0)]), RSPEC)
+    state = refresh_ops(
+        state, _mk_ops(spark, [(1, 2.0, -1), (1, 3.0, -1)]), RSPEC
+    )
+    out = {r["k"]: (r["n"], r["total"]) for r in publish(state, RSPEC).collect()}
+    assert out == {2: (1, 4.0)}
+
+
+def test_retraction_rejects_minmax_measures(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not retractable"):
+        refresh_ops(
+            None,
+            _mk_ops(spark, [(1, 1.0, 1)]),
+            SPEC,  # SPEC carries min/max measures — monoid but not group
+        )
+    with pytest.raises(ValueError, match="liveness"):
+        refresh_ops(
+            None,
+            _mk_ops(spark, [(1, 1.0, 1)]),
+            AggSpec(keys=["k"], measures=[("total_dec", "v", "sum")]),
+        )
 
 
 def test_foreach_batch_refresh_folds_and_skips_replay(spark, tmp_path):
