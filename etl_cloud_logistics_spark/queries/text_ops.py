@@ -128,7 +128,18 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-shingle frequency cap ACTIVE (the operator's documented skew
     guard: without it one boilerplate shingle makes its join bucket
     quadratic).  The oracle applies the identical cap, so the comparison
-    stays bit-exact."""
+    stays bit-exact.
+
+    PLAN COST — this is the pedagogical exact baseline, NOT the scale path:
+    the r3 plan audit (EXPLAIN_AUDIT_r03.txt) measured 27 exchanges / 11
+    broadcast joins for this query, by far the heaviest plan in the
+    registry (the frequency-cap join, the shingle self-join and the two
+    size joins each shuffle the full exploded (doc, shingle) stream), vs 5
+    exchanges for ``neardup_minhash_lsh``, whose signatures shrink every
+    doc to n_hashes strings BEFORE any shuffle.  At 100 TB use
+    ``neardup_minhash_lsh`` (same pair semantics at threshold 0.5, exact
+    Jaccard verification of candidates only); reach for this operator only
+    to validate the LSH recall on a sample."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs(
         shingles(docs), threshold=0.5, max_shingle_freq=_JACCARD_MAX_SHINGLE_FREQ

@@ -12,8 +12,13 @@ equivalent is ``spark.read.jdbc`` with:
 - ``fetchsize``: server-side cursor batching (the ``executemany``-batching
   twin on the read side).
 
-No database ships in this environment, so this module only BUILDS the
-configured reader; tests cover the option plumbing, not a live connection.
+No external database server ships in this environment, but the option
+plumbing IS executed end-to-end against a live JDBC engine:
+``tests/test_sources.py::test_jdbc_live_roundtrip_embedded_derby`` writes
+and partition-reads through Apache Derby's embedded driver (bundled with
+the pyspark distribution), asserting one range query per partition and
+filter pushdown into the JDBC source.  Against Postgres, only ``url`` and
+``driver`` change.
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ the reference lacks; SURVEY.md §2.9)."""
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import time
 import uuid
@@ -452,3 +453,66 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path_fac
     assert sorted(ids) == sorted(
         r["event_id"] for r in events.dropDuplicates(["event_id"]).collect()
     )
+
+
+def test_dedup_stream_state_is_watermark_bounded(spark, tmp_path_factory):
+    """The documented reason dedup_stream uses dropDuplicatesWithinWatermark
+    (streaming/jobs.py): dedup state must be EVICTED once the event-time
+    watermark passes it, so state size plateaus at the watermark horizon
+    instead of growing with every key ever seen (a plain dropDuplicates
+    would OOM a 100 TB ingest).  Six micro-batches of 100 fresh keys each,
+    2 h apart, watermark 1 h: numRowsTotal must stay bounded by ~2 batches
+    (current + the not-yet-evicted previous), never approach the 600-key
+    cumulative total, and must not grow after the plateau is reached."""
+    import datetime
+    import os
+
+    from etl_cloud_logistics_spark.catalog import SCHEMAS
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        dedup_stream,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    base = str(tmp_path_factory.mktemp("dedup_state_src"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    n_batches, per_batch = 6, 100
+    for b in range(n_batches):
+        rows = [
+            (
+                b * per_batch + i,                       # fresh event_id
+                t0 + datetime.timedelta(hours=2 * b, seconds=i),
+                i % 10,
+                "ping",
+                1.0,
+                "{}",
+            )
+            for i in range(per_batch)
+        ]
+        df = spark.createDataFrame(rows, SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{b}")
+        src = [f for f in os.listdir(f"{base}/_tmp_{b}") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp_{b}/{src}", f"{base}/chunk_{b}.parquet")
+
+    stream = read_event_stream(spark, base)  # maxFilesPerTrigger=1
+    q = run_stream_to_memory(
+        dedup_stream(stream, watermark="1 hour"),
+        "dedup_state_out",
+        _ckpt(tmp_path_factory),
+    )
+    try:
+        out = spark.sql("SELECT event_id FROM dedup_state_out").count()
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (json.loads(pj.json) for pj in q.recentProgress)
+            if p.get("stateOperators") and p["stateOperators"][0]["numRowsUpdated"] > 0
+        ]
+    finally:
+        q.stop()
+    assert out == n_batches * per_batch  # all fresh keys pass the dedup
+    assert len(totals) >= n_batches - 1
+    # bounded: never holds more than two batches' worth of keys, and the
+    # plateau holds once eviction kicks in — no monotone growth toward 600
+    assert max(totals) <= 2 * per_batch, totals
+    assert totals[-1] <= 2 * per_batch, totals
+    assert max(totals[2:]) <= max(totals[:2]), totals
