@@ -5,11 +5,17 @@ runs its DuckDB oracle twin over the same parquet, and compares
 row-count + column names/types + order-insensitive values (exact —
 stricter than any hash the driver uses).
 
-Usage:  python tools/verify_local.py [name-substring ...]
+Usage:  python tools/verify_local.py [name-substring ...] [--json PATH]
+
+``--json PATH`` additionally writes one record per query (name, extra
+flag, row counts, schema/values match, seconds) — the committed
+per-round artifact (VERIFYLOCAL_r{N}.json) that makes the extras'
+verification status auditable the same way the driver surface is.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -99,7 +105,13 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main() -> int:
     _load_all()
-    filters = [a for a in sys.argv[1:]]
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    filters = list(args)
     names = [
         n
         for n in REGISTRY
@@ -108,35 +120,62 @@ def main() -> int:
     spark = get_spark("verify-local")
     con = duck_connect()
     failed = []
+    records: dict[str, dict] = {}
     for n in names:
         spec = REGISTRY[n]
+        rec = {"extra": spec.extra, "has_oracle": spec.oracle is not None}
+        records[n] = rec
         t0 = time.time()
         try:
             sdf = spec.fn(spark, SF_DIR).toPandas()
         except Exception:
             print(f"FAIL  {n}: spark raised\n{traceback.format_exc()}")
+            rec.update(status="spark_error", err=traceback.format_exc(limit=1))
             failed.append(n)
             continue
+        rec["spark_rows"] = len(sdf)
         if spec.oracle is None:
             print(f"ok?   {n}: rows={len(sdf)} (rows-only, no oracle) [{time.time()-t0:.1f}s]")
             if len(sdf) == 0:
                 print(f"      WARNING: {n} returned 0 rows")
+            rec.update(status="rows_only", secs=round(time.time() - t0, 2))
             continue
         try:
             ddf = con.execute(spec.oracle).df()
         except Exception:
             print(f"FAIL  {n}: oracle raised\n{traceback.format_exc()}")
+            rec.update(status="oracle_error", err=traceback.format_exc(limit=1))
             failed.append(n)
             continue
         problems = compare(n, sdf, ddf)
+        rec.update(
+            oracle_rows=len(ddf),
+            rows_match=len(sdf) == len(ddf),
+            schema_match=sorted(sdf.columns) == sorted(ddf.columns),
+            values_match=not problems,
+            secs=round(time.time() - t0, 2),
+        )
         if problems:
             print(f"FAIL  {n}: rows={len(sdf)}")
             for p in problems[:5]:
                 print(f"      {p}")
+            rec.update(status="mismatch", problems=problems[:5])
             failed.append(n)
         else:
             print(f"PASS  {n}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            rec["status"] = "pass"
     print(f"\n{len(names)-len(failed)}/{len(names)} passed")
+    if json_path is not None:
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(names),
+            "n_passed": len(names) - len(failed),
+            "comparison": "rows + column names + order-insensitive EXACT values",
+            "queries": records,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
