@@ -334,3 +334,198 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = split_assign(clean, "source", val=0.1, test=0.1)
     out = mixture_sample(out, _MIX_RATES, group_col="lang", key_col="doc_id")
     return out.filter("keep_mix").select("doc_id", "lang", "source", "split", "n_tok")
+
+
+# DuckDB twin of the DSIR hashed-ngram likelihood-ratio scoring, shared by
+# the weighting query and the Gumbel-top-k resampling step built on it
+_DSIR_CTES = """
+    tok AS (
+        SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, source, ws[i] AS feat
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, len(ws))) AS i
+        ) t
+    ),
+    bi AS (
+        SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS feat
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        ) t
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS b
+        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    raw AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
+    tgt AS (
+        SELECT b, COUNT(*) AS c FROM feats
+        WHERE source IN ('src1', 'src2', 'src3')
+        GROUP BY b
+    ),
+    nr AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM raw),
+    nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tgt),
+    probs AS (
+        SELECT r.b,
+               CAST(ln((CAST(COALESCE(t.c, 0) + 1 AS DOUBLE) / (nt.n + 4096.0))
+                       / (CAST(r.c + 1 AS DOUBLE) / (nr.n + 4096.0)))
+                    AS DECIMAL(20, 10)) AS logratio
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN nr CROSS JOIN nt
+    ),
+    perdoc AS (
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               round(CAST(SUM(p.logratio) AS DOUBLE), 4) AS logweight,
+               (round(CAST(SUM(p.logratio) AS DOUBLE), 4) > 0.0) AS target_like
+        FROM feats f JOIN probs p ON p.b = f.b
+        GROUP BY f.doc_id
+    )
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_feats, logweight, target_like FROM perdoc
+    """,
+    extra=True,  # X6 data-selection extra (r4); driver X6 rows are the
+    # decontam/shard/pipeline entries — CI-exact-gated like the battery
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by the log-likelihood ratio of a TARGET bag-of-
+    hashed-ngrams model (here: the trusted sources src1-3 stand in for the
+    high-quality target domain) against the RAW corpus model — the
+    published recipe for selecting web data that "looks like" a trusted
+    corpus without training a classifier.
+
+    Features are word unigrams + bigrams hashed into 4,096 buckets (md5
+    prefix mod B, engine-reproducible; production uses the same expression
+    with B = 2^20).  Both models are Laplace-smoothed bucket counts, and
+    each occurrence contributes ln(p_target(b) / p_raw(b)) to its
+    document's weight; logweight > 0 reads "more target-like than raw".
+
+    100 TB shape: two vocabulary-hash aggregations whose output is B rows
+    (map-side combine collapses the token stream), the B-row log-ratio
+    table broadcasts back onto the feature stream, and one per-doc agg
+    produces the weights — the same two-shuffle layout as the unigram-LM
+    filter; nothing scales with vocabulary, only with B.  Per-term
+    DECIMAL(20,10) log-ratios make the per-doc sum order-independent (the
+    oracle-parity trick; production keeps doubles).  Selection downstream
+    is ``mixture_sample``-style thresholding on logweight, or Gumbel-top-k
+    on weight + md5 noise for true importance RESAMPLING."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    bi_pos = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        bi_pos,
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
+        ),
+    )
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(ws, bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5(F.col("feat").cast("binary")), 1, 8), 16, 10)
+         .cast("long") % 4096).alias("b"),
+    )
+    raw = feats.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = (
+        feats.filter(F.col("source").isin("src1", "src2", "src3"))
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    nr = raw.agg(F.sum("rc").cast("double").alias("nr"))
+    nt = tgt.agg(F.sum("tc").cast("double").alias("nt"))
+    logratio = F.ln(
+        ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (F.col("nt") + 4096.0))
+        / ((F.col("rc") + 1).cast("double") / (F.col("nr") + 4096.0))
+    ).cast("decimal(20,10)")
+    probs = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select("b", logratio.alias("logratio"))
+    )
+    weight = F.round(F.sum("logratio").cast("double"), 4)
+    return (
+        feats.join(F.broadcast(probs), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            weight.alias("logweight"),
+            (weight > 0.0).alias("target_like"),
+        )
+    )
+
+
+@register(
+    "dsir_gumbel_topk",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    g AS (
+        SELECT doc_id, logweight,
+               round(logweight
+                     - ln(-ln((('0x' || substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                               + 0.5) / 4294967296.0)),
+                     4) AS gkey
+        FROM perdoc
+    )
+    SELECT doc_id, logweight, gkey, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY gkey DESC, doc_id) AS rnk FROM g
+    )
+    WHERE rnk <= 100
+    """,
+    extra=True,  # X6 data-selection extra (r4): the RESAMPLING half of DSIR,
+    # CI-exact-gated; shares the scoring CTEs with dsir_importance_weights
+)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING step of DSIR: draw 100 documents WITHOUT replacement
+    with probability proportional to exp(logweight) via the Gumbel-top-k
+    trick — adding an independent Gumbel(0,1) noise term to each log-weight
+    and taking the top-k is exactly weighted sampling without replacement
+    (Vieira 2014; the Gumbel-max argmax identity applied k times).
+
+    The Gumbel noise is derandomized engine-reproducibly: the uniform is
+    the doc's salted md5 prefix scaled to (0,1) (u = (h + 0.5) / 2^32 —
+    never exactly 0 or 1, so −ln(−ln(u)) is always finite), the same
+    no-RNG-seam device as ``split_assign``/``mixture_sample``; keys round
+    to 4 decimals with a doc_id tiebreaker so last-ulp ln() drift can
+    never reorder the cut.
+
+    100 TB shape: everything rides the DSIR scoring plan (two shuffles);
+    the noise is a narrow per-row expression, and the global top-100 is
+    rank-limited (TakeOrdered — O(k × partitions) driver merge, no global
+    sort).  This replaces hard thresholding on logweight: thresholds
+    collapse the selected set onto the target mode, while Gumbel
+    resampling preserves diversity in proportion to the importance
+    weights — the reason the paper resamples instead of filtering."""
+    scored = dsir_importance_weights(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gumbel:"), F.col("doc_id").cast("string")).cast("binary")),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(4294967296.0)
+    gkey = F.round(F.col("logweight") - F.ln(-F.ln(u)), 4)
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.desc("gkey"), F.asc("doc_id"))
+    return (
+        scored.select("doc_id", "logweight", gkey.alias("gkey"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 100)
+    )

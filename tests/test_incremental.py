@@ -163,3 +163,29 @@ def test_foreach_batch_refresh_folds_and_skips_replay(spark, tmp_path):
     sink(_mk(spark, [(1, 10.0)]), batch_id=1)  # replayed batch
     assert _out(publish(t.read(spark), SPEC)) == after
     assert t.latest_version() == 1  # replay committed nothing
+
+
+def test_foreach_batch_refresh_ops_cdc_feed(spark, tmp_path):
+    """The CDC changelog sink: micro-batches carrying +1/-1 ops fold into
+    the versioned state; the final state equals a full rebuild over the
+    surviving rows, a fully-retracted key leaves the state, and a replayed
+    batch id (crash recovery) applies nothing — retractions included."""
+    from etl_cloud_logistics_spark.operators.incremental import (
+        foreach_batch_refresh_ops,
+    )
+
+    t = SnapshotTable(str(tmp_path / "cdc_agg"))
+    sink = foreach_batch_refresh_ops(t, RSPEC)
+    sink(_mk_ops(spark, [(1, 1.0, 1), (1, 3.0, 1), (2, 2.0, 1)]), batch_id=0)
+    # batch 1: update k=1's 3.0 -> 5.0, delete k=2 entirely, insert k=3
+    batch1 = [(1, 3.0, -1), (1, 5.0, 1), (2, 2.0, -1), (3, 7.0, 1)]
+    sink(_mk_ops(spark, batch1), batch_id=1)
+    after = _rout(publish(t.read(spark), RSPEC))
+    want = _rout(
+        publish(refresh(None, _mk(spark, [(1, 1.0), (1, 5.0), (3, 7.0)]), RSPEC), RSPEC)
+    )
+    assert after == want
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 3}  # k=2 gone
+    sink(_mk_ops(spark, batch1), batch_id=1)  # replayed batch
+    assert _rout(publish(t.read(spark), RSPEC)) == after
+    assert t.latest_version() == 1  # replay committed nothing
