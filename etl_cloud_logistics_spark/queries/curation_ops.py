@@ -300,7 +300,25 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = q.groupBy(F.md5(F.lower("text").cast("binary")).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    qe = q.join(keep.select("doc_id"), "doc_id").persist()
+    # localCheckpoint (eager): the quality-gate expressions are the most
+    # expensive narrow work in the pipeline, and the survivors feed the
+    # shingle stage NOW plus two lazy branches later (decontam probe,
+    # final anti-join).  Checkpointing executes them once and truncates
+    # lineage, so every consumer re-reads materialized blocks instead of
+    # re-running the 3-gram expressions; unlike persist(), no CacheManager
+    # entry outlives the query — the blocks are freed by the ContextCleaner
+    # when the result goes out of scope.  (Executor-loss caveat as in
+    # neardup_components' default mode.)
+    # repartition before the checkpoint: AQE coalesces the small join
+    # output to ~1 partition (right for shuffle cost, wrong for the
+    # CPU-heavy shingle/4-gram expressions downstream, which inherit the
+    # checkpointed layout) — spreading the survivors across the cluster
+    # here is the same small-scan-parallelization call load_table makes
+    qe = (
+        q.join(keep.select("doc_id"), "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
     sh = shingles(qe).persist()
     pairs = (
         jaccard_pairs(sh, threshold=0.5)
@@ -316,13 +334,9 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comp is eagerly checkpointed inside neardup_components, so nothing
     # downstream depends on sh/pairs any more — release those caches here
     # rather than leaking them for the session's life (registry-wide sweeps
-    # run this query alongside 86 others).  qe is released too: the final
-    # plan re-derives it (twice, via canon's two branches) when the caller
-    # materializes the result — a modest recompute traded for not holding
-    # corpus-sized cached partitions indefinitely.
+    # run this query alongside 89 others)
     sh.unpersist()
     pairs.unpersist()
-    qe.unpersist()
     canon = qe.join(comp, "doc_id", "left").filter(
         F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
     )
