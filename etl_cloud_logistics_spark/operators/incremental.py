@@ -18,6 +18,10 @@ commutative monoid over mergeable partials —
                full-rebuild bit-for-bit; a double sum would drift with
                merge order)
     min/max -> native partials,           merged with MIN / MAX
+    hll    -> Datasketches HLL sketches,  merged with hll_union_agg
+               (approx COUNT DISTINCT as fixed-size mergeable state —
+               exact distinct is not incrementally maintainable without
+               retaining every value)
 
 AVG and other ratios are NOT maintained directly (they don't merge);
 they derive from sum/count at publish time — the same split Spark's own
@@ -54,6 +58,15 @@ _MERGE = {
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
+    # approx distinct: Datasketches HLL partials (binary) merged by sketch
+    # union — commutative + associative, so incremental == full rebuild
+    # gives the IDENTICAL estimate, and state per group is a fixed-size
+    # sketch instead of a distinct-values set.  The 100 TB way to maintain
+    # "distinct users per day/segment" without re-reading history; exact
+    # COUNT(DISTINCT) is NOT incrementally maintainable without keeping
+    # every value.  Not retractable (a union has no inverse) — rejected by
+    # refresh_ops like min/max.
+    "hll": F.hll_union_agg,
 }
 
 
@@ -81,6 +94,8 @@ def partial_agg(delta: DataFrame, spec: AggSpec) -> DataFrame:
             aggs.append(F.count(src).alias(name))
         elif kind == "sum":
             aggs.append(F.sum(F.col(src).cast(_DEC)).alias(name))
+        elif kind == "hll":
+            aggs.append(F.hll_sketch_agg(src).alias(name))
         else:
             aggs.append(_MERGE[kind](src).alias(name))
     return delta.groupBy(*spec.keys).agg(*aggs)

@@ -669,3 +669,45 @@ def incremental_refresh_retractions(spark: SparkSession, sf_dir: str) -> DataFra
     return publish(state, spec).select(
         "o_orderstatus", "o_orderpriority", "n_orders", "total_spend", "avg_order"
     )
+
+
+@register(
+    "incremental_distinct_hll",
+    oracle=None,  # Datasketches HLL binary sketches are engine-specific, so
+    # no cross-engine oracle exists; semantics pytest-pinned instead:
+    # incremental merge == one-shot build IDENTICALLY, estimate within 5%
+    # of exact (tests/test_incremental.py, tests/test_queries_registry.py)
+    extra=True,
+)
+def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained approx COUNT DISTINCT (X7 + A2 at 100 TB):
+    distinct customers per order status, maintained across three date-range
+    deltas as Datasketches HLL partials merged by sketch union.  Exact
+    COUNT(DISTINCT) is NOT incrementally maintainable without retaining
+    every value per group; the HLL sketch is fixed-size mergeable state, so
+    the daily refresh stays O(|delta| + |groups|) — the standard warehouse
+    design for distinct-users dashboards over unbounded history.  Sketch
+    union is associative + deterministic: the incremental estimate equals
+    the one-shot rebuild estimate identically, pytest-pinned."""
+    from ..operators.incremental import AggSpec, publish, refresh
+
+    orders = load_table(spark, sf_dir, "orders")
+    spec = AggSpec(
+        keys=["o_orderstatus"],
+        measures=[
+            ("n_orders", "o_orderkey", "count"),
+            ("cust_sketch", "o_custkey", "hll"),
+        ],
+        derived=[("n_customers_approx", lambda df: F.hll_sketch_estimate("cust_sketch"))],
+    )
+    d = F.col("o_orderdate")
+    state = None
+    for delta in [
+        orders.filter(d < "1996-01-01"),
+        orders.filter((d >= "1996-01-01") & (d < "1997-06-01")),
+        orders.filter(d >= "1997-06-01"),
+    ]:
+        state = refresh(state, delta, spec)
+    return publish(state, spec).select(
+        "o_orderstatus", "n_orders", "n_customers_approx"
+    )

@@ -501,3 +501,29 @@ def test_approx_quantile_rank_bound(spark, sf_small):
             assert lo_rank - slack <= target <= hi_rank - 1 + slack, (
                 prio, col, row[col], lo_rank, hi_rank, target
             )
+
+
+def test_incremental_distinct_hll_accuracy_on_sf(spark, sf_med):
+    """The registry's HLL entry has no SQL oracle (engine-specific sketch
+    bytes) — pin its semantics here instead: the incrementally-merged
+    estimate must sit within 5% of the exact per-status distinct count,
+    and row counts (n_orders) must be exact."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["n_customers_approx"])
+        for r in REGISTRY["incremental_distinct_hll"].fn(spark, sf_med).collect()
+    }
+    orders = load_table(spark, sf_med, "orders")
+    exact = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count("o_orderkey").alias("n"), F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for s in exact:
+        assert got[s][0] == exact[s][0]  # counts exact
+        assert abs(got[s][1] - exact[s][1]) / exact[s][1] < 0.05  # HLL bound

@@ -189,3 +189,36 @@ def test_foreach_batch_refresh_ops_cdc_feed(spark, tmp_path):
     sink(_mk_ops(spark, batch1), batch_id=1)  # replayed batch
     assert _rout(publish(t.read(spark), RSPEC)) == after
     assert t.latest_version() == 1  # replay committed nothing
+
+
+def test_hll_distinct_incremental_equals_full_rebuild(spark):
+    """Approx-distinct maintenance: HLL sketch partials merged across
+    deltas must give the IDENTICAL estimate to a one-shot build (sketch
+    union is commutative + associative and deterministic), and the
+    estimate must sit within HLL error of the true distinct count."""
+    HSPEC = AggSpec(
+        keys=["k"],
+        measures=[("n", "v", "count"), ("users", "u", "hll")],
+        derived=[
+            ("n_users", lambda df: F.hll_sketch_estimate("users")),
+        ],
+    )
+    rows = [(i % 3, float(i), i % 97) for i in range(600)]
+    mk = lambda part: spark.createDataFrame(part, "k int, v double, u int")
+    full = {
+        r["k"]: r["n_users"]
+        for r in publish(refresh(None, mk(rows), HSPEC), HSPEC).collect()
+    }
+    state = None
+    for start in range(0, 600, 151):  # uneven deltas with heavy overlap
+        state = refresh(state, mk(rows[start:start + 151]), HSPEC)
+    inc = {r["k"]: r["n_users"] for r in publish(state, HSPEC).collect()}
+    assert inc == full  # identical estimates, not merely close
+    true = {k: len({u for kk, _, u in rows if kk == k}) for k in (0, 1, 2)}
+    for k in true:
+        assert abs(inc[k] - true[k]) / true[k] < 0.05
+    # sketches are not a group: retraction must be rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="not retractable"):
+        refresh_ops(None, _mk_ops(spark, [(1, 1.0, 1)]), HSPEC)
