@@ -934,3 +934,80 @@ def passage_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    total AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM vocab),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               CAST(ln(v.c / total.n) AS DECIMAL(20, 10)) AS logp
+        FROM tok t JOIN vocab v USING (w) CROSS JOIN total
+    ),
+    perdoc AS (
+        SELECT doc_id, lang,
+               round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS avg_logp
+        FROM scored GROUP BY doc_id, lang
+    ),
+    ranked AS (
+        SELECT doc_id, lang, avg_logp,
+               percent_rank() OVER (
+                   PARTITION BY lang ORDER BY avg_logp DESC, doc_id
+               ) AS pr
+        FROM perdoc
+    )
+    SELECT doc_id, lang, avg_logp,
+           round(pr, 6) AS pr,
+           CASE WHEN pr < 1.0/3 THEN 'head'
+                WHEN pr < 2.0/3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    extra=True,  # X4/X6 stratification extra (r4), CI-exact-gated
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity stratification (Wenzek et al. 2020): rank
+    every document WITHIN ITS LANGUAGE by LM typicality (here the corpus
+    unigram LM stands in for CCNet's KenLM; most-typical first) and cut
+    each language into head / middle / tail terciles — the published
+    recipe for quality-stratified corpus partitioning, where pretraining
+    recipes keep head+middle or reweight buckets.  Per-language ranking
+    matters: absolute perplexity is not comparable across languages, so a
+    global cut would empty low-resource buckets.
+
+    100 TB shape: the LM scoring is the unigram_lm_typicality layout (two
+    shuffles, vocabulary-sized agg broadcast back); the percent_rank
+    window is PARTITION BY lang — a hash-partitioned exchange, never a
+    single-partition global sort (q10b's scale rule); ties broken by
+    doc_id so the tercile cut is deterministic on both engines."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = tokens(docs).select("doc_id", "lang", F.explode("ws").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("n"))
+    logp = F.ln(F.col("c") / F.col("n")).cast("decimal(20,10)")
+    scored = tok.join(vocab, "w").crossJoin(F.broadcast(total)).select(
+        "doc_id", "lang", logp.alias("logp")
+    )
+    perdoc = scored.groupBy("doc_id", "lang").agg(
+        F.round(F.sum("logp").cast("double") / F.count("*"), 4).alias("avg_logp")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+    pr = F.percent_rank().over(w)
+    return perdoc.select(
+        "doc_id",
+        "lang",
+        "avg_logp",
+        F.round(pr, 6).alias("pr"),
+        F.when(pr < 1.0 / 3, "head")
+        .when(pr < 2.0 / 3, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -370,3 +370,26 @@ def test_small_heavy_scans_are_parallelized(spark, sf_small):
     # fact/dim tables keep their native scan layout (no gratuitous shuffle)
     plan = load_table(spark, sf_small, "orders")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_heavy_scan_parallelization_noop_at_scale(spark, sf_small):
+    """The small-scan guard must be a structural NO-OP when the scan would
+    already produce enough splits (the 100 TB case, simulated by shrinking
+    maxPartitionBytes so estimated splits >= parallelism): no repartition,
+    no materialization — the native scan plan unchanged."""
+    from etl_cloud_logistics_spark import catalog
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    key = None
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64b")
+        # bypass the table cache so load_table re-evaluates the guard
+        key = (catalog._session_identity(spark), sf_small, "documents")
+        catalog._TABLE_CACHE.pop(key, None)
+        df = catalog.load_table(spark, sf_small, "documents")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Scan ExistingRDD" not in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        if key is not None:
+            catalog._TABLE_CACHE.pop(key, None)
