@@ -339,3 +339,68 @@ def run_daily_etl(
         )
         log_df.write.mode("append").json(_path(warehouse, "load_logs"))
     return audit
+
+
+# ---------------------------------------------------------------------------
+# Training-data export pipeline (the X6 curation kit composed end to end —
+# the LLM-data twin of run_daily_etl's warehouse flow)
+# ---------------------------------------------------------------------------
+
+
+def run_curation_export(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    pack_budget: int = 512,
+) -> dict:
+    """Curate → shard → pack → manifest: the full path from a raw document
+    corpus to training-ready artifacts, composed from the kit operators
+    (each individually oracle-checked; this function is the operable
+    composition, like ``run_daily_etl`` for the warehouse side).
+
+    Writes under ``out_dir``:
+    - ``shards/split=train/shard=N/`` — deterministic md5-sharded parquet
+      of the curated TRAIN docs with text payload (one file per shard:
+      the resume/shuffle granularity a training loader expects);
+    - ``packing/`` — the FFD context-window assignment (doc_id → bucket,
+      bin) for the train split at ``pack_budget`` tokens;
+    - ``manifest/`` — one row per (split, lang) with doc/token counts:
+      the reproducibility record (the md5-keyed split/shard decisions mean
+      a re-run over the same corpus rewrites byte-stable content).
+
+    Scale: curation is the documented pipeline plan; the export adds one
+    repartition keyed on shard (the write layout) and the Arrow packing
+    pass — nothing new shuffles the corpus more than once."""
+    from .operators.curation import pack_sequences, shard_assign
+    from .queries.curation_ops import curation_pipeline_end2end
+
+    curated = curation_pipeline_end2end(spark, sf_dir).localCheckpoint(eager=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = curated.filter(F.col("split") == "train")
+    payload = train.join(docs, "doc_id")
+    (
+        shard_assign(payload, "doc_id", n_shards)
+        .withColumn("split", F.lit("train"))
+        .repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("split", "shard")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    packing = pack_sequences(
+        train.withColumnRenamed("n_tok", "n_tokens"), budget=pack_budget
+    )
+    packing.write.mode("overwrite").parquet(os.path.join(out_dir, "packing"))
+    manifest = curated.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(out_dir, "manifest"))
+    rows = manifest.collect()  # small: |splits| x |langs|
+    return {
+        "out_dir": out_dir,
+        "n_shards": n_shards,
+        "pack_budget": pack_budget,
+        "splits": sorted({r["split"] for r in rows}),
+        "n_docs": sum(r["n_docs"] for r in rows),
+        "n_tokens": sum(r["n_tokens"] for r in rows),
+    }

@@ -174,3 +174,50 @@ def test_pipeline_writes_dq_report(spark, sf_small, tmp_path):
         "o_orderkey_unique",
     }
     assert dq.filter(~F.col("passed")).count() == 0
+
+
+def test_run_curation_export_end_to_end(spark, sf_small, tmp_path):
+    """The training-export composition: curated train docs land in
+    deterministic shards with payload, the packing assignment covers
+    exactly the train split, and the manifest reconciles with both."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.pipelines import run_curation_export
+    from etl_cloud_logistics_spark.queries.curation_ops import (
+        curation_pipeline_end2end,
+    )
+
+    out = str(tmp_path / "export")
+    info = run_curation_export(spark, sf_small, out, n_shards=4, pack_budget=256)
+
+    curated = curation_pipeline_end2end(spark, sf_small).collect()
+    train_ids = {r["doc_id"] for r in curated if r["split"] == "train"}
+    assert info["n_docs"] == len(curated)
+
+    shards = spark.read.parquet(os.path.join(out, "shards"))
+    assert {r["doc_id"] for r in shards.collect()} == train_ids
+    assert shards.filter(F.col("text").isNull()).count() == 0
+    # one parquet file per written shard directory (loader resume contract)
+    base = os.path.join(out, "shards", "split=train")
+    for d in os.listdir(base):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(base, d)) if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+
+    packing = spark.read.parquet(os.path.join(out, "packing"))
+    assert {r["doc_id"] for r in packing.collect()} == train_ids
+    # capacity invariant on non-oversize bins
+    over = (
+        packing.filter(~F.col("oversize"))
+        .groupBy("bucket", "bin_id")
+        .agg(F.sum("n_tokens").alias("fill"))
+        .filter(F.col("fill") > 256)
+        .count()
+    )
+    assert over == 0
+
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    m_train = manifest.filter(F.col("split") == "train").agg(F.sum("n_docs")).first()[0]
+    assert m_train == len(train_ids)
