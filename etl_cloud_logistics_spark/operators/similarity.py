@@ -378,6 +378,45 @@ def dequantize_sq8(codes: Column, lo: list[float], hi: list[float]) -> Column:
     )
 
 
+def build_sq8_index(
+    corpus: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    centroids: list[list[float]] | None = None,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE scored index — what a 100 TB deployment stores:
+    per corpus vector its coarse bucket, its ``array<tinyint>`` SQ8 codes
+    (4× smaller than float32) and the reconstruction norm; the float
+    vectors are NOT part of the scored index.  Build once per corpus
+    version (one pass over the corpus, no shuffle), write with
+    ``df.write.parquet`` / a ``SnapshotTable``, and serve many times with
+    :func:`knn_sq8_serve` — the index build is the expensive pass, serving
+    reads the stored index.  (lo, hi, centroids) are the small model
+    metadata to persist alongside (k×dims floats)."""
+    if (centroids is None) == (bucket_col is None):
+        raise ValueError("give exactly one of centroids= or bucket_col=")
+    c_bucket = (
+        nearest_buckets(F.col(vec_col), centroids, 1)[0]
+        if centroids is not None
+        else F.col(bucket_col)
+    )
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        c_bucket.alias("bucket"),
+        quantize_sq8(F.col(vec_col), lo, hi).alias("codes"),
+    ).withColumn(
+        "approx_norm",
+        F.sqrt(F.aggregate(
+            dequantize_sq8(F.col("codes"), lo, hi),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )),
+    )
+
+
 def knn_sq8(
     queries: DataFrame,
     corpus: DataFrame,
@@ -392,11 +431,11 @@ def knn_sq8(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Quantized top-k serving path: IVF bucket pruning + SQ8 asymmetric
-    scoring + exact rerank.
+    scoring + exact rerank — :func:`build_sq8_index` composed with
+    :func:`knn_sq8_serve` in one plan (the registry/oracle entry point; a
+    deployment builds the index once and serves from storage instead).
 
-    1. INDEX (what a 100 TB deployment stores): per corpus vector its coarse
-       bucket, its ``array<tinyint>`` codes, and the reconstruction norm —
-       the float vectors are NOT part of the scored index.
+    1. INDEX: see :func:`build_sq8_index`.
     2. SHORTLIST: candidates from the probed buckets (equi-join on bucket
        id) are scored with the cheap asymmetric dot (float query ×
        dequantized codes); the top ``shortlist`` (default 4k) per query
@@ -409,35 +448,48 @@ def knn_sq8(
 
     Buckets come from ``centroids`` (trained, multi-probe) or a precomputed
     ``bucket_col``; exactly one must be given."""
+    index = build_sq8_index(corpus, lo, hi, centroids, bucket_col, id_col, vec_col)
+    return knn_sq8_serve(
+        index, queries, corpus, k, lo, hi,
+        shortlist=shortlist, centroids=centroids, nprobe=nprobe,
+        bucket_col=bucket_col, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def knn_sq8_serve(
+    index: DataFrame,
+    queries: DataFrame,
+    corpus_vectors: DataFrame,
+    k: int,
+    lo: list[float],
+    hi: list[float],
+    shortlist: int | None = None,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a PRE-BUILT (possibly storage-resident) SQ8 index:
+    the shortlist scan touches only ``index`` (codes, no floats);
+    ``corpus_vectors`` is consulted only for the k×4-per-query exact
+    rerank fetch.  Results are identical to :func:`knn_sq8` over the same
+    corpus — pinned by the index parquet round-trip test."""
     if (centroids is None) == (bucket_col is None):
         raise ValueError("give exactly one of centroids= or bucket_col=")
     if shortlist is None:
         shortlist = 4 * k
     if centroids is not None:
         q_probe = F.explode(nearest_buckets(F.col(vec_col), centroids, nprobe))
-        c_bucket = nearest_buckets(F.col(vec_col), centroids, 1)[0]
     else:
         q_probe = F.col(bucket_col)
-        c_bucket = F.col(bucket_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm_exact(F.col(vec_col)).alias("q_norm"),
         q_probe.alias("bucket"),
     )
-    # the stored index: bucket + codes + reconstruction norm, no floats
-    index = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        c_bucket.alias("bucket"),
-        quantize_sq8(F.col(vec_col), lo, hi).alias("codes"),
-    ).withColumn(
-        "approx_norm",
-        F.sqrt(F.aggregate(
-            dequantize_sq8(F.col("codes"), lo, hi),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )),
-    )
+    corpus = corpus_vectors
     approx_dot = F.aggregate(
         F.zip_with(
             F.col("q_vec"),

@@ -564,3 +564,36 @@ def test_minhash_lsh_recall_on_sf_corpus(spark, sf_med):
           f"({len(found)}/{len(exact)} pairs)")
     assert recall == 1.0
     assert found <= exact  # exact-verify stage: precision is 1.0
+
+
+def test_sq8_index_parquet_roundtrip_serves_identically(spark, sf_med, tmp_path):
+    """The index lifecycle a deployment runs: build_sq8_index once, persist
+    to parquet, serve from the STORED index — results must be identical to
+    the single-plan knn_sq8 over the same corpus, and the stored codes must
+    survive the round-trip as genuine array<tinyint> (the 4x footprint)."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        build_sq8_index,
+        knn_sq8,
+        knn_sq8_serve,
+        train_ivf_centroids,
+        train_sq8_bounds,
+    )
+
+    emb = load_table(spark, sf_med, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    lo, hi = train_sq8_bounds(emb)
+    cents = train_ivf_centroids(emb, n_clusters=8, n_iter=3)
+
+    path = str(tmp_path / "sq8_index")
+    build_sq8_index(emb, lo, hi, centroids=cents).write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"
+
+    direct = knn_sq8(queries, emb, k=3, lo=lo, hi=hi, centroids=cents, nprobe=2)
+    served = knn_sq8_serve(
+        stored, queries, emb, k=3, lo=lo, hi=hi, centroids=cents, nprobe=2
+    )
+    a = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in served.collect())
+    assert a == b and len(a) == 30
