@@ -273,13 +273,39 @@ def minhash_lsh_neardup(
     n_hashes: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash/LSH candidate generation + exact Jaccard
     verification of candidates only (the scalable two-phase layout).
 
     Signature + banding are narrow per-doc expressions; the only shuffles
-    are the band-bucket equi-join and the two candidate⋈shingle-array joins."""
-    sh_arr = shingle_array(df, id_col, text_col, n).persist()
+    are the band-bucket equi-join and the two candidate⋈shingle-array joins.
+
+    ``max_shingle_freq`` is the hot-shingle guard, same contract as in
+    :func:`jaccard_pairs` but for a failure mode SPECIFIC to MinHash: a
+    shingle present in a large fraction of documents (stopword runs,
+    boilerplate, templated markup) tends to BE the md5 minimum for every
+    document containing it, collapsing signature diversity — every such
+    doc lands in one band bucket and the "linear" candidate join turns
+    quadratic in that bucket.  Measured with tools/scaling_probe.py: a
+    corpus whose docs all share interleaved filler tokens produced 16.3M
+    candidates for 2,560 true pairs (verify stage 114 s at 50k docs);
+    capping shingles at ``max_shingle_freq`` docs before signatures cut
+    candidates to the true-pair scale.  Ubiquitous shingles carry no
+    near-dup signal, so dropping them from BOTH the signatures and the
+    verify arrays keeps the Jaccard semantics consistent (both sides see
+    the same evidence — the common-crawl preprocessing trick)."""
+    if max_shingle_freq is not None:
+        sh = shingles(df, id_col, text_col, n)
+        freq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        kept = sh.join(
+            freq.filter(F.col("_df") <= max_shingle_freq), "s"
+        ).drop("_df")
+        sh_arr = (
+            kept.groupBy(id_col).agg(F.collect_list("s").alias("sh")).persist()
+        )
+    else:
+        sh_arr = shingle_array(df, id_col, text_col, n).persist()
     cand = lsh_candidate_pairs(
         minhash_signatures(sh_arr, id_col, n_hashes), id_col, rows_per_band
     )

@@ -597,3 +597,26 @@ def test_sq8_index_parquet_roundtrip_serves_identically(spark, sf_med, tmp_path)
     a = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in served.collect())
     assert a == b and len(a) == 30
+
+
+def test_minhash_hot_shingle_cap_controls_boilerplate(spark):
+    """The MinHash-specific hot-shingle failure mode (found by the scaling
+    probe): when boilerplate shingles dominate a corpus, they become the
+    md5 minima everywhere, signatures collapse, and the band join goes
+    quadratic — with every boilerplate-sharing pair ALSO passing the
+    uncapped Jaccard threshold on boilerplate evidence alone.  The
+    max_shingle_freq cap drops ubiquitous shingles from signatures AND
+    verify arrays: informative-content semantics, candidates at true-pair
+    scale."""
+    from etl_cloud_logistics_spark.operators.dedup import minhash_lsh_neardup
+
+    boiler = " ".join(f"b{i}" for i in range(30))
+    docs = [(i, f"{boiler} u{i}a u{i}b u{i}c") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = minhash_lsh_neardup(df, threshold=0.5).count()
+    capped = minhash_lsh_neardup(df, threshold=0.5, max_shingle_freq=10).count()
+    # uncapped: nearly all 780 pairs "match" on boilerplate evidence alone
+    assert uncapped >= 700
+    # capped: boilerplate carries no near-dup signal; unique content shares
+    # nothing, so no pair survives — and no candidate bucket ever exploded
+    assert capped == 0

@@ -63,7 +63,7 @@ def main() -> None:
     spark = get_spark("scaling-probe")
     # warm-up: compile the plans once at the smallest scale
     warm = replicated_corpus(spark, 1)
-    minhash_lsh_neardup(warm, threshold=0.5).write.mode("overwrite").format(
+    minhash_lsh_neardup(warm, threshold=0.5, max_shingle_freq=100).write.mode("overwrite").format(
         "noop"
     ).save()
     print(f"scale probe over {SF_DIR} (base docs replicated K×, tagged)")
@@ -72,7 +72,7 @@ def main() -> None:
         corpus = replicated_corpus(spark, k)
         n_docs = corpus.count()
         t0 = time.perf_counter()
-        pairs = minhash_lsh_neardup(corpus, threshold=0.5).select(
+        pairs = minhash_lsh_neardup(corpus, threshold=0.5, max_shingle_freq=100).select(
             "doc_a", "doc_b"
         ).persist()
         n_pairs = pairs.count()
