@@ -711,3 +711,68 @@ def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return publish(state, spec).select(
         "o_orderstatus", "n_orders", "n_customers_approx"
     )
+
+
+@register(
+    "order_window_overlaps",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS s
+        FROM orders WHERE o_orderkey % 5 = 0
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(7 - abs(a.s - b.s) AS BIGINT) AS overlap_days
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(a.s - b.s) < 7
+    """,
+    extra=True,  # J10 interval×interval extra (r4); the point-in-interval
+    # form holds the driver row (asof_last_signup) — CI-exact-gated
+)
+def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join (J10's range×range form): same-customer
+    orders whose 7-day fulfillment windows overlap — the classic
+    "concurrent validity" query every SCD2 warehouse and booking system
+    runs.  A raw overlap predicate plans as a per-key nested loop; this
+    uses ``operators.rangejoin.interval_overlap_join``: explode each
+    window into the week buckets it touches, equi-join on (customer,
+    bucket), then exact overlap filter — candidates only where bucket
+    evidence exists (the blanket cartesian-free plan net covers this
+    entry).  The oracle brute-forces the same predicate."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")).alias("s"),
+        )
+    )
+    left = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_a"),
+        F.col("s").alias("s_a"),
+        (F.col("s") + 7).alias("e_a"),
+    )
+    right = base.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_b"),
+        F.col("s").alias("s_b"),
+        (F.col("s") + 7).alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        left, right, on=["o_custkey"],
+        left_range=("s_a", "e_a"), right_range=("s_b", "e_b"),
+        bucket_width=7,
+    ).filter(F.col("order_a") < F.col("order_b"))
+    return pairs.select(
+        "o_custkey",
+        "order_a",
+        "order_b",
+        (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")).cast("bigint").alias("overlap_days"),
+    )

@@ -379,3 +379,35 @@ def test_atomic_overwrite_recovers_from_crash_between_renames(spark, tmp_path):
     updates = spark.createDataFrame([(0, "c", 9)], "id long, v string, version long")
     merged = upsert_parquet(spark, target, updates, keys=["id"], version_col="version")
     assert sorted((r["id"], r["v"]) for r in merged.collect()) == [(0, "c"), (1, "b")]
+
+
+def test_interval_overlap_join_planted(spark):
+    """Interval×interval join on a planted fixture incl. negative range
+    values (floor-vs-truncate bucket regression), cross-bucket intervals,
+    touching-but-not-overlapping half-open ranges, and key isolation."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "a1", -10, -2), (1, "a2", 0, 5), (2, "a3", 0, 5)],
+        "k int, lid string, s_a long, e_a long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, "b1", -5, 1),   # overlaps a1 (negative range) AND a2
+            (1, "b2", 5, 9),    # touches a2 at 5 — half-open: NO overlap
+            (2, "b3", 4, 6),    # overlaps a3 only (key 2)
+            (1, "b4", 100, 101),
+        ],
+        "k int, rid string, s_b long, e_b long",
+    )
+    out = interval_overlap_join(
+        left, right, on=["k"],
+        left_range=("s_a", "e_a"), right_range=("s_b", "e_b"),
+        bucket_width=3,
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert got == {("a1", "b1"), ("a2", "b1"), ("a3", "b3")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
