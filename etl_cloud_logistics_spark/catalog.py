@@ -266,3 +266,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works too."""
     for t, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+
+
+def register_query_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose EVERY registry query as a temp view, so the whole engine
+    surface is reachable from plain SQL — ``spark.sql("SELECT * FROM
+    q04_volume_by_nation WHERE ...")`` — the way the reference's users
+    (psql / Snowflake worksheets) actually work.  Views are lazy plans:
+    nothing executes until queried, further predicates/projections
+    compose into the view's plan, and Catalyst optimizes across the view
+    boundary (a filter above the view reaches the scans below it).
+
+    The eager iterative queries (connected components, the curation
+    pipeline) EXECUTE while their plan is built, so they are skipped here
+    and listed in the return value's complement; materialize those
+    explicitly instead of hiding minutes of compute behind a SELECT.
+    Returns the registered view names."""
+    from .queries import REGISTRY, _load_all
+
+    _load_all()
+    eager = {"neardup_components_canonical", "curation_pipeline_end2end"}
+    out = []
+    for name, spec in REGISTRY.items():
+        if name in eager:
+            continue
+        spec.fn(spark, sf_dir).createOrReplaceTempView(name)
+        out.append(name)
+    return out

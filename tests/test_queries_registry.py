@@ -87,3 +87,25 @@ def test_sql_api_over_registered_views(spark, sf_small):
         .collect()
     )
     assert [tuple(r) for r in via_sql] == [tuple(r) for r in via_df]
+
+
+def test_register_query_views_sql_surface(spark, sf_small):
+    """Every (lazy) registry query is reachable from plain SQL as a view,
+    composes with further SQL (filters/aggregates over the view), and
+    matches the DataFrame path."""
+    from etl_cloud_logistics_spark.catalog import register_query_views
+
+    names = register_query_views(spark, sf_small)
+    assert len(names) >= 90
+    via_sql = spark.sql(
+        "SELECT COUNT(*) AS n FROM q04_volume_by_nation WHERE total_orders > 0"
+    ).first()["n"]
+    via_df = (
+        REGISTRY["q04_volume_by_nation"].fn(spark, sf_small)
+        .filter("total_orders > 0").count()
+    )
+    assert via_sql == via_df
+    top = spark.sql(
+        "SELECT doc_a FROM neardup_minhash_lsh ORDER BY jaccard DESC, doc_a LIMIT 1"
+    ).collect()
+    assert len(top) == 1
