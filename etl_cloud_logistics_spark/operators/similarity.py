@@ -167,6 +167,57 @@ def cosine_neardup_pairs(
     )
 
 
+def semdedup_prune(
+    emb: DataFrame,
+    threshold: float,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    keep a vector iff it has NO lower-id near-neighbor (cosine ≥ threshold)
+    in its coarse bucket.  One row per corpus vector with the keep/drop
+    decision, how many lower-id near-dups blocked it, and the smallest
+    blocker id — the within-cluster pruning step a training-data pipeline
+    runs after text-level MinHash dedup, where the bucket assignment comes
+    from k-means over the embeddings (here the deterministic ``label``
+    plays that role, as in the rest of the X3 kit).
+
+    Semantics note: the one-pass lower-id-blocker rule is deterministic and
+    needs only the pair stream — unlike a greedy sequential scan it may
+    over-drop along similarity chains (b dropped by a, c dropped by b even
+    though a≁c), which is the conservative direction for dedup.  When exact
+    one-per-connected-group canonicalization is needed, feed the same pairs
+    to ``operators.dedup.neardup_components`` instead.
+
+    Distributed shape (100 TB): pair generation is the bucket equi-join of
+    ``cosine_neardup_pairs`` (shuffle O(corpus), never all-pairs); the
+    blocker aggregation and the left join back onto the corpus are one
+    keyed shuffle each on the id — nothing scales with pair chains."""
+    pairs = cosine_neardup_pairs(
+        emb, threshold, bucket_col=bucket_col, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    blockers = pairs.groupBy(F.col("vec_b").alias(id_col)).agg(
+        F.count("*").alias("n_lower_dups"),
+        F.min("vec_a").alias("kept_by"),
+    )
+    return (
+        emb.select(id_col, bucket_col)
+        .join(blockers, id_col, "left")
+        .select(
+            id_col,
+            bucket_col,
+            F.col("n_lower_dups").isNull().alias("kept"),
+            F.coalesce(F.col("n_lower_dups"), F.lit(0).cast("long")).alias(
+                "n_lower_dups"
+            ),
+            "kept_by",
+        )
+        .orderBy(id_col)
+    )
+
+
 def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance from a vector column to a literal centroid."""
     lit_arr = F.array(*[F.lit(float(v)) for v in centroid])

@@ -18,6 +18,7 @@ from ..operators.similarity import (
     knn_ivf,
     knn_sq8,
     norm_exact,
+    semdedup_prune,
     train_sq8_bounds,
 )
 from . import register
@@ -210,6 +211,48 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     lo, hi = train_sq8_bounds(emb)
     return knn_sq8(emb.filter(F.col("vec_id") < 10), emb, k=3, lo=lo, hi=hi, bucket_col="label")
+
+
+@register(
+    "semdedup_prune_corpus",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
+    pairs AS (
+        SELECT query_id, neighbor_id, qv, cv
+        FROM q JOIN c ON q.label = c.label AND query_id < neighbor_id
+    ),
+    terms AS ({_COS_TERMS}),
+    dup AS (
+        SELECT query_id AS vec_a, neighbor_id AS vec_b
+        FROM (SELECT query_id, neighbor_id,
+                     ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+              FROM terms)
+        WHERE cos_sim >= 0.35
+    ),
+    blockers AS (
+        SELECT vec_b AS vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lower_dups,
+               MIN(vec_a) AS kept_by
+        FROM dup GROUP BY vec_b
+    )
+    SELECT e.vec_id, e.label, b.vec_id IS NULL AS kept,
+           COALESCE(b.n_lower_dups, 0) AS n_lower_dups, b.kept_by
+    FROM embeddings e LEFT JOIN blockers b USING (vec_id)
+    ORDER BY e.vec_id
+    """,
+    extra=True,  # X2 vector-dedup family's driver row is
+    # neardup_embedding_cosine (the pair stream this composes over)
+)
+def semdedup_prune_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (X2): the full-corpus keep/drop decision —
+    a vector survives iff no lower-id same-bucket neighbor has cosine ≥ 0.35.
+    Composes the driver-checked cosine pair stream into the survivor-set
+    operator a training-data pipeline actually materializes (the kept rows
+    ARE the next pipeline stage's input); see operators.similarity
+    .semdedup_prune for the chain-over-drop semantics note."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(emb, threshold=0.35, dim=64)
 
 
 @register(

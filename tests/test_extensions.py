@@ -620,3 +620,32 @@ def test_minhash_hot_shingle_cap_controls_boilerplate(spark):
     # capped: boilerplate carries no near-dup signal; unique content shares
     # nothing, so no pair survives — and no candidate bucket ever exploded
     assert capped == 0
+
+
+def test_semdedup_prune_invariants(spark, sf_small):
+    """SemDeDup keep/drop set: (1) decisions partition the corpus, (2) no
+    qualifying pair survives with BOTH endpoints kept (the operator's whole
+    contract), (3) every dropped vector names a strictly-lower blocker."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    pruned = semdedup_prune(emb, threshold=0.35, dim=64)
+    assert pruned.count() == emb.count()
+
+    pairs = cosine_neardup_pairs(emb, threshold=0.35, dim=64)
+    kept = pruned.filter(F.col("kept")).select(F.col("vec_id").alias("k_id"))
+    both_kept = (
+        pairs.join(kept.withColumnRenamed("k_id", "vec_a"), "vec_a")
+        .join(kept.withColumnRenamed("k_id", "vec_b"), "vec_b")
+        .count()
+    )
+    assert both_kept == 0
+
+    bad_blocker = pruned.filter(
+        ~F.col("kept") & ~(F.col("kept_by") < F.col("vec_id"))
+    ).count()
+    assert bad_blocker == 0
