@@ -359,3 +359,62 @@ def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("time_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style resample + gap-fill (operators.timeseries)
+# ---------------------------------------------------------------------------
+@register(
+    "resample_hourly_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+                   AS bucket_ts,
+               ts, event_id, value
+        FROM events WHERE user_id < 20
+    ),
+    per_bucket AS (
+        SELECT user_id, bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM obs)
+        GROUP BY user_id, bucket_ts
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM (SELECT user_id, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1
+              FROM per_bucket GROUP BY user_id)
+    )
+    SELECT s.user_id, s.bucket_ts,
+           COALESCE(p.n_obs, 0) AS n_obs,
+           last_value(p.last_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           p.n_obs IS NULL AS gap_filled
+    FROM spine s LEFT JOIN per_bucket p USING (user_id, bucket_ts)
+    ORDER BY s.user_id, s.bucket_ts
+    """,
+    extra=True,  # time-bucketing family's driver rows: tumbling_hourly_counts,
+    # q08/q11; this adds the gap-fill/LOCF resample over the same grid
+)
+def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable resample (TimescaleDB ``time_bucket_gapfill`` + ``locf``):
+    hourly grid per user (bounded probe set user_id < 20), empty buckets
+    materialized and forward-filled from the last observation.  The spine is
+    generated distributed (per-key ``sequence()`` explode); see
+    operators.timeseries for the 100 TB shape."""
+    from ..operators.timeseries import resample_locf
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return resample_locf(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+        tiebreak_col="event_id",
+    )

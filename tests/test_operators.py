@@ -411,3 +411,27 @@ def test_interval_overlap_join_planted(spark):
     assert got == {("a1", "b1"), ("a2", "b1"), ("a3", "b3")}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_resample_locf_fills_gaps(spark):
+    """Three observations with a 3-hour hole: the spine materializes every
+    hourly bucket in [first, last], empty buckets carry the prior value,
+    in-bucket ties resolve to the latest (ts, tiebreak) observation."""
+    from etl_cloud_logistics_spark.operators.timeseries import resample_locf
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0, 1),
+        (1, "2024-01-01 00:50:00", 20.0, 2),  # same bucket, later → wins
+        (1, "2024-01-01 04:05:00", 99.0, 3),  # 3-hour gap before this
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_locf(
+        df, key_col="user_id", ts_col="ts", value_col="value",
+        step_seconds=3600, tiebreak_col="event_id",
+    ).collect()
+    assert [r.bucket_ts.hour for r in out] == [0, 1, 2, 3, 4]
+    assert [r.value_ffill for r in out] == [20.0, 20.0, 20.0, 20.0, 99.0]
+    assert [r.n_obs for r in out] == [2, 0, 0, 0, 1]
+    assert [r.gap_filled for r in out] == [False, True, True, True, False]
