@@ -405,8 +405,8 @@ _DSIR_CTES = """
     WITH {_DSIR_CTES}
     SELECT doc_id, n_feats, logweight, target_like FROM perdoc
     """,
-    extra=True,  # X6 data-selection extra (r4); driver X6 rows are the
-    # decontam/shard/pipeline entries — CI-exact-gated like the battery
+    # r4: rotated INTO the driver window (the round's flagship data-selection
+    # operator; previously CI-exact-gated as an extra)
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting for data selection (Xie et al. 2023,

@@ -181,6 +181,9 @@ def report_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     ORDER BY route_nation, segment
     """,
+    extra=True,  # r4 rotation: A8 report-table family keeps its driver row
+    # via report_customer_totals (same build shape); this slot goes to the
+    # interval-overlap join, a family with no driver row yet
 )
 def report_route_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's SECOND pre-aggregated report table (REPORT_ROUTE_TOTALS,
@@ -729,8 +732,8 @@ def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.o_orderkey < b.o_orderkey
      AND abs(a.s - b.s) < 7
     """,
-    extra=True,  # J10 interval×interval extra (r4); the point-in-interval
-    # form holds the driver row (asof_last_signup) — CI-exact-gated
+    # r4: rotated INTO the driver window (J10's range×range form — a new
+    # operator family this round; previously CI-exact-gated as an extra)
 )
 def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap self-join (J10's range×range form): same-customer

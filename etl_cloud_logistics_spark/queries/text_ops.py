@@ -460,6 +460,9 @@ def doc_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
+    extra=True,  # r4 rotation: the X4 family keeps four driver rows
+    # (doc_metrics, doc_quality_battery, bm25, passage dedup); this slot
+    # goes to DSIR importance weighting, the round's data-selection flagship
 )
 def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity join (PAPERS.md: string similarity search/join) via
