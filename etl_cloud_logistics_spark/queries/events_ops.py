@@ -418,3 +418,86 @@ def resample_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_seconds=3600,
         tiebreak_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: funnel + cohort retention (operators.eventflow)
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, ts FROM events),
+    a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                        OVER (PARTITION BY user_id) AS s0 FROM e),
+    b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s0 THEN ts END)
+                        OVER (PARTITION BY user_id) AS s1 FROM a),
+    c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > s1 THEN ts END)
+                        OVER (PARTITION BY user_id) AS s2 FROM b),
+    pu AS (SELECT DISTINCT user_id, s0, s1, s2 FROM c),
+    agg AS (SELECT CAST(COUNT(s0) AS BIGINT) AS n0,
+                   CAST(COUNT(s1) AS BIGINT) AS n1,
+                   CAST(COUNT(s2) AS BIGINT) AS n2 FROM pu)
+    SELECT CAST(1 AS INT) AS step_no, 'view' AS step_name, n0 AS n_users,
+           ROUND(CAST(n0 AS DOUBLE) / NULLIF(n0, 0), 6) AS pct_of_first FROM agg
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click', n1,
+           ROUND(CAST(n1 AS DOUBLE) / NULLIF(n0, 0), 6) FROM agg
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase', n2,
+           ROUND(CAST(n2 AS DOUBLE) / NULLIF(n0, 0), 6) FROM agg
+    ORDER BY step_no
+    """,
+    extra=True,  # behavioral-analytics extra; the per-user window machinery
+    # it stacks is driver-green via latest_event_per_user / session_stats
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view → click → purchase over the
+    event stream (ClickHouse windowFunnel family): per-user step timestamps
+    are stacked window-mins over ONE user-key shuffle, the roll-up emits
+    |steps| rows.  See operators.eventflow for the 100 TB shape."""
+    from ..operators.eventflow import funnel_counts
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_counts(events, steps=["view", "click", "purchase"]).orderBy(
+        "step_no"
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH weeks AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        FROM events
+    ),
+    wc AS (
+        SELECT user_id, activity_week,
+               MIN(activity_week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM weeks
+    ),
+    wo AS (
+        SELECT user_id, cohort_week,
+               CAST(date_diff('day', cohort_week, activity_week) / 7 AS INT)
+                   AS week_offset
+        FROM wc
+    ),
+    sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM wo WHERE week_offset = 0 GROUP BY 1),
+    active AS (SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+               FROM wo GROUP BY 1, 2)
+    SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+    extra=True,  # behavioral-analytics extra, same family as the funnel
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: cohort = Monday of each user's
+    first event; rows are (cohort, offset) with active counts and the
+    retention rate vs cohort size.  Two keyed aggs + a broadcast of the
+    |cohorts|-row size table — event volume only touches the first agg."""
+    from ..operators.eventflow import cohort_retention
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events)

@@ -435,3 +435,34 @@ def test_resample_locf_fills_gaps(spark):
     assert [r.value_ffill for r in out] == [20.0, 20.0, 20.0, 20.0, 99.0]
     assert [r.n_obs for r in out] == [2, 0, 0, 0, 1]
     assert [r.gap_filled for r in out] == [False, True, True, True, False]
+
+
+def test_funnel_strict_order_binding(spark):
+    """Funnel binds each step to the FIRST qualifying event strictly after
+    the previous step: a click before the first view does not convert, and
+    a purchase between view and click does not count for step 3."""
+    from etl_cloud_logistics_spark.operators.eventflow import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-01 12:00:00"),
+        # u2: click precedes the only view -> stops at step 1
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        # u3: purchase sits between view and click -> steps 1-2 only
+        (3, "view", "2024-01-01 10:00:00"),
+        (3, "purchase", "2024-01-01 10:30:00"),
+        (3, "click", "2024-01-01 11:00:00"),
+        # u4: never enters the funnel
+        (4, "error", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.step_no: r.n_users
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1}
