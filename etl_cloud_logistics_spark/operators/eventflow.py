@@ -125,3 +125,38 @@ def cohort_retention(
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order path analysis: counts and probabilities of consecutive
+    event-type transitions within each key's timeline (the Markov-chain
+    view of user journeys).  ``lead`` over (key, ts, tiebreak) pairs each
+    event with its successor — one keyed shuffle for the window, one
+    map-side-combined agg to |types|² rows, and the per-source normalizer
+    is a window over that tiny result.  Probabilities are exact ratios of
+    counts, rounded to 6 places."""
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(key_col, type_col, ts_col, tiebreak_col)
+        .withColumn("to_type", F.lead(type_col).over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col(type_col).alias("from_type"), "to_type"
+    ).agg(F.count("*").alias("n_transitions"))
+    w_src = W.partitionBy("from_type")
+    return (
+        counts.withColumn(
+            "prob",
+            F.round(
+                F.col("n_transitions") / F.sum("n_transitions").over(w_src), 6
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -501,3 +501,35 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return cohort_retention(events)
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM pairs WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / SUM(n_transitions) OVER (PARTITION BY from_type), 6) AS prob
+    FROM counts
+    ORDER BY from_type, to_type
+    """,
+    extra=True,  # behavioral-analytics family (funnel / cohort / transitions)
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov path analysis):
+    which event follows which, per user timeline, with per-source
+    probabilities.  See operators.eventflow.transition_matrix."""
+    from ..operators.eventflow import transition_matrix
+
+    events = load_table(spark, sf_dir, "events")
+    return transition_matrix(events)
