@@ -89,3 +89,46 @@ def merge_aggregates(
         F.sum(count_col).alias(count_col),
         *[F.sum(c).alias(c) for c in sum_cols],
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame, col: str, group_col: str, threshold: float = 3.5
+) -> DataFrame:
+    """Robust outlier gate via median absolute deviation (Iglewicz-Hoaglin
+    modified z-score, |0.6745·(x−med)/MAD| > threshold): the z-score gate's
+    breakdown-resistant sibling — a single wild value shifts mean AND std,
+    masking real outliers, while the median/MAD pair has a 50% breakdown
+    point.
+
+    Three linear passes per group: exact median, exact MAD (median of
+    absolute deviations), then the flag count — the per-group stats frames
+    are |groups| rows and broadcast back onto the fact, so nothing wide
+    ever shuffles.  Exact percentiles collect each group's values (fine at
+    enum group cardinality); at high-cardinality keys swap
+    ``F.percentile`` for ``approx_percentile`` with the same call shape.
+    The modified z is rounded to 4 places before the threshold compare so
+    both engines cut identically."""
+    x = F.col(col)
+    med = df.groupBy(group_col).agg(F.percentile(x, F.lit(0.5)).alias("med"))
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(F.abs(x - F.col("med")), F.lit(0.5)).alias("mad"),
+        F.first("med").alias("med"),
+        F.count(x).alias("n_rows"),
+    )
+    mz = F.round(F.lit(0.6745) * (x - F.col("med")) / F.col("mad"), 4)
+    return (
+        df.join(F.broadcast(mad), group_col)
+        .groupBy(group_col, "med", "mad", "n_rows")
+        .agg(
+            F.count(F.when(F.abs(mz) > threshold, 1)).alias("n_outliers"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "n_outliers",
+            F.round("med", 4).alias("median_val"),
+            F.round("mad", 4).alias("mad_val"),
+        )
+        .orderBy(group_col)
+    )

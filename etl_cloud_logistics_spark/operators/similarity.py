@@ -214,7 +214,8 @@ def semdedup_prune(
             ),
             "kept_by",
         )
-        .orderBy(id_col)
+        # no final orderBy: the result is corpus-sized, and a global sort of
+        # it would be the only O(corpus log corpus) exchange in the operator
     )
 
 

@@ -98,5 +98,7 @@ def resample_locf(
             F.last("last_value", ignorenulls=True).over(w_fill).alias("value_ffill"),
             F.col("n_obs").isNull().alias("gap_filled"),
         )
-        .orderBy(key_col, "bucket_ts")
+        # no final orderBy: the spine is (keys × span/step) rows — a global
+        # sort of it would dwarf the two keyed exchanges that do the work;
+        # consumers already receive it clustered by key from the fill window
     )

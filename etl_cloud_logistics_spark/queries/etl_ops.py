@@ -670,3 +670,44 @@ def group_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_native(cust, "c_nationkey", "c_acctbal").select(
         "c_custkey", "c_nationkey", "c_acctbal", F.round("z", 6).alias("z")
     )
+
+
+@register(
+    "mad_outlier_gate",
+    oracle="""
+    WITH med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1
+    ),
+    mad AS (
+        SELECT o.o_orderpriority,
+               quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad,
+               ANY_VALUE(m.med) AS med,
+               CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_rows
+        FROM orders o JOIN med m USING (o_orderpriority)
+        GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           d.n_rows,
+           CAST(COUNT(CASE WHEN abs(ROUND(0.6745 * (o.o_totalprice - d.med)
+                                          / d.mad, 4)) > 3.5
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(d.med AS DOUBLE), 4) AS median_val,
+           ROUND(CAST(d.mad AS DOUBLE), 4) AS mad_val
+    FROM orders o JOIN mad d USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, d.n_rows, d.med, d.mad
+    ORDER BY o.o_orderpriority
+    """,
+    extra=True,  # A9 robust sibling; the mean/std gate holds the driver row
+    # (zscore_outlier_gate)
+)
+def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate (A9's breakdown-resistant sibling): per-priority
+    median/MAD with the Iglewicz-Hoaglin modified z-score — the form an
+    extract-time QA gate should use when the metric itself is contaminated
+    by the outliers being hunted.  See operators.quality.mad_outlier_stats
+    for the three-linear-pass broadcast shape."""
+    from ..operators.quality import mad_outlier_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mad_outlier_stats(orders, "o_totalprice", "o_orderpriority")

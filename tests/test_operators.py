@@ -427,10 +427,13 @@ def test_resample_locf_fills_gaps(spark):
     df = spark.createDataFrame(
         rows, "user_id long, ts string, value double, event_id long"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    out = resample_locf(
-        df, key_col="user_id", ts_col="ts", value_col="value",
-        step_seconds=3600, tiebreak_col="event_id",
-    ).collect()
+    out = sorted(
+        resample_locf(
+            df, key_col="user_id", ts_col="ts", value_col="value",
+            step_seconds=3600, tiebreak_col="event_id",
+        ).collect(),
+        key=lambda r: r.bucket_ts,
+    )
     assert [r.bucket_ts.hour for r in out] == [0, 1, 2, 3, 4]
     assert [r.value_ffill for r in out] == [20.0, 20.0, 20.0, 20.0, 99.0]
     assert [r.n_obs for r in out] == [2, 0, 0, 0, 1]
@@ -466,3 +469,23 @@ def test_funnel_strict_order_binding(spark):
         for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
     }
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_mad_gate_resists_masking(spark):
+    """Four wild values inflate the sample std enough that the |z|>3 gate
+    misses all of them (classic masking: max |z| ≈ sqrt(n/k) ≈ 2.4 here);
+    the median/MAD gate flags every one, and its median stays at the clean
+    data's value."""
+    from etl_cloud_logistics_spark.operators.quality import mad_outlier_stats
+
+    clean = [("g", 100.0 + i * 0.5) for i in range(20)]
+    wild = [("g", 5000.0), ("g", -5000.0), ("g", 6000.0), ("g", -6000.0)]
+    df = spark.createDataFrame(clean + wild, "grp string, x double")
+    row = mad_outlier_stats(df, "x", "grp", threshold=3.5).collect()[0]
+    assert row.n_outliers == 4
+    assert 100.0 <= row.median_val <= 110.0  # unmoved by the wild pair
+    # the mean/std gate on the same data flags neither (std ~ 1500)
+    from etl_cloud_logistics_spark.operators.quality import flag_outliers
+
+    z_flagged = flag_outliers(df, "x", threshold=3.0).filter("is_outlier").count()
+    assert z_flagged == 0

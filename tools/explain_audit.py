@@ -47,7 +47,16 @@ def audit_one(name, spec, spark):
     flags = []
     if counts["CART"]:
         flags.append("CARTESIAN")
-    if re.search(r"Exchange SinglePartition", plan) and "Window" in plan:
+    # structural: a Window whose child exchange is SinglePartition (the
+    # coalesce-to-1 global-order window).  A SinglePartition exchange that
+    # feeds a 1-row final aggregate elsewhere in the same plan is benign
+    # and must not flag (e.g. the funnel roll-up), so require the Exchange
+    # to sit directly under the Window through at most Sort/AQE plumbing.
+    mid = (
+        r"(?:[^\n]*(?:Sort |AQEShuffleRead|ShuffleQueryStage|InputAdapter|"
+        r"WholeStageCodegen)[^\n]*\n)*"
+    )
+    if re.search(r"Window [^\n]*\n" + mid + r"[^\n]*Exchange SinglePartition", plan):
         flags.append("GLOBAL-WINDOW")
     joins = " ".join(f"{k}={v}" for k, v in counts.items() if v)
     print(
