@@ -153,3 +153,42 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_small):
         if "CartesianProduct" in plan:
             offenders.append((name, "CartesianProduct in plan"))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_small):
+    """At cluster scale a selective dim filter should reach the fact side
+    BEFORE the shuffle via Spark's runtime bloom filter (InjectRuntimeFilter):
+    the filtered creation side builds a bloom_filter_agg and the fact scan
+    gains a BloomFilterMightContain predicate, cutting shuffled fact rows to
+    near the join's output size.  The production thresholds (10 MB creation
+    side / 10 GB application side) make this a no-op at test SF, so pin the
+    MECHANICS under test-scale thresholds and restore the defaults after."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        part = load_table(spark, sf_small, "part").filter(F.col("p_size") == 1)
+        li = load_table(spark, sf_small, "lineitem")
+        joined = li.join(part, li.l_partkey == part.p_partkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan, (
+            "runtime bloom filter was not injected:\n" + plan[:2000]
+        )
+        n_filtered = joined.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    # exactness: the bloom filter is a pre-filter, never a semantics change
+    part = load_table(spark, sf_small, "part").filter(F.col("p_size") == 1)
+    li = load_table(spark, sf_small, "lineitem")
+    assert n_filtered == li.join(part, li.l_partkey == part.p_partkey).count()
