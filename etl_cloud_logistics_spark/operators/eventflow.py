@@ -27,6 +27,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def funnel_user_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key funnel state: one row per key with the earliest completion
+    timestamp of each step (``step_ts_1`` … ``step_ts_K``, null once the
+    chain breaks).  Step k binds to the first event of type ``steps[k]``
+    STRICTLY after the step-(k-1) completion — the stacked window-mins
+    share one hash exchange on the key.  This frame is both the input to
+    the ``funnel_counts`` roll-up and the batch twin the streaming funnel
+    (streaming.jobs.funnel_stream) is equality-tested against."""
+    w = W.partitionBy(key_col)
+    cur = df.select(key_col, type_col, ts_col)
+    prev_ts = None
+    step_cols = []
+    for i, s in enumerate(steps):
+        col = f"step_ts_{i + 1}"
+        cond = F.col(type_col) == s
+        if prev_ts is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev_ts))
+        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_ts = col
+        step_cols.append(col)
+    return cur.select(key_col, *step_cols).distinct()
+
+
 def funnel_counts(
     df: DataFrame,
     steps: list[str],
@@ -42,20 +71,8 @@ def funnel_counts(
     Returns |steps| rows: (step_no, step_name, n_users, pct_of_first),
     where pct_of_first is the conversion rate from the funnel's entry step,
     rounded to 6 places."""
-    w = W.partitionBy(key_col)
-    cur = df.select(key_col, type_col, ts_col)
-    prev_ts = None
-    step_cols = []
-    for i, s in enumerate(steps):
-        col = f"__s{i}"
-        cond = F.col(type_col) == s
-        if prev_ts is not None:
-            cond = cond & (F.col(ts_col) > F.col(prev_ts))
-        cur = cur.withColumn(col, F.min(F.when(cond, F.col(ts_col))).over(w))
-        prev_ts = col
-        step_cols.append(col)
-
-    per_user = cur.select(key_col, *step_cols).distinct()
+    step_cols = [f"step_ts_{i + 1}" for i in range(len(steps))]
+    per_user = funnel_user_steps(df, steps, key_col, type_col, ts_col)
     counts = per_user.agg(
         *[
             F.count(F.col(c)).alias(f"n{i}")  # count skips nulls

@@ -99,6 +99,7 @@ def _load_all() -> None:
         relational_ext,
         similarity,
         text_ops,
+        tpch_classic,
     )
 
     _loaded = True

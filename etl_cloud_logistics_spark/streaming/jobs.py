@@ -307,3 +307,117 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel (extension of ST2's stateful pattern to the behavioral
+# funnel — batch twin operators.eventflow.funnel_user_steps)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_FUNNEL_STATE = T.StructType(
+    [  # per-step candidate timestamps (micros) surviving the pruning rule
+        T.StructField("ts1", T.ArrayType(T.LongType())),
+        T.StructField("ts2", T.ArrayType(T.LongType())),
+        T.StructField("ts3", T.ArrayType(T.LongType())),
+    ]
+)
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step_reached", T.IntegerType()),
+        T.StructField("step_ts_1", T.TimestampType()),
+        T.StructField("step_ts_2", T.TimestampType()),
+        T.StructField("step_ts_3", T.TimestampType()),
+    ]
+)
+
+
+def _funnel_resolve(lists: list[list[int]]) -> list[int | None]:
+    """Earliest-completion chain over the retained candidate lists."""
+    out: list[int | None] = []
+    prev: int | None = None
+    for i, ls in enumerate(lists):
+        if i == 0:
+            cur = min(ls) if ls else None
+        elif prev is None:
+            cur = None
+        else:
+            later = [t for t in ls if t > prev]
+            cur = min(later) if later else None
+        out.append(cur)
+        prev = cur
+    return out
+
+
+def _funnel_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Exact earliest-completion funnel under ARBITRARY arrival order.
+
+    Why lists and not three scalars: a view arriving late with an earlier
+    timestamp lowers s1, which can re-validate a click that was previously
+    too early — a scalar state machine would have discarded it and report
+    a wrong (too-late or missing) conversion.  The retained-candidate rule
+    keeps exactness with pruned state: for step k, candidates with
+    ts > current s_k can never become the new s_k (loosening an earlier
+    constraint only moves minima DOWN), so each list is cut at its step's
+    current completion; step 1 collapses to a single scalar (its min).
+    State per user is therefore |events before the user's conversion
+    frontier| — three scalars once the funnel completes tightly — the
+    same asymptotic contract as ClickHouse's in-memory windowFunnel."""
+    lists: list[list[int]] = (
+        [list(state.get[0] or []), list(state.get[1] or []), list(state.get[2] or [])]
+        if state.exists
+        else [[], [], []]
+    )
+    for pdf in pdfs:
+        for _, row in pdf.iterrows():
+            try:
+                idx = FUNNEL_STEPS.index(str(row["event_type"]))
+            except ValueError:
+                continue
+            lists[idx].append(int(row["ts"].value // 1_000))
+    resolved = _funnel_resolve(lists)
+    # prune: step 0 keeps only its min; step k keeps candidates <= s_k
+    # (all candidates while s_k is still unreached)
+    pruned: list[list[int]] = []
+    for i, ls in enumerate(lists):
+        if i == 0:
+            pruned.append([resolved[0]] if resolved[0] is not None else [])
+        elif resolved[i] is None:
+            pruned.append(sorted(set(ls)))
+        else:
+            pruned.append(sorted({t for t in ls if t <= resolved[i]}))
+    state.update(tuple(pruned))
+    step_reached = sum(1 for t in resolved if t is not None)
+    ts_vals = [
+        pd.Timestamp(t, unit="us") if t is not None else pd.NaT for t in resolved
+    ]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "step_reached": [step_reached],
+            "step_ts_1": [ts_vals[0]],
+            "step_ts_2": [ts_vals[1]],
+            "step_ts_3": [ts_vals[2]],
+        }
+    )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming strict-order funnel view → click → purchase: one state row
+    per user, exact under out-of-order delivery (see _funnel_fn).  Emits
+    the user's current (step_reached, step timestamps) on every update;
+    step_reached is monotone nondecreasing and each step_ts monotone
+    nonincreasing, so downstream consumers may keep latest-per-user, and
+    an aggregator may equivalently take (max step, min ts per step)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
