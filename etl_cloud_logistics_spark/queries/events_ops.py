@@ -533,3 +533,83 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return transition_matrix(events)
+
+
+@register(
+    "resample_hourly_interp",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id,
+               CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP)
+                   AS bucket_ts,
+               ts, event_id, value
+        FROM events WHERE user_id < 20
+    ),
+    per_bucket AS (
+        SELECT user_id, bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_obs,
+               MAX(CASE WHEN rn = 1 THEN value END) AS last_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket_ts
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM obs)
+        GROUP BY user_id, bucket_ts
+    ),
+    spine AS (
+        SELECT user_id,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM (SELECT user_id, MIN(bucket_ts) AS b0, MAX(bucket_ts) AS b1
+              FROM per_bucket GROUP BY user_id)
+    ),
+    j AS (
+        SELECT s.user_id, s.bucket_ts, p.n_obs, p.last_value
+        FROM spine s LEFT JOIN per_bucket p USING (user_id, bucket_ts)
+    ),
+    walled AS (
+        SELECT *,
+               last_value(last_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+               last_value(CASE WHEN last_value IS NOT NULL THEN bucket_ts END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+               first_value(last_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+               first_value(CASE WHEN last_value IS NOT NULL THEN bucket_ts END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        FROM j
+    )
+    SELECT user_id, bucket_ts,
+           COALESCE(n_obs, 0) AS n_obs,
+           CASE WHEN last_value IS NOT NULL THEN last_value
+                ELSE prev_val + (next_val - prev_val)
+                     * (CAST(CAST(epoch(bucket_ts) AS BIGINT)
+                             - CAST(epoch(prev_ts) AS BIGINT) AS DOUBLE)
+                        / CAST(CAST(epoch(next_ts) AS BIGINT)
+                               - CAST(epoch(prev_ts) AS BIGINT) AS DOUBLE))
+           END AS value_interp,
+           n_obs IS NULL AS gap_filled
+    FROM walled
+    """,
+    extra=True,  # gap-fill family; the LOCF form is the exact sibling
+)
+def resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable resample with LINEAR interpolation across gaps (TimescaleDB
+    ``interpolate`` / InfluxDB ``fill(linear)``): same hourly grid and probe
+    set as resample_hourly_locf, empty buckets get the time-weighted lerp of
+    the neighboring observed buckets.  See
+    operators.timeseries.resample_interpolate."""
+    from ..operators.timeseries import resample_interpolate
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return resample_interpolate(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=3600,
+        tiebreak_col="event_id",
+    )

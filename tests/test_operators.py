@@ -489,3 +489,26 @@ def test_mad_gate_resists_masking(spark):
 
     z_flagged = flag_outliers(df, "x", threshold=3.0).filter("is_outlier").count()
     assert z_flagged == 0
+
+
+def test_resample_interpolate_lerps_gaps(spark):
+    """A 3-hour hole between values 10 and 70 fills with the time-weighted
+    lerp (25/40/55); observed buckets keep their own last observation."""
+    from etl_cloud_logistics_spark.operators.timeseries import resample_interpolate
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 10.0, 1),
+        (1, "2024-01-01 04:10:00", 70.0, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        resample_interpolate(
+            df, key_col="user_id", ts_col="ts", value_col="value",
+            step_seconds=3600, tiebreak_col="event_id",
+        ).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert [r.value_interp for r in out] == [10.0, 25.0, 40.0, 55.0, 70.0]
+    assert [r.gap_filled for r in out] == [False, True, True, True, False]
