@@ -32,6 +32,45 @@ def sum_exact(col: str | Column) -> Column:
     return F.sum(c.cast(_DEC)).cast("double")
 
 
+def avg_round_half_up(col: str | Column, count_col: Column, scale: int) -> Column:
+    """ROUND(SUM(x)/n, scale) with EXACT half-up semantics for NON-NEGATIVE
+    sums — computed entirely in scaled-integer space, because
+    ``ROUND(double, k)`` of a quotient is NOT cross-engine stable when the
+    true quotient lands exactly on a half (Spark rounds the shortest
+    decimal representation of the nearest double; DuckDB scales by 10^k
+    first — they disagree in BOTH directions around the boundary, found
+    round 4 when report_route_totals' avg hit 232192.105 exactly).
+
+    Math: round_half_up(S·10^k / n) = ⌊(2·S6·10^k + n·10^6) / (2·n·10^6)⌋
+    with S6 = S·10^6 exact (the decimal sum is scale-6).  All terms are
+    exact DECIMAL(38,0) integers; the floor division is done as
+    (num − num % den) / den so no engine rounding ever touches it; the
+    final quotient/10^k long→double division is IEEE-identical everywhere.
+
+    Oracle twin (k = 2 example)::
+
+        CAST((2 * CAST(SUM(CAST(x AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+                 * 100 + COUNT(*) * 1000000)
+             // (2 * COUNT(*) * 1000000) AS DOUBLE) / 100
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return round_half_up_ratio(F.sum(c.cast(_DEC)), count_col, scale)
+
+
+def round_half_up_ratio(dec_sum: Column, count_col: Column, scale: int) -> Column:
+    """Row-level form of ``avg_round_half_up``: exact half-up rounding of
+    ``dec_sum / n`` where ``dec_sum`` is an already-materialized
+    DECIMAL(38,6) value (e.g. an incremental-maintenance partial) and the
+    inputs are non-negative.  Shares the integer-space math and the oracle
+    twin with the aggregate form."""
+    s6 = (dec_sum * F.lit(1_000_000)).cast("decimal(38,0)")
+    n = count_col.cast("decimal(38,0)")
+    num = s6 * F.lit(2 * 10**scale) + n * F.lit(1_000_000)
+    den = n * F.lit(2_000_000)
+    q = ((num - num % den) / den).cast("long")
+    return q / F.lit(10**scale)
+
+
 def avg_exact(col: str | Column) -> Column:
     """AVG = exact decimal SUM / COUNT, emitted as double.
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
-from ..functions import sum_exact
+from ..functions import avg_round_half_up, round_half_up_ratio, sum_exact
 from . import register
 
 
@@ -130,8 +130,9 @@ def secure_view_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
            COUNT(o.o_orderkey) AS n_orders,
            ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(o.o_orderkey), 2) AS avg_order,
+           CAST((2 * CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+                     * 100 + COUNT(o.o_orderkey) * 1000000)
+                // (2 * COUNT(o.o_orderkey) * 1000000) AS DOUBLE) / 100 AS avg_order,
            MIN(o.o_orderdate) AS first_order,
            MAX(o.o_orderdate) AS last_order
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
@@ -151,7 +152,7 @@ def report_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("o_orderkey").alias("n_orders"),
         F.round(sum_exact("o_totalprice"), 2).alias("total_spend"),
-        F.round(sum_exact("o_totalprice") / F.count("o_orderkey"), 2).alias("avg_order"),
+        avg_round_half_up("o_totalprice", F.count("o_orderkey"), 2).alias("avg_order"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
@@ -173,8 +174,9 @@ def report_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
            COUNT(o.o_orderkey) AS n_orders,
            ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(o.o_orderkey), 2) AS avg_order
+           CAST((2 * CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+                     * 100 + COUNT(o.o_orderkey) * 1000000)
+                // (2 * COUNT(o.o_orderkey) * 1000000) AS DOUBLE) / 100 AS avg_order
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -202,7 +204,7 @@ def report_route_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count("o_orderkey").alias("n_orders"),
             F.round(sum_exact("o_totalprice"), 2).alias("total_spend"),
-            F.round(sum_exact("o_totalprice") / F.count("o_orderkey"), 2).alias("avg_order"),
+            avg_round_half_up("o_totalprice", F.count("o_orderkey"), 2).alias("avg_order"),
         )
         .orderBy("route_nation", "segment")
     )
@@ -548,8 +550,9 @@ def star_join_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name, c.c_mktsegment,
            COUNT(o.o_orderkey) AS n_orders,
            ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
-           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(o.o_orderkey), 2) AS avg_order,
+           CAST((2 * CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+                     * 100 + COUNT(o.o_orderkey) * 1000000)
+                // (2 * COUNT(o.o_orderkey) * 1000000) AS DOUBLE) / 100 AS avg_order,
            MIN(o.o_orderdate) AS first_order,
            MAX(o.o_orderdate) AS last_order
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
@@ -581,8 +584,8 @@ def incremental_report_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         derived=[
             ("total_spend", lambda df: F.round(F.col("spend_dec").cast("double"), 2)),
-            ("avg_order", lambda df: F.round(
-                F.col("spend_dec").cast("double") / F.col("n_orders"), 2)),
+            ("avg_order", lambda df: round_half_up_ratio(
+                F.col("spend_dec"), F.col("n_orders"), 2)),
         ],
     )
     d = F.col("o_orderdate")
@@ -619,8 +622,9 @@ def incremental_report_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            COUNT(o_orderkey) AS n_orders,
            ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_spend,
-           ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE)
-                 / COUNT(o_orderkey), 2) AS avg_order
+           CAST((2 * CAST(SUM(CAST(price AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+                     * 100 + COUNT(o_orderkey) * 1000000)
+                // (2 * COUNT(o_orderkey) * 1000000) AS DOUBLE) / 100 AS avg_order
     FROM surv
     GROUP BY o_orderstatus, o_orderpriority
     """,
@@ -653,8 +657,8 @@ def incremental_refresh_retractions(spark: SparkSession, sf_dir: str) -> DataFra
         ],
         derived=[
             ("total_spend", lambda df: F.round(F.col("spend_dec").cast("double"), 2)),
-            ("avg_order", lambda df: F.round(
-                F.col("spend_dec").cast("double") / F.col("n_orders"), 2)),
+            ("avg_order", lambda df: round_half_up_ratio(
+                F.col("spend_dec"), F.col("n_orders"), 2)),
         ],
     )
     state = refresh(None, orders.filter(m10 < 8), spec)
