@@ -93,6 +93,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         core,
         curation_ops,
+        embedding_ops,
         etl_ops,
         events_ops,
         multimodal_ops,

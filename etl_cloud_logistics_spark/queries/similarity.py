@@ -19,6 +19,7 @@ from ..operators.similarity import (
     knn_sq8,
     norm_exact,
     semdedup_prune,
+    srp_lsh_neardup,
     train_sq8_bounds,
 )
 from . import register
@@ -397,3 +398,63 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fused_rank",
         )
     )
+
+
+@register(
+    "srp_lsh_neardup_pairs",
+    extra=True,
+    oracle=f"""
+    WITH planes AS (
+        SELECT t, b, d,
+               CASE WHEN substr(md5('srp:' || t || ':' || b || ':' || d), 1, 1)
+                    IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS s
+        FROM range(0,8) rt(t), range(0,8) rb(b), range(0,64) rd(d)
+    ),
+    e AS (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS x
+        FROM embeddings, range(0,64) r(d)
+    ),
+    bits AS (
+        SELECT e.vec_id, p.t, p.b,
+               CASE WHEN SUM(CAST(e.x * p.s AS DECIMAL(38,12))) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM e JOIN planes p ON e.d = p.d
+        GROUP BY e.vec_id, p.t, p.b
+    ),
+    sigs AS (
+        SELECT vec_id, t, string_agg(bit, '' ORDER BY b) AS sig
+        FROM bits GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b2.vec_id AS neighbor_id
+        FROM sigs a JOIN sigs b2
+          ON a.t = b2.t AND a.sig = b2.sig AND a.vec_id < b2.vec_id
+    ),
+    pairs AS (
+        SELECT query_id, neighbor_id, ea.embedding AS qv, eb.embedding AS cv
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = query_id
+        JOIN embeddings eb ON eb.vec_id = neighbor_id
+    ),
+    terms AS ({_COS_TERMS}),
+    scored AS (
+        SELECT query_id AS vec_a, neighbor_id AS vec_b,
+               ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS cos_sim
+        FROM terms
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
+    """,
+)
+def srp_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH (SRP / cosine-LSH, Charikar 2002) near-duplicate
+    pairs: md5-seeded Rademacher hyperplanes give every engine the SAME
+    8-bit×8-table signatures (DECIMAL-exact signed sums make each bit
+    order-independent), candidates are the bucket collisions (equi-join on
+    (table, signature) — shuffle O(corpus·T), never O(n²)), and survivors
+    are verified by exact decimal cosine.  This is the third LSH family in
+    the kit — MinHash (Jaccard/text), SimHash (Hamming/text), SRP
+    (cosine/vectors) — and the oracle reproduces the ENTIRE pipeline
+    including the planes, so the candidate set itself is differential-
+    tested, not just the final scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_lsh_neardup(emb, threshold=0.35, dim=64, n_tables=8, n_bits=8)

@@ -649,3 +649,52 @@ def test_semdedup_prune_invariants(spark, sf_small):
         ~F.col("kept") & ~(F.col("kept_by") < F.col("vec_id"))
     ).count()
     assert bad_blocker == 0
+
+
+def test_srp_lsh_recovers_planted_clones(spark):
+    """SRP hyperplane LSH (B=8, T=8): planted clone pairs at cos >= 0.99
+    must be recovered near-perfectly (S-curve predicts ~1.0 there), and the
+    exact-verify stage means emitted pairs are never false positives."""
+    import hashlib
+
+    from etl_cloud_logistics_spark.operators.similarity import srp_lsh_neardup
+
+    def unit(seed: str) -> list[float]:
+        vals = []
+        for d in range(64):
+            h = hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+            vals.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+        n = sum(x * x for x in vals) ** 0.5
+        return [x / n for x in vals]
+
+    rows = []
+    for i in range(30):
+        base = unit(f"srp-fixture:{i}")
+        clone = [x + 0.01 * ((d % 3) - 1) for d, x in enumerate(base)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, clone))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in srp_lsh_neardup(emb, threshold=0.9, dim=64).collect()
+    }
+    true_pairs = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(got & true_pairs) / len(true_pairs)
+    print(f"SRP-LSH recall on planted clones (cos>=0.99): {recall:.3f}")
+    assert recall >= 0.9
+    # every emitted pair genuinely clears the threshold (verify stage):
+    # unrelated md5-random pairs sit near cos 0 and cannot appear
+    assert got <= true_pairs or all(a // 2 == b // 2 for a, b in got)
+
+
+def test_srp_signatures_deterministic(spark):
+    from etl_cloud_logistics_spark.operators.similarity import srp_signatures
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(16)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {(r.vec_id, r.t): r.sig for r in srp_signatures(emb, dim=16, n_tables=2, n_bits=4).collect()}
+    b = {(r.vec_id, r.t): r.sig for r in srp_signatures(emb, dim=16, n_tables=2, n_bits=4).collect()}
+    assert a == b and len(a) == 20
+    assert all(len(s) == 4 and set(s) <= {"0", "1"} for s in a.values())
