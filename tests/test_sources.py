@@ -393,3 +393,111 @@ def test_heavy_scan_parallelization_noop_at_scale(spark, sf_small):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         if key is not None:
             catalog._TABLE_CACHE.pop(key, None)
+
+
+# --- textfiles: JSONL / CSV ingestion with quarantine -----------------------
+
+
+def test_read_jsonl_corpus_quarantines_bad_lines(spark, tmp_path):
+    from etl_cloud_logistics_spark.sources.textfiles import read_jsonl_corpus
+    from pyspark.sql import types as T
+
+    p = tmp_path / "shard"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "hello", "lang": "en"}',
+                "not json at all",
+                '{"doc_id": "oops", "text": "bad type", "lang": "en"}',
+                '{"doc_id": 3, "lang": "de"}',  # missing required text
+                "",
+                '{"doc_id": 4, "text": "ok", "lang": "fr"}',
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, quar = read_jsonl_corpus(spark, str(p), schema, required=["text"])
+    g = {r.doc_id: r.text for r in good.collect()}
+    assert g == {1: "hello", 4: "ok"}
+    assert set(good.columns) == {"src_file", "doc_id", "text", "lang"}
+    q = sorted((r.reason, r.raw_line) for r in quar.collect())
+    assert [r for r, _ in q] == ["malformed", "malformed", "missing_required"]
+    # quarantined lines are verbatim — replayable after a fix
+    assert ("malformed", "not json at all") in q
+
+
+def test_read_csv_corpus_quarantines_and_drops_header(spark, tmp_path):
+    from etl_cloud_logistics_spark.sources.textfiles import read_csv_corpus
+    from pyspark.sql import types as T
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "a.csv").write_text(
+        "\n".join(
+            [
+                "order_id,status,total",
+                "1,OPEN,10.5",
+                "2,CLOSED,notanumber",
+                "3,OPEN",
+                "4,SHIPPED,99.0",
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    good, quar = read_csv_corpus(
+        spark, str(p), schema, required=["order_id", "total"], header=True
+    )
+    g = {r.order_id: (r.status, r.total) for r in good.collect()}
+    assert g == {1: ("OPEN", 10.5), 4: ("SHIPPED", 99.0)}
+    reasons = sorted(r.reason for r in quar.collect())
+    assert len(reasons) == 2 and "OPEN" not in g.get(3, ("", 0.0))
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    from etl_cloud_logistics_spark.sources.textfiles import (
+        read_jsonl_corpus,
+        write_jsonl,
+    )
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "export")
+    write_jsonl(df.repartition(3), out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    good, quar = read_jsonl_corpus(spark, out, schema, required=["doc_id", "text"])
+    assert quar.count() == 0
+    back = sorted((r.doc_id, r.text, r.lang) for r in good.collect())
+    assert back == sorted((r.doc_id, r.text, r.lang) for r in df.collect())
+
+
+def test_jsonl_schema_must_not_claim_sentinel(spark):
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.sources.textfiles import read_jsonl_corpus
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with _pytest.raises(ValueError):
+        read_jsonl_corpus(spark, "/nonexistent", schema)
