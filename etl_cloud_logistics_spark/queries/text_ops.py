@@ -1014,3 +1014,44 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@register(
+    "bpe_token_stats",
+    extra=True,
+    oracle=None,  # the greedy BPE merge loop has no relational twin; the
+    # merge sequence, round-trip reconstruction and determinism are
+    # pytest-pinned on a hand-computed fixture (tests/test_tokenize.py)
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-dependent token counts (X4): train 64 BPE merges from the
+    corpus's own word frequencies (top-500 words — the Zipf-sufficient
+    training sample, collected as bounded model metadata), then segment
+    every document with the greedy lowest-rank apply loop in Arrow batches.
+    Per-language rollup: docs, words, BPE tokens, and the compression ratio
+    tokens/words the packing planner consumes.  Eager like the curation
+    pipeline: training collects word stats when the query is BUILT."""
+    from ..operators.tokenize import bpe_tokenize, train_bpe, word_frequencies
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(word_frequencies(docs), num_merges=64, vocab_limit=500)
+    tok = bpe_tokenize(docs, merges)
+    joined = tok.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("total_words"), 6).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("lang")
+    )
