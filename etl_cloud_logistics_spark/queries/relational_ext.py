@@ -783,3 +783,48 @@ def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_b",
         (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")).cast("bigint").alias("overlap_days"),
     )
+
+
+@register(
+    "copurchase_part_pairs",
+    extra=True,
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+    ic AS (SELECT item, COUNT(*) AS orders_i FROM li GROUP BY item),
+    freq AS (SELECT item FROM ic WHERE orders_i >= 3),
+    lf AS (SELECT li.basket, li.item FROM li JOIN freq USING (item)),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_orders
+        FROM lf a JOIN lf b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+    ),
+    nb AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM li)
+    SELECT item_a, item_b, pair_orders,
+           ca.orders_i AS orders_a, cb.orders_i AS orders_b,
+           CAST(pair_orders AS DOUBLE) / ca.orders_i AS confidence,
+           (CAST(pair_orders AS DOUBLE) * n_baskets)
+               / (CAST(ca.orders_i AS DOUBLE) * cb.orders_i) AS lift
+    FROM pairs JOIN ic ca ON ca.item = item_a JOIN ic cb ON cb.item = item_b
+    CROSS JOIN nb
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining (Apriori pair level) over the order→part
+    relation: part pairs co-ordered in ≥ 3 distinct orders with supports,
+    confidence and lift.  The item-support prune applies the anti-monotone
+    property BEFORE the basket self-join (the 100 TB bound on pair
+    fan-out); ratios are emitted unrounded — integer-operand IEEE division
+    is engine-exact where ROUND(double, k) is not
+    (operators/cooccurrence.py docstring)."""
+    from ..operators.cooccurrence import frequent_item_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3).select(
+        F.col("item_a"),
+        F.col("item_b"),
+        "pair_orders",
+        "orders_a",
+        "orders_b",
+        "confidence",
+        "lift",
+    )

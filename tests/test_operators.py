@@ -512,3 +512,36 @@ def test_resample_interpolate_lerps_gaps(spark):
     )
     assert [r.value_interp for r in out] == [10.0, 25.0, 40.0, 55.0, 70.0]
     assert [r.gap_filled for r in out] == [False, True, True, True, False]
+
+
+def test_frequent_item_pairs_planted(spark):
+    """Hand-checkable basket fixture: pair counting once-per-basket, the
+    Apriori item prune, and exact confidence/lift."""
+    from etl_cloud_logistics_spark.operators.cooccurrence import frequent_item_pairs
+
+    rows = []
+    # baskets 1..4 all contain {10, 20}; basket 2 lists 10 twice (dup row)
+    for bsk in (1, 2, 3, 4):
+        rows += [(bsk, 10), (bsk, 20)]
+    rows.append((2, 10))
+    # item 30 appears in one basket only -> pruned before pairing
+    rows.append((1, 30))
+    # baskets 5, 6: {10, 40} twice — below minsup 3
+    rows += [(5, 10), (5, 40), (6, 10), (6, 40)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = frequent_item_pairs(df, "basket", "item", minsup=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.item_a, r.item_b, r.pair_orders) == (10, 20, 4)
+    assert (r.orders_a, r.orders_b) == (6, 4)  # item 10 in baskets 1-6
+    assert r.confidence == 4 / 6
+    assert r.lift == (4.0 * 6) / (6.0 * 4)  # n_baskets = 6
+
+
+def test_frequent_item_pairs_empty_when_nothing_repeats(spark):
+    from etl_cloud_logistics_spark.operators.cooccurrence import frequent_item_pairs
+
+    df = spark.createDataFrame(
+        [(b, b * 10 + i) for b in range(5) for i in range(3)], "basket long, item long"
+    )
+    assert frequent_item_pairs(df, "basket", "item", minsup=2).count() == 0
