@@ -1,0 +1,89 @@
+"""Misra-Gries heavy hitters — the frequent-items member of the mergeable-
+sketch family the engine already carries (HLL for distinct counts, GK for
+quantiles; Misra & Gries 1982, mergeability per Agarwal et al. 2012).
+
+Architecture is candidate-then-verify, the same shape as the LSH dedup
+paths: a one-pass bounded-memory sketch proposes a candidate superset, an
+exact pass confined to the candidates emits true counts.  That makes the
+OUTPUT exactly the true heavy-hitter set — oracle-checkable with plain
+``HAVING count >= T`` — while memory stays k counters per partition at any
+input size.
+
+Guarantees (pytest-pinned on a Zipf stress fixture):
+- per-partition state ≤ k counters, regardless of row count;
+- a merged sketch undercounts any item by at most n/(k+1) (summing
+  per-partition MG summaries preserves the bound), so every item with
+  true count > threshold survives candidacy whenever
+  ``threshold > n/(k+1)`` — the caller's sizing contract, stated rather
+  than silently assumed;
+- the verify pass filters to candidate items BEFORE its groupBy, so the
+  second shuffle carries only candidate-key rows (≤ partitions·k distinct
+  keys), not the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def mg_sketch_partials(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """One Misra-Gries summary per partition, emitted as (item, cnt) rows
+    (≤ k per partition).  The classic algorithm: count hits; on a miss with
+    a full table, decrement every counter (dropping zeros) — each decrement
+    round 'spends' k+1 occurrences, bounding total undercount by
+    n/(k+1)."""
+
+    schema = T.StructType(
+        [T.StructField("item", T.StringType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for x in pdf[item_col]:
+                x = str(x)
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < k:
+                    counters[x] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters.keys()), "cnt": list(counters.values())}
+            )
+
+    return items.select(F.col(item_col).cast("string").alias(item_col)).mapInPandas(
+        part, schema=schema
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str, k: int, threshold: int
+) -> DataFrame:
+    """True heavy-hitter set with EXACT counts: MG candidates → exact count
+    pass over candidate-key rows only.  Correctness contract: complete iff
+    ``threshold > n/(k+1)`` (n = total rows) — under that sizing no true
+    heavy item can be decremented out of every partition summary."""
+    partials = mg_sketch_partials(items, item_col, k)
+    candidates = partials.groupBy("item").agg(F.sum("cnt").alias("est"))
+    cand_keys = candidates.select(F.col("item").alias(item_col))
+    exact = (
+        items.select(F.col(item_col).cast("string").alias(item_col))
+        .join(F.broadcast(cand_keys), item_col)
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+    )
+    return exact

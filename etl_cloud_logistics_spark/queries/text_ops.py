@@ -1055,3 +1055,35 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "heavy_hitter_words",
+    extra=True,
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS word
+        FROM documents
+    )
+    SELECT word, COUNT(*) AS n_occurrences
+    FROM w WHERE word <> ''
+    GROUP BY word HAVING COUNT(*) >= 500
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent words via the Misra-Gries candidate → exact-verify pipeline
+    (operators/heavyhitters.py): k=256 counters per partition (constant
+    memory at any corpus size), candidates exact-counted with the verify
+    shuffle confined to candidate keys.  Because the output is the TRUE
+    heavy-hitter set with exact counts — guaranteed complete while
+    threshold > n/(k+1), here 500 >> ~27k/257 ≈ 106 — the oracle is plain
+    HAVING, exactly the candidate-then-verify contract the LSH dedup rows
+    use.  The sketch's undercount bound itself is stress-tested on a Zipf
+    fixture in tests/test_operators.py."""
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), r"[^a-z0-9']+")).alias("word")
+    ).filter(F.col("word") != "")
+    return heavy_hitters_exact(words, "word", k=256, threshold=500).orderBy("word")

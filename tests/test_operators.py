@@ -545,3 +545,50 @@ def test_frequent_item_pairs_empty_when_nothing_repeats(spark):
         [(b, b * 10 + i) for b in range(5) for i in range(3)], "basket long, item long"
     )
     assert frequent_item_pairs(df, "basket", "item", minsup=2).count() == 0
+
+
+def test_misra_gries_bounds_on_zipf_stress(spark):
+    """MG guarantee under real pressure: 5,000 distinct items, k=100 —
+    decrements must fire constantly, yet (a) per-partition state stays <= k,
+    (b) merged undercount <= n/(k+1) for every surviving item, (c) no item
+    with true count > n/(k+1) is lost from candidacy."""
+    import hashlib
+
+    from etl_cloud_logistics_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+        mg_sketch_partials,
+    )
+
+    rows = []
+    # Zipf-ish: item i appears ~ 4000/i times (deterministic, shuffled by md5)
+    for i in range(1, 201):
+        rows += [(f"hot{i:03d}",)] * (4000 // i)
+    for i in range(5000):
+        rows.append((f"cold{i:05d}",))
+    rows.sort(key=lambda r: hashlib.md5(r[0].encode()).hexdigest())
+    n = len(rows)
+    k = 100
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    partials = mg_sketch_partials(df, "item", k)
+    # (a) bounded state: at most k summary rows per input partition
+    assert partials.count() <= 8 * k
+    merged = {r["item"]: r["est"] for r in partials.groupBy("item").agg(F.sum("cnt").alias("est")).collect()}
+    true = {}
+    for (it,) in rows:
+        true[it] = true.get(it, 0) + 1
+    err = n / (k + 1)
+    # (b) undercount bound on every surviving item
+    for it, est in merged.items():
+        assert est <= true[it] and true[it] - est <= err, it
+    # (c) recall: every item heavier than the bound is still a candidate
+    for it, c in true.items():
+        if c > err:
+            assert it in merged, f"lost heavy item {it} ({c} > {err})"
+    # end-to-end: exact output == brute-force heavy set for a safe threshold
+    thresh = int(err) + 50
+    got = {
+        r["item"]: r["n_occurrences"]
+        for r in heavy_hitters_exact(df, "item", k, thresh).collect()
+    }
+    want = {it: c for it, c in true.items() if c >= thresh}
+    assert got == want
