@@ -258,3 +258,29 @@ def pack_sequences(
 
     out_schema = f"{id_col} long, {tokens_col} long, bucket int, bin_id int, oversize boolean"
     return bucketed.groupBy("bucket").applyInPandas(pack, schema=out_schema)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    n_per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by rank over the
+    salted md5 of the key — the exact-n counterpart of ``mixture_sample``'s
+    Bernoulli rates (rates give binomial-noisy stratum sizes; evaluation
+    sets and ablations need exact ones).  Deterministic and engine-portable
+    like every md5 decision here: the 'random' order is a hex-string sort
+    any engine reproduces; ties are impossible because the digest includes
+    the unique key.  Scale shape: one window hash-partitioned by the strata
+    columns — never a global sort; skewed strata needing huge n would use
+    the two-stage top-k of topk_events_per_type."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(*strata_cols).orderBy(hash_key(key_col, salt), F.col(key_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

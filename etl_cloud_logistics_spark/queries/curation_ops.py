@@ -543,3 +543,33 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 100)
     )
+
+
+@register(
+    "stratified_sample_langs",
+    extra=True,
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM ranked WHERE rk <= 20
+    """,
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-n stratified sampling: 20 docs per language by salted-md5 rank
+    (operators.curation.stratified_sample_exact) — the deterministic
+    evaluation-set cut (mixture_sample's Bernoulli rates give binomial-
+    noisy sizes; eval sets need exact ones).  The window is hash-
+    partitioned by lang, never a global sort; the oracle reproduces the
+    md5 order verbatim."""
+    from ..operators.curation import stratified_sample_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample_exact(
+        docs.select("doc_id", "lang", "source"), ["lang"], "doc_id", 20
+    )

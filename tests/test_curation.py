@@ -158,3 +158,27 @@ def test_decontam_self_overlap_full(spark, docs):
         .count()
     )
     assert out.count() == n_docs_with_grams
+
+
+def test_stratified_sample_exact_sizes_and_determinism(spark):
+    from etl_cloud_logistics_spark.operators.curation import stratified_sample_exact
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, ["lang"], "doc_id", 10)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # exact n where the stratum is big enough, the whole stratum where not
+    assert sizes == {"en": 10, "de": 10, "fr": 10, "tiny": 1}
+    a = sorted((r.doc_id, r.lang) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.lang)
+        for r in stratified_sample_exact(df, ["lang"], "doc_id", 10).collect()
+    )
+    assert a == b
+    # a different salt draws a (near-certainly) different sample — decisions
+    # are namespaced, not re-used across purposes
+    c = sorted(
+        (r.doc_id, r.lang)
+        for r in stratified_sample_exact(df, ["lang"], "doc_id", 10, salt="other").collect()
+    )
+    assert a != c
