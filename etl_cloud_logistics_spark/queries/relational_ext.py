@@ -828,3 +828,32 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "confidence",
         "lift",
     )
+
+
+@register(
+    "pagerank_copurchase",
+    extra=True,
+    oracle=None,  # iterative power iteration has no SQL twin; the operator
+    # is differential-tested against driver-side numpy power iteration at
+    # 1e-8 plus a rank-mass invariant (tests/test_operators.py)
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts as nodes, frequent pair
+    edges both directions): which parts anchor the catalog.  Iterative like
+    neardup_components — one shuffle join per round, lineage checkpoint-
+    truncated, convergence probed distributed; eager (runs when built).
+    Float ranks are order-dependent in the last bits, hence rows-only."""
+    from ..operators.cooccurrence import frequent_item_pairs
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3).select(
+        "item_a", "item_b"
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst")))
+    pr = pagerank(edges, max_iter=12, tol=1e-6)
+    return pr.select(
+        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
+    ).orderBy("part")

@@ -592,3 +592,38 @@ def test_misra_gries_bounds_on_zipf_stress(spark):
     }
     want = {it: c for it, c in true.items() if c >= thresh}
     assert got == want
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """4-node graph with a dangling node: distributed PageRank == numpy
+    power iteration on the dense Google matrix to 1e-8, and total rank
+    mass stays 1.0 (the dangling redistribution invariant)."""
+    import numpy as np
+
+    from etl_cloud_logistics_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, max_iter=100, tol=1e-12).collect()}
+    n, d = 4, 0.85
+    m = np.zeros((n, n))
+    out = {0: 2, 1: 1, 2: 2}
+    for s, t in edges:
+        m[t, s] = 1 / out[s]
+    r = np.full(n, 1 / n)
+    for _ in range(300):
+        r = (1 - d) / n + d * (m @ r + r[3] / n)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-8, i
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    """A symmetric cycle has the uniform stationary distribution — any
+    deviation reveals a normalization bug."""
+    from etl_cloud_logistics_spark.operators.graph import pagerank
+
+    edges = [(i, (i + 1) % 5) for i in range(5)] + [((i + 1) % 5, i) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [r.rank for r in pagerank(df, max_iter=40, tol=1e-12).collect()]
+    assert all(abs(x - 0.2) < 1e-9 for x in got)
