@@ -1087,3 +1087,47 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), r"[^a-z0-9']+")).alias("word")
     ).filter(F.col("word") != "")
     return heavy_hitters_exact(words, "word", k=256, threshold=500).orderBy("word")
+
+
+@register(
+    "chunk_documents_sliding",
+    extra=True,
+    oracle="""
+    WITH starts AS (
+        SELECT doc_id, lang, text, unnest(generate_series(1, len(text), 384)) AS start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 384 AS BIGINT) AS chunk_id,
+           lang,
+           substring(text, start, 512) AS chunk_text,
+           len(substring(text, start, 512)) AS n_chars
+    FROM starts
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (512 chars, 128 overlap → stride 384): the
+    RAG/export counterpart of passage_dedup_chunks' content-defined split —
+    fixed geometry for retrieval indexing where content-defined boundaries
+    serve dedup.  Pure narrow plan: sequence() generates start offsets
+    distributed (no Python, no shuffle; at 100 TB chunking is a map over
+    the corpus), substring keeps byte-identical text so downstream
+    embedding/BM25 rows join back on (doc_id, chunk_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stride, size = 384, 512
+    starts = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.expr(f"substring(text, start, {size})")
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        "lang",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("n_chars"),
+    )

@@ -698,3 +698,26 @@ def test_srp_signatures_deterministic(spark):
     b = {(r.vec_id, r.t): r.sig for r in srp_signatures(emb, dim=16, n_tables=2, n_bits=4).collect()}
     assert a == b and len(a) == 20
     assert all(len(s) == 4 and set(s) <= {"0", "1"} for s in a.values())
+
+
+def test_sliding_chunks_cover_and_overlap(spark, sf_small):
+    """Chunk geometry: strides cover every character, consecutive chunks
+    share exactly the overlap, and concatenating the non-overlap prefixes
+    reconstructs the document."""
+    from etl_cloud_logistics_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["chunk_documents_sliding"].fn(spark, sf_small)
+    rows = [r for r in out.collect() if r.doc_id == 0]
+    rows.sort(key=lambda r: r.chunk_id)
+    import duckdb
+
+    text = duckdb.sql(
+        f"SELECT text FROM '{sf_small}/documents.parquet' WHERE doc_id = 0"
+    ).fetchone()[0]
+    stride, size = 384, 512
+    rebuilt = "".join(r.chunk_text[:stride] for r in rows[:-1]) + rows[-1].chunk_text
+    assert rebuilt == text
+    for a, b in zip(rows, rows[1:]):
+        if len(a.chunk_text) == size:
+            assert a.chunk_text[stride:] == b.chunk_text[: size - stride]
