@@ -37,9 +37,18 @@ def frequent_item_pairs(
     distinct baskets, with per-item supports, directional confidence
     P(b|a), and lift.  Input rows may repeat (a basket listing an item
     twice counts once)."""
-    li = baskets.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
+    # the distinct'd (basket, item) projection feeds THREE consumers (item
+    # supports, the pair self-join twice, the basket total); an eager
+    # localCheckpoint materializes it once instead of re-running the
+    # corpus distinct per consumer — the dedup-kit reuse discipline.
+    # Eager: the operator executes when built, like neardup_components.
+    li = (
+        baskets.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     item_cnt = li.groupBy("item").agg(F.count(F.lit(1)).alias("orders_i"))
     # Apriori prune: only items that alone reach minsup can form a pair
     frequent = item_cnt.filter(F.col("orders_i") >= minsup)

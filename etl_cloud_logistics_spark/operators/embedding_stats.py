@@ -41,7 +41,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -57,7 +57,7 @@ _DEC = "decimal(38,12)"
 _POW2_43 = 8796093022208.0
 
 
-def covariance_long(emb: DataFrame, vec_col: str, id_col: str, dim: int) -> DataFrame:
+def covariance_long(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """Population covariance matrix in long form — one row per ordered dim
     pair (i ≤ j, 1-based to match SQL array indexing):
     ``cov = (Σ xᵢxⱼ − Σxᵢ · Σxⱼ / n) / n``.
@@ -216,9 +216,7 @@ def pca_project(
     return out
 
 
-def fit_pca(
-    spark: SparkSession, emb: DataFrame, vec_col: str, dim: int, k: int
-):
+def fit_pca(emb: DataFrame, vec_col: str, dim: int, k: int):
     """End-to-end fit: one distributed moments pass + driver eigh."""
     n, mean, cov = moments_from_partials(gram_partials(emb, vec_col, dim), dim)
     comps, evals, mean = pca_model(cov, mean, k)

@@ -70,12 +70,28 @@ def mg_sketch_partials(items: DataFrame, item_col: str, k: int) -> DataFrame:
 
 
 def heavy_hitters_exact(
-    items: DataFrame, item_col: str, k: int, threshold: int
+    items: DataFrame, item_col: str, threshold: int, k: int | None = None
 ) -> DataFrame:
     """True heavy-hitter set with EXACT counts: MG candidates → exact count
     pass over candidate-key rows only.  Correctness contract: complete iff
     ``threshold > n/(k+1)`` (n = total rows) — under that sizing no true
-    heavy item can be decremented out of every partition summary."""
+    heavy item can be decremented out of every partition summary.
+
+    The contract is ENFORCED, not assumed: with ``k=None`` (default) the
+    sketch self-sizes to ``k = ceil(2n/threshold)`` so the undercount
+    bound is threshold/2 at any input size — the price is one counting
+    pass over the item column (cheap: single-column scan, no shuffle)
+    before the sketch pass.  An explicit ``k`` skips that pass but raises
+    if it violates the bound (silent incompleteness is the one failure
+    mode a candidate-then-verify design must never have)."""
+    n = items.count()
+    if k is None:
+        k = max(16, -(-2 * n // max(threshold, 1)))
+    if n > 0 and threshold <= n / (k + 1):
+        raise ValueError(
+            f"threshold {threshold} <= n/(k+1) = {n}/{k + 1:d} — the MG "
+            f"candidate set is not guaranteed complete; raise k or threshold"
+        )
     partials = mg_sketch_partials(items, item_col, k)
     candidates = partials.groupBy("item").agg(F.sum("cnt").alias("est"))
     cand_keys = candidates.select(F.col("item").alias(item_col))

@@ -679,9 +679,15 @@ def srp_signatures(
 ) -> DataFrame:
     """Per-(vector, table) signature strings via the relational shape that
     scales: posexplode the vector once (corpus × dim rows), broadcast-join
-    the T·B·dim plane table, and aggregate each bit as a DECIMAL-exact
-    signed sum (so the ≥ 0 threshold — and therefore every signature bit —
-    is order-independent and bit-identical to the SQL twin).  Bits then
+    the T·B·dim plane table, and aggregate each bit as an EXACT-INTEGER
+    signed sum: ±x·2^43 is an integer the double computes exactly for any
+    float32 with |x| ≥ 2⁻²⁰, so the DECIMAL(38,0) cast never rounds and
+    the ≥ 0 threshold — and therefore every signature bit — is
+    order-independent and bit-identical to the SQL twin.  (A plain
+    DECIMAL(38,k) cast of the raw value would hit the half-boundary where
+    Spark HALF_UP and DuckDB HALF_EVEN legally split on short-dyadic
+    float32s — the covariance_long trap, operators/embedding_stats.py;
+    this corpus contains such values, e.g. 0.1983642578125.)  Bits then
     concatenate in bit order through a sorted collect.  Two shuffles, both
     keyed by the vector id; state per group is one decimal — nothing scales
     with corpus size except the rows themselves."""
@@ -695,7 +701,13 @@ def srp_signatures(
     bits = (
         e.join(F.broadcast(planes), "d")
         .groupBy(id_col, "t", "b")
-        .agg(F.sum((F.col("x") * F.col("s")).cast(_DEC)).alias("proj"))
+        .agg(
+            F.sum(
+                (F.col("x") * F.col("s") * F.lit(8796093022208.0)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("proj")
+        )
         .select(
             id_col,
             "t",

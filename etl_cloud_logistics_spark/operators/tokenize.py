@@ -146,7 +146,9 @@ def bpe_tokenize(
         for pdf in batches:
             ids, nw, nt, toks = [], [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                words = _WORD_RE.findall(str(text).lower())
+                # NULL text tokenizes to nothing — str(None) would mint a
+                # phantom 'none' word the training side never sees
+                words = [] if text is None else _WORD_RE.findall(str(text).lower())
                 out: list[str] = []
                 for w in words:
                     seg = memo.get(w)

@@ -58,7 +58,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     where Spark (HALF_UP) and DuckDB (HALF_EVEN) legally split (found at
     sf0.01: 0.1983642578125 in dim 38; see covariance_long's docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return covariance_long(emb, "embedding", "vec_id", _DIM)
+    return covariance_long(emb, "embedding", "vec_id")
 
 
 @register(
@@ -78,7 +78,7 @@ def pca_projection_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a fixed partition set, eigh input is therefore bit-stable, and
     the sign convention pins each component."""
     emb = load_table(spark, sf_dir, "embeddings")
-    comps, _evals, mean, _n = fit_pca(spark, emb, "embedding", _DIM, k=2)
+    comps, _evals, mean, _n = fit_pca(emb, "embedding", _DIM, k=2)
     out = pca_project(emb, "embedding", comps, mean)
     return out.select(
         "vec_id",

@@ -847,8 +847,13 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    pairs = frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3).select(
-        "item_a", "item_b"
+    # checkpoint the mined pairs BEFORE the two-direction union — otherwise
+    # the whole mining subtree sits in both union branches and runs twice
+    # (caught in review, round 4)
+    pairs = (
+        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        .select("item_a", "item_b")
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")

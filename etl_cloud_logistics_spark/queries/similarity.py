@@ -416,7 +416,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bits AS (
         SELECT e.vec_id, p.t, p.b,
-               CASE WHEN SUM(CAST(e.x * p.s AS DECIMAL(38,12))) >= 0
+               CASE WHEN SUM(CAST(e.x * p.s * 8796093022208.0 AS DECIMAL(38,0))) >= 0
                     THEN '1' ELSE '0' END AS bit
         FROM e JOIN planes p ON e.d = p.d
         GROUP BY e.vec_id, p.t, p.b
@@ -448,8 +448,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def srp_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH (SRP / cosine-LSH, Charikar 2002) near-duplicate
     pairs: md5-seeded Rademacher hyperplanes give every engine the SAME
-    8-bit×8-table signatures (DECIMAL-exact signed sums make each bit
-    order-independent), candidates are the bucket collisions (equi-join on
+    8-bit×8-table signatures (exact 2^43-integer signed sums make each bit
+    order-independent AND rounding-free), candidates are the bucket
+    collisions (equi-join on
     (table, signature) — shuffle O(corpus·T), never O(n²)), and survivors
     are verified by exact decimal cosine.  This is the third LSH family in
     the kit — MinHash (Jaccard/text), SimHash (Hamming/text), SRP

@@ -1072,21 +1072,22 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent words via the Misra-Gries candidate → exact-verify pipeline
-    (operators/heavyhitters.py): k=256 counters per partition (constant
-    memory at any corpus size), candidates exact-counted with the verify
-    shuffle confined to candidate keys.  Because the output is the TRUE
-    heavy-hitter set with exact counts — guaranteed complete while
-    threshold > n/(k+1), here 500 >> ~27k/257 ≈ 106 — the oracle is plain
-    HAVING, exactly the candidate-then-verify contract the LSH dedup rows
-    use.  The sketch's undercount bound itself is stress-tested on a Zipf
-    fixture in tests/test_operators.py."""
+    (operators/heavyhitters.py): the sketch SELF-SIZES to k = ceil(2n/T)
+    from a counting pass, so the completeness contract threshold > n/(k+1)
+    holds at ANY scale factor (a fixed k that is valid at sf0.01 silently
+    voids the guarantee at sf0.1 — caught in review, round 4).  Candidates
+    are exact-counted with the verify shuffle confined to candidate keys;
+    because the output is the TRUE heavy-hitter set with exact counts, the
+    oracle is plain HAVING — the candidate-then-verify contract the LSH
+    dedup rows use.  The sketch's undercount bound itself is stress-tested
+    on a Zipf fixture in tests/test_operators.py."""
     from ..operators.heavyhitters import heavy_hitters_exact
 
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.lower("text"), r"[^a-z0-9']+")).alias("word")
     ).filter(F.col("word") != "")
-    return heavy_hitters_exact(words, "word", k=256, threshold=500).orderBy("word")
+    return heavy_hitters_exact(words, "word", threshold=500).orderBy("word")
 
 
 @register(
@@ -1115,12 +1116,16 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding/BM25 rows join back on (doc_id, chunk_id)."""
     docs = load_table(spark, sf_dir, "documents")
     stride, size = 384, 512
-    starts = docs.select(
+    # empty/NULL text yields NO chunks — matching the oracle's
+    # generate_series(1, len(text)), which is empty for len 0 or NULL (a
+    # greatest(len, 1) guard here would emit a phantom empty chunk the
+    # oracle doesn't; caught in review, round 4)
+    starts = docs.filter(F.length("text") >= 1).select(
         "doc_id",
         "lang",
         "text",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(stride))
+            F.sequence(F.lit(1), F.length("text"), F.lit(stride))
         ).alias("start"),
     )
     chunk = F.expr(f"substring(text, start, {size})")

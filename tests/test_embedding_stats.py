@@ -36,7 +36,7 @@ def test_gram_partials_match_exact_covariance(spark, emb, moments):
     n, mean, cov = moments
     exact = {
         (r["dim_i"], r["dim_j"]): r["cov"]
-        for r in covariance_long(emb, "embedding", "vec_id", DIM).collect()
+        for r in covariance_long(emb, "embedding", "vec_id").collect()
     }
     assert n == emb.count()
     scale = max(abs(v) for v in exact.values())
@@ -97,6 +97,6 @@ def test_reconstruction_error_decreases_with_k(spark, emb, moments):
 
 
 def test_fit_pca_end_to_end_deterministic(spark, emb):
-    c1, e1, m1, n1 = fit_pca(spark, emb, "embedding", DIM, k=2)
-    c2, e2, m2, n2 = fit_pca(spark, emb, "embedding", DIM, k=2)
+    c1, e1, m1, n1 = fit_pca(emb, "embedding", DIM, k=2)
+    c2, e2, m2, n2 = fit_pca(emb, "embedding", DIM, k=2)
     assert n1 == n2 and np.array_equal(c1, c2) and np.array_equal(m1, m2)

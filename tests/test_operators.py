@@ -588,10 +588,19 @@ def test_misra_gries_bounds_on_zipf_stress(spark):
     thresh = int(err) + 50
     got = {
         r["item"]: r["n_occurrences"]
-        for r in heavy_hitters_exact(df, "item", k, thresh).collect()
+        for r in heavy_hitters_exact(df, "item", thresh, k=k).collect()
     }
     want = {it: c for it, c in true.items() if c >= thresh}
     assert got == want
+    # the completeness contract is enforced, not assumed: an explicit k
+    # that voids threshold > n/(k+1) raises instead of silently undercounting
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "item", threshold=2, k=10)
+    # and the self-sizing default picks k honoring the bound
+    auto = heavy_hitters_exact(df, "item", threshold=thresh)
+    assert {r["item"]: r["n_occurrences"] for r in auto.collect()} == want
 
 
 def test_pagerank_matches_power_iteration(spark):
