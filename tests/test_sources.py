@@ -501,3 +501,33 @@ def test_jsonl_schema_must_not_claim_sentinel(spark):
     schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
     with _pytest.raises(ValueError):
         read_jsonl_corpus(spark, "/nonexistent", schema)
+
+
+def test_read_jsonl_corpus_reads_gzip_shards(spark, tmp_path):
+    """Web-scale JSONL ships gzip-compressed; the line reader must ingest
+    .gz shards transparently (Hadoop codec inference from the extension)
+    with the same quarantine contract.  Note gzip is NOT splittable — one
+    task per shard — which is why export keeps many moderate shards
+    rather than one big one."""
+    import gzip
+
+    from etl_cloud_logistics_spark.sources.textfiles import read_jsonl_corpus
+    from pyspark.sql import types as T
+
+    p = tmp_path / "gz"
+    p.mkdir()
+    for shard in range(2):
+        lines = [
+            f'{{"doc_id": {shard * 10 + i}, "text": "doc {shard * 10 + i}"}}'
+            for i in range(5)
+        ] + (["broken {"] if shard == 0 else [])
+        with gzip.open(p / f"part-{shard}.jsonl.gz", "wt") as f:
+            f.write("\n".join(lines))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    good, quar = read_jsonl_corpus(spark, str(p), schema, required=["doc_id"])
+    assert good.count() == 10
+    q = quar.collect()
+    assert len(q) == 1 and q[0].raw_line == "broken {" and q[0].reason == "malformed"
+    assert q[0].src_file.endswith("part-0.jsonl.gz")
