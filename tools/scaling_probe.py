@@ -11,7 +11,19 @@ wall-time slope is the evidence that candidate generation is evidence-
 bounded (equi-joins on shared bands), not all-pairs: an O(n²) stage would
 show a ~100× step from K=1 to K=10.
 
-Usage: python tools/scaling_probe.py [K ...]   (default 1 5 10)
+Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
+       python tools/scaling_probe.py --vectors [K ...]  (embedding kit)
+
+``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
+generation and the PCA moments pass over K× replicas of the embeddings
+corpus.  Each replica circular-shifts the vector by its replica index —
+norms and within-replica geometry are preserved while cross-replica
+cosine drops to the corpus's background level, so signature buckets do
+not artificially collide across replicas (identical copies would make
+every replica of a vector pair with every other — an O(K²) pathology the
+probe must not manufacture).  The expected evidence: both stages scale
+near-linearly (SRP is corpus×T·B decimal aggregation + equi-join;
+moments is one constant-state pass).
 """
 
 from __future__ import annotations
@@ -58,8 +70,64 @@ def replicated_corpus(spark, k: int):
     )
 
 
+def replicated_embeddings(spark, k: int):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    parts = []
+    for r in range(k):
+        shift = r % 64
+        if shift == 0:
+            shifted = F.col("embedding")
+        else:
+            shifted = F.concat(
+                F.slice("embedding", shift + 1, 64 - shift),
+                F.slice("embedding", 1, shift),
+            )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + r * 1_000_000).alias("vec_id"),
+                shifted.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=True
+    )
+
+
+def vector_probe(ks: list[int]) -> None:
+    from etl_cloud_logistics_spark.operators.embedding_stats import (
+        gram_partials,
+        moments_from_partials,
+    )
+    from etl_cloud_logistics_spark.operators.similarity import srp_signatures
+
+    spark = get_spark("scaling-probe-vec")
+    warm = replicated_embeddings(spark, 1)
+    srp_signatures(warm).write.mode("overwrite").format("noop").save()
+    moments_from_partials(gram_partials(warm, "embedding", 64), 64)
+    print(f"vector scale probe over {SF_DIR} (embeddings replicated K×, shifted)")
+    print(f"{'K':>3} {'vecs':>7} {'srp_sec':>8} {'sigs':>8} {'pca_sec':>8}")
+    for k in ks:
+        corpus = replicated_embeddings(spark, k)
+        n_vecs = corpus.count()
+        t0 = time.perf_counter()
+        n_sigs = srp_signatures(corpus).count()
+        srp_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        moments_from_partials(gram_partials(corpus, "embedding", 64), 64)
+        pca_sec = time.perf_counter() - t0
+        print(f"{k:>3} {n_vecs:>7} {srp_sec:>8.2f} {n_sigs:>8} {pca_sec:>8.2f}")
+        spark.catalog.clearCache()
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 5, 10]
+    args = sys.argv[1:]
+    if args and args[0] == "--vectors":
+        vector_probe([int(a) for a in args[1:]] or [1, 5, 10])
+        return
+    ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
     # warm-up: compile the plans once at the smallest scale
     warm = replicated_corpus(spark, 1)
