@@ -78,3 +78,94 @@ def test_qa_flags_laws(spark, vals):
         assert r["qa_flag_a"] == (a0 < 0) and r["qa_flag_b"] == (b0 < 0)
         # qa_passed iff nothing was flagged
         assert r["qa_passed"] == (not (r["qa_flag_a"] or r["qa_flag_b"]))
+
+
+# --- round-4 operators ------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    word=st.text(alphabet="abcdefgh", min_size=1, max_size=12),
+    pairs=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+            st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        ),
+        max_size=10,
+    ),
+)
+def test_bpe_segmentation_round_trips_under_any_merge_table(word, pairs):
+    """Greedy BPE apply only ever concatenates adjacent symbols, so for ANY
+    word and ANY merge table the tokens must concatenate back to the word +
+    end marker — the invariant that makes token counts trustworthy.  Pure
+    Python: no Spark round-trip per example, so the budget is generous."""
+    from etl_cloud_logistics_spark.operators.tokenize import END, segment_word
+
+    ranks = {p: i for i, p in enumerate(pairs)}
+    seg = segment_word(word, ranks)
+    assert "".join(seg) == word + END
+    assert all(seg)  # no empty symbols
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=300),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_misra_gries_bounds_hold_for_any_stream(spark, items, k):
+    """For ANY stream and ANY k: merged estimates never overcount, never
+    undercount by more than n/(k+1), and no item heavier than the bound is
+    lost — the three clauses of the MG theorem, not just the Zipf case."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_cloud_logistics_spark.operators.heavyhitters import mg_sketch_partials
+
+    df = spark.createDataFrame([(str(i),) for i in items], "item string").repartition(2)
+    merged = {
+        r["item"]: r["est"]
+        for r in mg_sketch_partials(df, "item", k)
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est"))
+        .collect()
+    }
+    true: dict[str, int] = {}
+    for i in items:
+        true[str(i)] = true.get(str(i), 0) + 1
+    err = len(items) / (k + 1)
+    for it, est in merged.items():
+        assert est <= true[it]
+        assert true[it] - est <= err
+    for it, c in true.items():
+        if c > err:
+            assert it in merged
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.sampled_from("abc")),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(min_value=1, max_value=5),
+)
+def test_stratified_sample_exact_properties(spark, rows, n):
+    """For ANY strata layout: per-stratum size == min(n, |stratum|), the
+    sample is a subset of the input, and resampling is identical."""
+    from etl_cloud_logistics_spark.operators.curation import stratified_sample_exact
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample_exact(df, ["lang"], "doc_id", n)
+    got = [(r.doc_id, r.lang) for r in out.collect()]
+    sizes: dict[str, int] = {}
+    for _, lang in rows:
+        sizes[lang] = sizes.get(lang, 0) + 1
+    from collections import Counter
+
+    got_sizes = Counter(lang for _, lang in got)
+    for lang, total in sizes.items():
+        assert got_sizes[lang] == min(n, total), lang
+    assert set(got) <= set(rows)
+    again = [(r.doc_id, r.lang) for r in stratified_sample_exact(df, ["lang"], "doc_id", n).collect()]
+    assert sorted(got) == sorted(again)
