@@ -1136,3 +1136,45 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk.alias("chunk_text"),
         F.length(chunk).alias("n_chars"),
     )
+
+
+@register(
+    "redact_pii_documents",
+    extra=True,
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               'https?://[^ ]+', '<URL>', 'g') AS text,
+           CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INT)
+               AS n_emails_redacted,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT)
+               AS n_urls_redacted
+    FROM documents
+    """,
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a TRANSFORM (doc_quality_battery only counts): mask
+    emails then URLs with typed placeholder tags, emitting redaction counts
+    for the curation audit trail over EVERY doc (clean text passes through
+    byte-identical, so the differential also proves the redactor never
+    mangles clean content; the sf corpus is PII-free, and the planted
+    fixture in tests/test_extensions.py is where redaction actually
+    fires).  Pure narrow plan: two JVM regexp_replace passes, no
+    shuffle, no Python.  The email/URL patterns are exactly
+    doc_quality_battery's, so gate and redactor agree on what PII is; both
+    regexes stay in the Java∩RE2 common dialect so the oracle's
+    regexp_replace(…,'g') is character-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_re = "[a-z0-9.]+@[a-z0-9.]+"
+    url_re = "https?://[^ ]+"
+    n_emails = F.regexp_count("text", F.lit(email_re)).cast("int")
+    n_urls = F.regexp_count("text", F.lit(url_re)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), url_re, "<URL>"
+        ).alias("text"),
+        n_emails.alias("n_emails_redacted"),
+        n_urls.alias("n_urls_redacted"),
+    )

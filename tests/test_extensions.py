@@ -721,3 +721,34 @@ def test_sliding_chunks_cover_and_overlap(spark, sf_small):
     for a, b in zip(rows, rows[1:]):
         if len(a.chunk_text) == size:
             assert a.chunk_text[stride:] == b.chunk_text[: size - stride]
+
+
+def test_pii_redaction_fires_on_planted_pii(spark):
+    """The sf corpus is PII-free, so the oracle differential proves clean
+    passthrough; THIS is where redaction itself is proven."""
+    from pyspark.sql import functions as F
+
+    email_re = "[a-z0-9.]+@[a-z0-9.]+"
+    url_re = "https?://[^ ]+"
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob@test.org now"),
+            (2, "see https://example.com/x and http://a.b/c end"),
+            (3, "perfectly clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace("text", email_re, "<EMAIL>"), url_re, "<URL>"
+            ).alias("text"),
+            F.regexp_count("text", F.lit(email_re)).cast("int").alias("n_emails"),
+            F.regexp_count("text", F.lit(url_re)).cast("int").alias("n_urls"),
+        ).collect()
+    }
+    assert out[1].text == "contact <EMAIL> or <EMAIL> now" and out[1].n_emails == 2
+    assert out[2].text == "see <URL> and <URL> end" and out[2].n_urls == 2
+    assert out[3].text == "perfectly clean text"
