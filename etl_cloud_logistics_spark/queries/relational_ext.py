@@ -862,3 +862,47 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("part"), F.round("rank", 6).alias("rank")
     ).orderBy("part")
+
+
+_SQL_BFS = """
+WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+ic AS (SELECT item, COUNT(*) AS c FROM li GROUP BY item),
+freq AS (SELECT item FROM ic WHERE c >= 3),
+lf AS (SELECT li.basket, li.item FROM li JOIN freq ON freq.item = li.item),
+pairs AS (
+    SELECT a.item AS pa, b.item AS pb
+    FROM lf a JOIN lf b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+),
+edges AS (
+    SELECT pa AS src, pb AS dst FROM pairs
+    UNION ALL
+    SELECT pb AS src, pa AS dst FROM pairs
+),
+seed AS (SELECT MIN(src) AS s FROM edges),
+walk(part, dist) AS (
+    SELECT s AS part, 0 AS dist FROM seed
+    UNION ALL
+    SELECT e.dst AS part, w.dist + 1 AS dist
+    FROM walk w JOIN edges e ON e.src = w.part WHERE w.dist < 4
+)
+SELECT part, MIN(dist) AS hops FROM walk GROUP BY part
+"""
+
+
+@register("reachable_parts_bfs", oracle=_SQL_BFS, extra=True)
+def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE transitive closure (Spark 4's WITH RECURSIVE): minimum
+    hop count from the smallest co-purchased part to everything reachable
+    within 4 hops of the frequent-pair graph.  The SAME SQL text runs on
+    both engines — like sql_entrypoint_revenue, but exercising the
+    iterate-until-fixpoint surface a migrating workload's hierarchy/BOM
+    queries need; the DataFrame twin of this shape is operators.graph /
+    operators.dedup.neardup_components (checkpointed loops, the form that
+    controls lineage depth at 100 TB — a recursive CTE's depth is bounded
+    by spark.sql.cteRecursionLevelLimit, so unbounded-diameter graphs
+    still belong to the operator form)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_BFS)
