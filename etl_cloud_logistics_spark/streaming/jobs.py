@@ -421,3 +421,61 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def _latest_ttl_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """_latest_fn plus event-time TTL: a user idle past the TTL has their
+    state EVICTED when the watermark passes (they re-materialize from their
+    next event — correct cache semantics for a latest-status store)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    best = state.get if state.exists else None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        last = pdf.iloc[-1]
+        cand = (
+            int(last["event_id"]),
+            last["ts"].to_pydatetime(),
+            str(last["event_type"]),
+            float(last["value"]),
+        )
+        if best is None or (cand[1], cand[0]) > (best[1], best[0]):
+            best = cand
+    state.update(best)
+    ttl_ms = 2 * 3600 * 1000  # evict after 2 h of event-time idleness
+    state.setTimeoutTimestamp(int(best[1].timestamp() * 1000) + ttl_ms)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "last_event_id": [best[0]],
+            "last_ts": [best[1]],
+            "last_event_type": [best[2]],
+            "last_value": [best[3]],
+        }
+    )
+
+
+def latest_status_stream_ttl(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Latest-status state per user with BOUNDED state (ST2 at 100 TB):
+    ``latest_status_stream``'s NoTimeout variant holds one state row per
+    user EVER seen — unbounded over an unbounded identity space.  This
+    variant sets an event-time timeout 2 h past each user's newest event;
+    when the watermark passes it, the state row is evicted, so steady-state
+    state size tracks ACTIVE users in the TTL horizon, not lifetime users.
+    An evicted user's next event simply re-creates the row (the cache
+    re-materializes) — semantics a serving lookup tolerates by design.
+    Eviction is pytest-pinned via numRowsTotal, like the dedup bound."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _latest_ttl_fn,
+            outputStructType=LATEST_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

@@ -577,3 +577,65 @@ def test_funnel_stream_exact_under_out_of_order(spark, sf_small, tmp_path_factor
     # sanity: the adversarial order actually exercised a revision — at
     # least one user converts (otherwise the test is vacuous)
     assert any(v[0] == len(FUNNEL_STEPS) for v in want.values())
+
+
+def test_latest_status_ttl_state_evicts_idle_users(spark, tmp_path_factory):
+    """The bounded-state ST2 variant: users idle past the 2 h event-time
+    TTL are evicted once the watermark passes — state tracks ACTIVE users,
+    not lifetime users.  Three micro-batches, each a fresh cohort of 10
+    users, 4 h apart (watermark 1 h): an unbounded store would end at 30
+    state rows; the TTL store must stay well below the cumulative total
+    and end at roughly one cohort."""
+    import datetime
+    import os
+
+    from etl_cloud_logistics_spark.catalog import SCHEMAS
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        latest_status_stream_ttl,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    base = str(tmp_path_factory.mktemp("ttl_state_src"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    n_batches, per_batch = 3, 10
+    for b in range(n_batches):
+        rows = [
+            (
+                b * 1000 + i,
+                t0 + datetime.timedelta(hours=4 * b, seconds=i),
+                b * 100 + i,  # fresh user cohort per batch
+                "ping",
+                1.0,
+                "{}",
+            )
+            for i in range(per_batch)
+        ]
+        df = spark.createDataFrame(rows, SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{b}")
+        src = [f for f in os.listdir(f"{base}/_tmp_{b}") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp_{b}/{src}", f"{base}/chunk_{b}.parquet")
+
+    stream = read_event_stream(spark, base)
+    q = run_stream_to_memory(
+        latest_status_stream_ttl(stream),
+        "ttl_state_out",
+        _ckpt(tmp_path_factory),
+        output_mode="update",
+    )
+    try:
+        seen_users = spark.sql(
+            "SELECT COUNT(DISTINCT user_id) AS n FROM ttl_state_out"
+        ).first()["n"]
+        totals = [
+            p["stateOperators"][0]["numRowsTotal"]
+            for p in (json.loads(pj.json) for pj in q.recentProgress)
+            if p.get("stateOperators")
+        ]
+    finally:
+        q.stop()
+    assert seen_users == n_batches * per_batch  # every cohort was emitted
+    # eviction happened: the final state is nowhere near the 30-user
+    # cumulative total an unbounded store would hold
+    assert totals and totals[-1] <= 2 * per_batch, totals
+    assert max(totals) < n_batches * per_batch, totals
