@@ -581,3 +581,29 @@ def test_foreach_batch_merge_evolves_schema_mid_stream(spark, tmp_path):
     sink(evolved, 1)
     got = {r["k"]: (r["val"], r["score"]) for r in t.read(spark).collect()}
     assert got == {1: ("a", None), 2: ("b2", 0.5)}
+
+
+def test_diff_reports_added_removed_with_multiset_semantics(spark, tmp_path):
+    """Row-level version diff: added/removed tags across a merge, duplicate
+    multiplicity respected, and identical versions diff to empty."""
+    t = SnapshotTable(str(tmp_path / "difftable"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (3, "c")], "k long, v string"
+    )
+    t.write(base)
+    v1 = t.latest_version()
+    # new version: update k=2, add k=4, collapse the duplicate k=3 to one
+    t.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (3, "c"), (4, "d")], "k long, v string"
+        )
+    )
+    v2 = t.latest_version()
+    rows = {(r.k, r.v, r.change) for r in t.diff(spark, v1, v2).collect()}
+    assert rows == {
+        (2, "B", "added"),
+        (4, "d", "added"),
+        (2, "b", "removed"),
+        (3, "c", "removed"),  # multiset: 2x -> 1x reports ONE removal
+    }
+    assert t.diff(spark, v2, v2).count() == 0
