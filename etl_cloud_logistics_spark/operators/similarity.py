@@ -774,3 +774,163 @@ def srp_lsh_neardup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- Product quantization (PQ) ---------------------------------------------
+#
+# The FAISS-style step past SQ8 (Jégou et al. 2011): split the vector into
+# m subspaces, learn a k-centroid codebook per subspace (the same
+# deterministic Lloyd trainer the IVF quantizer uses, run on the slice),
+# and store each vector as m sub-centroid ids.  At m=8, k=16 a 64-dim
+# float32 vector (256 B) becomes 8 codes (8 B) — a 32× footprint cut vs
+# SQ8's 4× — while the codebook grid spans k^m (~4.3e9 here) effective
+# reconstruction cells.  Serving is asymmetric: the float query scores
+# against reconstructed candidates, shortlists, and only the shortlist
+# touches real floats for the decimal-exact rerank — identical contract to
+# knn_sq8, so reported cos_sim values stay bit-exact and quantization can
+# only affect WHICH candidates reach the rerank (loss measured in
+# tests/test_extensions.py).  Trained codebooks are not SQL-derivable
+# (iterative k-means), so like the trained IVF path this family is
+# pytest-measured rather than oracle-checked.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """One deterministic Lloyd run per contiguous subspace slice; only the
+    m × k × (dim/m) codebook tensor reaches the driver (model metadata —
+    at 100 TB train on a sample, like the IVF centroids)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col)
+        )
+        books.append(
+            train_ivf_centroids(sub, n_clusters=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+        )
+    return books
+
+
+def encode_pq(vec: Column, codebooks: list[list[list[float]]], dim: int) -> Column:
+    """array<tinyint> of per-subspace nearest-centroid ids — the stored
+    index payload.  Pure column expressions (the codebooks embed as
+    literals); one narrow pass, no shuffle, no Python per row."""
+    m = len(codebooks)
+    dsub = dim // m
+    return F.array(
+        *[
+            nearest_buckets(F.slice(vec, s * dsub + 1, dsub), book, 1)[0].cast("tinyint")
+            for s, book in enumerate(codebooks)
+        ]
+    )
+
+
+def decode_pq(codes: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Reconstruction: concatenate each subspace's chosen centroid — the
+    candidate-side vector of the asymmetric scorer."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        parts.append(F.element_at(book_lit, codes[s].cast("int") + 1))
+    return F.concat(*parts)
+
+
+def knn_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+    shortlist: int | None = None,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric top-k with exact rerank, mirroring :func:`knn_sq8`:
+    shortlist by approx cosine of the float query against reconstructed
+    candidates (rounded to 9 dp before the rank cut, so fold noise never
+    decides it), exact decimal rerank of the shortlist only.
+    ``bucket_col=None`` scores the whole corpus (the pure-PQ measurement
+    mode); give a bucket column to compose with IVF pruning."""
+    if shortlist is None:
+        shortlist = 4 * k
+    bucket = F.col(bucket_col) if bucket_col else F.lit(0)
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        bucket.alias("bucket"),
+        encode_pq(F.col(vec_col), codebooks, dim).alias("codes"),
+    ).withColumn(
+        "approx_norm",
+        F.sqrt(
+            F.aggregate(
+                decode_pq(F.col("codes"), codebooks),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("q_norm"),
+        (F.col(bucket_col) if bucket_col else F.lit(0)).alias("bucket"),
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            decode_pq(F.col("codes"), codebooks),
+            lambda qx, cx: qx.cast("double") * cx,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlisted = (
+        index.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(approx_dot / (F.col("q_norm") * F.col("approx_norm")), 9).alias("approx_sim"),
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("q_norm"),
+    )
+    cf = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        shortlisted.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
