@@ -20,6 +20,7 @@ run date, so cost scales with the day's slice, not table history.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -403,4 +404,72 @@ def run_curation_export(
         "splits": sorted({r["split"] for r in rows}),
         "n_docs": sum(r["n_docs"] for r in rows),
         "n_tokens": sum(r["n_tokens"] for r in rows),
+    }
+
+
+def run_index_build(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+) -> dict:
+    """Train → build → persist → serve → evaluate for the ANN index: the
+    operable composition of the X3 kit (each piece individually measured/
+    tested; this is the deployment flow, like ``run_curation_export`` for
+    the text side and ``run_daily_etl`` for the warehouse).
+
+    1. TRAIN the coarse quantizer (deterministic Lloyd k-means) and the
+       SQ8 bounds from the corpus — bounded model metadata.
+    2. BUILD the scored index (bucket + int8 codes + reconstruction norm;
+       floats excluded) in one corpus pass.
+    3. PERSIST index and model to a versioned ``SnapshotTable`` — the
+       index is data, so it gets the same time-travel/atomic-commit
+       treatment as any table; a rebuild is a new version, serving reads a
+       pinned one.
+    4. SERVE a probe query set from the STORED index and
+    5. EVALUATE recall@k against the exact brute-force ground truth,
+       returning the figure with the manifest — an index build that does
+       not report its recall is not done.
+    """
+    from .operators.similarity import (
+        build_sq8_index,
+        knn_bruteforce,
+        knn_sq8_serve,
+        recall_at_k,
+        train_ivf_centroids,
+        train_sq8_bounds,
+    )
+    from .sources.snapshots import SnapshotTable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, n_clusters=n_clusters, n_iter=3)
+    lo, hi = train_sq8_bounds(emb)
+    index = build_sq8_index(emb, lo, hi, centroids=centroids)
+
+    table = SnapshotTable(os.path.join(out_dir, "ann_index"))
+    table.write(index)
+    version = table.latest_version()
+    model = {"centroids": centroids, "lo": lo, "hi": hi, "n_clusters": n_clusters}
+    model_path = os.path.join(out_dir, "ann_index", "model.json")
+    with open(model_path, "w") as f:
+        json.dump(model, f)
+
+    stored = table.read(spark, version)
+    queries = emb.filter(F.col("vec_id") < 10)
+    served = knn_sq8_serve(
+        stored, queries, emb, k, lo, hi, centroids=centroids, nprobe=nprobe
+    )
+    exact = knn_bruteforce(queries, emb, k=k)
+    recall = (
+        recall_at_k(served, exact).agg(F.avg("recall").alias("r")).first()["r"]
+    )
+    return {
+        "index_version": version,
+        "index_rows": stored.count(),
+        "n_clusters": n_clusters,
+        "nprobe": nprobe,
+        "recall_at_k": recall,
+        "model_path": model_path,
     }

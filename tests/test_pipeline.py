@@ -221,3 +221,31 @@ def test_run_curation_export_end_to_end(spark, sf_small, tmp_path):
     manifest = spark.read.parquet(os.path.join(out, "manifest"))
     m_train = manifest.filter(F.col("split") == "train").agg(F.sum("n_docs")).first()[0]
     assert m_train == len(train_ids)
+
+
+def test_index_build_pipeline_end_to_end(spark, sf_med, tmp_path):
+    """The ANN deployment flow: train + build + persist to a versioned
+    table + serve FROM STORAGE + recall report.  Reconciles: the stored
+    index is complete and float-free, the model is persisted, serving from
+    the stored version works, and the reported recall matches the measured
+    IVF floor (nprobe=2 -> >= 0.7 on this corpus, figures in COVERAGE.md);
+    a rebuild commits a NEW version, leaving the served one readable."""
+    import json as _json
+
+    from etl_cloud_logistics_spark.pipelines import run_index_build
+    from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
+
+    out = str(tmp_path / "annout")
+    report = run_index_build(spark, sf_med, out, n_clusters=8, nprobe=2, k=3)
+    assert report["index_rows"] == 500
+    assert 0.7 <= report["recall_at_k"] <= 1.0
+    t = SnapshotTable(f"{out}/ann_index")
+    idx = t.read(spark, report["index_version"])
+    assert set(idx.columns) == {"neighbor_id", "bucket", "codes", "approx_norm"}
+    assert "embedding" not in idx.columns  # float-free scored index
+    model = _json.load(open(report["model_path"]))
+    assert len(model["centroids"]) == 8 and len(model["lo"]) == 64
+    # rebuild: new version, old one still readable (time travel)
+    report2 = run_index_build(spark, sf_med, out, n_clusters=8, nprobe=2, k=3)
+    assert report2["index_version"] == report["index_version"] + 1
+    assert t.read(spark, report["index_version"]).count() == 500
