@@ -803,20 +803,75 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
-    """One deterministic Lloyd run per contiguous subspace slice; only the
-    m × k × (dim/m) codebook tensor reaches the driver (model metadata —
-    at 100 TB train on a sample, like the IVF centroids)."""
+    """Deterministic Lloyd k-means for ALL m subspaces JOINTLY: the corpus
+    explodes once into (subspace, subvector) rows and every round is ONE
+    distributed job keyed by (subspace, cluster) — m independent k-means
+    without m× the driver round trips (the per-subspace form cost
+    m·n_iter scheduling round trips; measured 31 s → 12 s at sf0.01 for
+    the registry row).  Same determinism recipe as train_ivf_centroids:
+    hash-seeded min_by, decimal-exact mean updates, only the m×k×(dim/m)
+    codebook tensor reaches the driver.  At 100 TB train on a sample."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias(vec_col)
+    # (s, id, subvec) — one narrow explode, reused every round
+    sub_rows = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("v"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sv"),
+    ).select("_id", F.col("sv.s").alias("s"), F.col("sv.v").alias("v"))
+    seeds = (
+        sub_rows.groupBy(
+            "s", F.pmod(F.xxhash64(F.col("_id")), F.lit(k)).alias("g")
         )
-        books.append(
-            train_ivf_centroids(sub, n_clusters=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+        .agg(F.min_by("v", F.col("_id")).alias("v"))
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [[0.0] * dsub for _ in range(k)] for _ in range(m)
+    ]
+    for r in seeds:
+        books[r["s"]][r["g"]] = [float(x) for x in r["v"]]
+    for _ in range(n_iter):
+        # assignment: nearest centroid per (s, row); the per-subspace
+        # codebooks select via a chained CASE on the subspace id, so the
+        # whole round stays one job over the exploded stream
+        assign = None
+        for s in range(m):
+            expr = nearest_buckets(F.col("v"), books[s], 1)[0]
+            assign = (
+                F.when(F.col("s") == s, expr)
+                if assign is None
+                else assign.when(F.col("s") == s, expr)
+            )
+        # two selects — the generator (posexplode) must not share a
+        # projection with the lambda-built struct sort inside
+        # nearest_buckets (same Catalyst field-renaming trap documented in
+        # train_ivf_centroids)
+        exploded = sub_rows.select("s", assign.alias("b"), F.col("v")).select(
+            "s", "b", F.posexplode("v").alias("pos", "x")
         )
+        rows = (
+            exploded.groupBy("s", "b", "pos")
+            .agg(
+                (F.sum(F.col("x").cast(_DEC)).cast("double") / F.count("*")).alias("c")
+            )
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            upd.setdefault((r["s"], r["b"]), {})[r["pos"]] = r["c"]
+        for (s, b), d in upd.items():
+            books[s][b] = [d[p] for p in range(dsub)]
     return books
 
 

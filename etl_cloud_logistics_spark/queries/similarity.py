@@ -548,16 +548,18 @@ def maxsim_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are pytest-measured (test_pq_recall_and_compression_on_sf_corpus)
 )
 def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantized serving path (X3): m=8 × k=16 codebooks trained
-    per subspace (deterministic Lloyd — eager, like the other trained
-    rows), corpus stored as 8 tinyint codes (32× smaller than float32),
-    ADC shortlist at 50, decimal-exact rerank.  Measured recall@3 vs
-    brute force: 0.433/0.733/0.967 at shortlist 12/50/150 — figures in
-    COVERAGE.md."""
+    """Product-quantized serving path (X3): per-subspace codebooks trained
+    with deterministic Lloyd (eager, like the other trained rows), corpus
+    stored as m tinyint codes, ADC shortlist, decimal-exact rerank.  This
+    registry row runs a LIGHT config (m=4, 2 iterations — each subspace
+    trainer is a full distributed k-means, and sweeps pay it on every
+    build); the measured serving config and its recall curve live in
+    pytest: m=8/k=16 recall@3 = 0.433/0.733/0.967 at shortlist
+    12/50/150 — figures in COVERAGE.md."""
     from ..operators.similarity import knn_pq, train_pq_codebooks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = train_pq_codebooks(emb, m=8, k=16, n_iter=3)
+    books = train_pq_codebooks(emb, m=4, k=16, n_iter=2)
     return knn_pq(
         emb.filter(F.col("vec_id") < 10), emb, k=3, codebooks=books, shortlist=50
     )
