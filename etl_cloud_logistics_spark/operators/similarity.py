@@ -508,6 +508,76 @@ def knn_sq8(
     )
 
 
+def _asym_shortlist_rerank(
+    index: DataFrame,
+    q: DataFrame,
+    queries: DataFrame,
+    corpus_vectors: DataFrame,
+    k: int,
+    shortlist: int,
+    recon,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of every quantized serving path (SQ8, PQ): asymmetric
+    shortlist over the codes-only index, then decimal-exact rerank of the
+    shortlist against the float vectors.  ``recon`` maps the ``codes``
+    column to the reconstructed double vector (dequantize_sq8 / decode_pq)
+    — the ONLY piece that differs between quantizers, so the tie-breaks,
+    the 9-dp rounding of the shortlist score (fold noise must not decide
+    the cut) and the self-match filter cannot drift between them."""
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            recon(F.col("codes")),
+            lambda qx, cx: qx.cast("double") * cx,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlisted = (
+        index.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(approx_dot / (F.col("q_norm") * F.col("approx_norm")), 9).alias("approx_sim"),
+        )
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact(F.col(vec_col)).alias("q_norm"),
+    )
+    cf = corpus_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_exact(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        shortlisted.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
 def knn_sq8_serve(
     index: DataFrame,
     queries: DataFrame,
@@ -541,58 +611,10 @@ def knn_sq8_serve(
         norm_exact(F.col(vec_col)).alias("q_norm"),
         q_probe.alias("bucket"),
     )
-    corpus = corpus_vectors
-    approx_dot = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            dequantize_sq8(F.col("codes"), lo, hi),
-            lambda qx, cx: qx.cast("double") * cx,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_short = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    shortlisted = (
-        index.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            # rounded to 9 decimals before ranking: double-fold summation
-            # noise (~1e-15 relative) must not decide the shortlist cut, so
-            # the cut is reproducible across engines/partitionings; real
-            # similarity gaps are orders of magnitude above 1e-9
-            F.round(approx_dot / (F.col("q_norm") * F.col("approx_norm")), 9).alias("approx_sim"),
-        )
-        .withColumn("srank", F.row_number().over(w_short))
-        .filter(F.col("srank") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    # rerank: fetch floats for the shortlist only, emit exact cosine
-    qf = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
-    )
-    cf = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
-    )
-    scored = (
-        shortlisted.join(cf, "neighbor_id")
-        .join(F.broadcast(qf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return _asym_shortlist_rerank(
+        index, q, queries, corpus_vectors, k, shortlist,
+        recon=lambda codes: dequantize_sq8(codes, lo, hi),
+        id_col=id_col, vec_col=vec_col,
     )
 
 
@@ -813,6 +835,11 @@ def train_pq_codebooks(
     codebook tensor reaches the driver.  At 100 TB train on a sample."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if k > 128:
+        # codes are stored as tinyint: ids above 127 would overflow (throw
+        # under ANSI, silently wrap otherwise); PQ at k=256 needs a wider
+        # code type — rejected explicitly rather than corrupting indexes
+        raise ValueError(f"k={k} exceeds the tinyint code range (max 128)")
     dsub = dim // m
     # (s, id, subvec) — one narrow explode, reused every round
     sub_rows = corpus.select(
@@ -836,11 +863,18 @@ def train_pq_codebooks(
         .agg(F.min_by("v", F.col("_id")).alias("v"))
         .collect()
     )
-    books: list[list[list[float]]] = [
-        [[0.0] * dsub for _ in range(k)] for _ in range(m)
-    ]
+    # a tiny corpus can leave hash-seed groups empty; drop them (per
+    # subspace the codebook shrinks, exactly as train_ivf_centroids does)
+    # instead of leaving all-zero placeholder centroids that would attract
+    # small-norm subvectors and decode to zeros
+    seeded: dict[int, dict[int, list[float]]] = {}
     for r in seeds:
-        books[r["s"]][r["g"]] = [float(x) for x in r["v"]]
+        seeded.setdefault(r["s"], {})[r["g"]] = [float(x) for x in r["v"]]
+    books: list[list[list[float]]] = [
+        [seeded[s][g] for g in sorted(seeded.get(s, {}))] for s in range(m)
+    ]
+    if any(not b for b in books):
+        raise ValueError("empty corpus: no PQ seeds")
     for _ in range(n_iter):
         # assignment: nearest centroid per (s, row); the per-subspace
         # codebooks select via a chained CASE on the subspace id, so the
@@ -939,53 +973,8 @@ def knn_pq(
         norm_exact(F.col(vec_col)).alias("q_norm"),
         (F.col(bucket_col) if bucket_col else F.lit(0)).alias("bucket"),
     )
-    approx_dot = F.aggregate(
-        F.zip_with(
-            F.col("q_vec"),
-            decode_pq(F.col("codes"), codebooks),
-            lambda qx, cx: qx.cast("double") * cx,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    w_short = W.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
-    shortlisted = (
-        index.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(approx_dot / (F.col("q_norm") * F.col("approx_norm")), 9).alias("approx_sim"),
-        )
-        .withColumn("srank", F.row_number().over(w_short))
-        .filter(F.col("srank") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    qf = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
-    )
-    cf = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
-    )
-    scored = (
-        shortlisted.join(cf, "neighbor_id")
-        .join(F.broadcast(qf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_exact(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cos_sim"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return _asym_shortlist_rerank(
+        index, q, queries, corpus, k, shortlist,
+        recon=lambda codes: decode_pq(codes, codebooks),
+        id_col=id_col, vec_col=vec_col,
     )

@@ -449,12 +449,19 @@ def run_index_build(
     index = build_sq8_index(emb, lo, hi, centroids=centroids)
 
     table = SnapshotTable(os.path.join(out_dir, "ann_index"))
-    table.write(index)
-    version = table.latest_version()
+    version = table.write(index)
+    # the model is PART of the index version — an unversioned model.json
+    # clobbered by rebuilds would dequantize a pinned elder version with
+    # the wrong bounds/centroids (silently wrong neighbors); write one
+    # model per version, atomically (tmp + rename)
     model = {"centroids": centroids, "lo": lo, "hi": hi, "n_clusters": n_clusters}
-    model_path = os.path.join(out_dir, "ann_index", "model.json")
-    with open(model_path, "w") as f:
+    model_path = os.path.join(out_dir, "ann_index", f"model_v{version}.json")
+    tmp_path = model_path + ".tmp"
+    with open(tmp_path, "w") as f:
         json.dump(model, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_path, model_path)
 
     stored = table.read(spark, version)
     queries = emb.filter(F.col("vec_id") < 10)

@@ -1138,6 +1138,26 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PII_URL_RE = "https?://[^ ]+"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The redaction transform itself (shared by the registry row and the
+    planted-fixture test, so the test exercises the REAL function): mask
+    emails then URLs with typed tags, emit audit counts."""
+    n_emails = F.regexp_count(text_col, F.lit(PII_EMAIL_RE)).cast("int")
+    n_urls = F.regexp_count(text_col, F.lit(PII_URL_RE)).cast("int")
+    return df.select(
+        id_col,
+        F.regexp_replace(
+            F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>"), PII_URL_RE, "<URL>"
+        ).alias(text_col),
+        n_emails.alias("n_emails_redacted"),
+        n_urls.alias("n_urls_redacted"),
+    )
+
+
 @register(
     "redact_pii_documents",
     extra=True,
@@ -1165,16 +1185,4 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_quality_battery's, so gate and redactor agree on what PII is; both
     regexes stay in the Java∩RE2 common dialect so the oracle's
     regexp_replace(…,'g') is character-identical."""
-    docs = load_table(spark, sf_dir, "documents")
-    email_re = "[a-z0-9.]+@[a-z0-9.]+"
-    url_re = "https?://[^ ]+"
-    n_emails = F.regexp_count("text", F.lit(email_re)).cast("int")
-    n_urls = F.regexp_count("text", F.lit(url_re)).cast("int")
-    return docs.select(
-        "doc_id",
-        F.regexp_replace(
-            F.regexp_replace("text", email_re, "<EMAIL>"), url_re, "<URL>"
-        ).alias("text"),
-        n_emails.alias("n_emails_redacted"),
-        n_urls.alias("n_urls_redacted"),
-    )
+    return redact_pii(load_table(spark, sf_dir, "documents"))

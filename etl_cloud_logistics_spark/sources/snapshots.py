@@ -508,6 +508,11 @@ class SnapshotTable:
         further and composes with this row-level form."""
         old = self.read(spark, from_version)
         new = self.read(spark, to_version)
+        if "change" in new.columns:
+            raise ValueError(
+                "table has a 'change' column — diff() would overwrite it; "
+                "rename the data column or diff a projection"
+            )
         if old.columns != new.columns:
             # additive schema evolution: align on the union schema so an
             # evolved column reads as NULL on the elder side

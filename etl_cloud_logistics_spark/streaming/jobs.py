@@ -100,13 +100,10 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _latest_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keep the (ts, event_id)-max event per user in the state store —
-    the DynamoDB put_item upsert (07_lambda_functions.py:108-120) as a
-    custom stateful operator."""
-    best = state.get if state.exists else None  # (event_id, ts, type, value)
+def _fold_latest(best, pdfs: Iterator[pd.DataFrame]):
+    """Fold the (ts, event_id)-max event over the micro-batch — shared by
+    the NoTimeout and TTL variants so the comparison/tuple logic cannot
+    drift between them."""
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         last = pdf.iloc[-1]
@@ -118,6 +115,16 @@ def _latest_fn(
         )
         if best is None or (cand[1], cand[0]) > (best[1], best[0]):
             best = cand
+    return best
+
+
+def _latest_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep the (ts, event_id)-max event per user in the state store —
+    the DynamoDB put_item upsert (07_lambda_functions.py:108-120) as a
+    custom stateful operator."""
+    best = _fold_latest(state.get if state.exists else None, pdfs)
     state.update(best)
     yield pd.DataFrame(
         {
@@ -432,21 +439,17 @@ def _latest_ttl_fn(
     if state.hasTimedOut:
         state.remove()
         return
-    best = state.get if state.exists else None
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        last = pdf.iloc[-1]
-        cand = (
-            int(last["event_id"]),
-            last["ts"].to_pydatetime(),
-            str(last["event_type"]),
-            float(last["value"]),
-        )
-        if best is None or (cand[1], cand[0]) > (best[1], best[0]):
-            best = cand
+    best = _fold_latest(state.get if state.exists else None, pdfs)
     state.update(best)
     ttl_ms = 2 * 3600 * 1000  # evict after 2 h of event-time idleness
-    state.setTimeoutTimestamp(int(best[1].timestamp() * 1000) + ttl_ms)
+    # the tz-naive timestamp is UTC wall-clock (session TZ is pinned UTC);
+    # naive .timestamp() would interpret it in the HOST zone and shift the
+    # epoch by the UTC offset — behind the watermark on UTC+ hosts, which
+    # kills the query ("timeout cannot be earlier than watermark")
+    import datetime as _dt
+
+    epoch_ms = int(best[1].replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+    state.setTimeoutTimestamp(epoch_ms + ttl_ms)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

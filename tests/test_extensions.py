@@ -726,10 +726,8 @@ def test_sliding_chunks_cover_and_overlap(spark, sf_small):
 def test_pii_redaction_fires_on_planted_pii(spark):
     """The sf corpus is PII-free, so the oracle differential proves clean
     passthrough; THIS is where redaction itself is proven."""
-    from pyspark.sql import functions as F
+    from etl_cloud_logistics_spark.queries.text_ops import redact_pii
 
-    email_re = "[a-z0-9.]+@[a-z0-9.]+"
-    url_re = "https?://[^ ]+"
     docs = spark.createDataFrame(
         [
             (1, "contact alice@example.com or bob@test.org now"),
@@ -738,19 +736,11 @@ def test_pii_redaction_fires_on_planted_pii(spark):
         ],
         "doc_id long, text string",
     )
-    out = {
-        r.doc_id: r
-        for r in docs.select(
-            "doc_id",
-            F.regexp_replace(
-                F.regexp_replace("text", email_re, "<EMAIL>"), url_re, "<URL>"
-            ).alias("text"),
-            F.regexp_count("text", F.lit(email_re)).cast("int").alias("n_emails"),
-            F.regexp_count("text", F.lit(url_re)).cast("int").alias("n_urls"),
-        ).collect()
-    }
-    assert out[1].text == "contact <EMAIL> or <EMAIL> now" and out[1].n_emails == 2
-    assert out[2].text == "see <URL> and <URL> end" and out[2].n_urls == 2
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].text == "contact <EMAIL> or <EMAIL> now"
+    assert out[1].n_emails_redacted == 2
+    assert out[2].text == "see <URL> and <URL> end"
+    assert out[2].n_urls_redacted == 2
     assert out[3].text == "perfectly clean text"
 
 

@@ -72,6 +72,11 @@ def replicated_corpus(spark, k: int):
 
 def replicated_embeddings(spark, k: int):
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    if k > 64:
+        # shift wraps at the dimensionality: replica 64 would be
+        # byte-identical to replica 0, manufacturing exactly the
+        # cross-replica collision pathology the probe must not create
+        raise ValueError("vector probe supports at most 64 replicas (one distinct shift each)")
     parts = []
     for r in range(k):
         shift = r % 64
