@@ -284,3 +284,34 @@ def stratified_sample_exact(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def temperature_rates(
+    df: DataFrame, group_col: str, alpha: float
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the multilingual-sampling standard,
+    XLM-R / mT5: sample share ∝ n_g^α): per-group Bernoulli keep rates
+    ``(n_min / n_g)^(1-α)`` — the smallest group keeps everything, larger
+    groups downsample so KEPT counts are proportional to n_g^α.  α=1 is
+    natural proportions (all rates 1), α=0 equalizes groups, α between
+    them flattens the head without starving the tail — the knob that stops
+    one dominant crawl source from drowning low-resource domains.
+
+    The per-group counts collect (bounded: one row per source/language —
+    model metadata), the rates feed :func:`mixture_sample`, so decisions
+    stay md5-deterministic, nested across rate changes, and
+    engine-reproducible.  α=0.5 rates use ``sqrt`` explicitly so an SQL
+    twin matches bit-for-bit (generic α goes through ``**`` which is libm
+    ``pow`` — same result on one platform, not a cross-engine guarantee)."""
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    counts = {
+        r[group_col]: r["n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        return {g: math.sqrt(n_min / n) for g, n in counts.items()}
+    return {g: (n_min / n) ** (1.0 - alpha) for g, n in counts.items()}

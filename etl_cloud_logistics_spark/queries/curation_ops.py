@@ -573,3 +573,57 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample_exact(
         docs.select("doc_id", "lang", "source"), ["lang"], "doc_id", 20
     )
+
+
+@register(
+    "temperature_mixture_sources",
+    extra=True,
+    oracle="""
+    WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT MIN(n) AS n_min FROM cnt),
+    rates AS (
+        SELECT source, n, sqrt(CAST(n_min AS DOUBLE) / n) AS rate FROM cnt, mn
+    ),
+    dec AS (
+        SELECT d.source, r.rate, r.n,
+               CASE WHEN r.rate >= 1.0 THEN TRUE
+                    ELSE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                         < CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)
+               END AS keep
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           MIN(rate) AS rate
+    FROM dec GROUP BY source
+    """,
+)
+def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing across sources at α=0.5 (operators.curation.
+    temperature_rates + mixture_sample): kept counts ∝ √n_source, the
+    head-flattening reweight a multi-source training mixture runs before
+    export.  The oracle recomputes the data-derived rates (sqrt is
+    correctly rounded in both engines) and replays every md5 keep
+    decision numerically — a fixed-length lowercase-hex string compare and
+    the numeric compare agree, so the per-source kept counts match
+    exactly.  Eager: the rate computation collects per-source counts when
+    the query is built."""
+    from ..operators.curation import mixture_sample, temperature_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_rates(docs, "source", alpha=0.5)
+    flagged = mixture_sample(docs, rates, group_col="source", salt="temp")
+    rate_col = F.create_map(
+        *[x for g, r in sorted(rates.items()) for x in (F.lit(g), F.lit(r))]
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep_mix"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "n_kept", rate_col[F.col("source")].alias("rate")
+        )
+    )

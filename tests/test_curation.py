@@ -182,3 +182,26 @@ def test_stratified_sample_exact_sizes_and_determinism(spark):
         for r in stratified_sample_exact(df, ["lang"], "doc_id", 10, salt="other").collect()
     )
     assert a != c
+
+
+def test_temperature_rates_properties(spark):
+    """α=0: rates equalize expected kept counts; α=1: keep everything;
+    α=0.5: kept ∝ sqrt(n) in expectation; smallest group always keeps 1.0."""
+    from etl_cloud_logistics_spark.operators.curation import temperature_rates
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "mid") for i in range(100)]
+        + [(2000 + i, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    r0 = temperature_rates(df, "source", alpha=0.0)
+    assert abs(r0["big"] * 400 - 25) < 1e-9 and abs(r0["mid"] * 100 - 25) < 1e-9
+    assert r0["small"] == 1.0
+    r1 = temperature_rates(df, "source", alpha=1.0)
+    assert all(v == 1.0 for v in r1.values())
+    rh = temperature_rates(df, "source", alpha=0.5)
+    # expected kept ∝ sqrt(n): 400*sqrt(25/400)=100, 100*sqrt(25/100)=50, 25
+    assert abs(rh["big"] * 400 - 100) < 1e-9
+    assert abs(rh["mid"] * 100 - 50) < 1e-9
+    assert rh["small"] == 1.0
