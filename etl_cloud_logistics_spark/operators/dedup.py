@@ -208,14 +208,15 @@ def minhash_signatures(
     return hashed.groupBy(id_col, "j").agg(F.min("h").alias("h"))
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sig: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
 ) -> DataFrame:
-    """Band the signature (concat ``rows_per_band`` consecutive minima) and
-    emit distinct candidate pairs sharing any band bucket.  The join is
-    equi on (band, band_key) — linear in bucket sizes."""
-    # sort_array on struct(j,h) orders by j, so the concat is position-stable
-    banded = (
+    """(id, band, band_key) rows from a (id, j, h) signature — the
+    persistable LSH bucket evidence (incremental ingestion stores these
+    next to the signature so NEW batches join against history without
+    recomputing it).  sort_array on struct(j,h) orders by j, so the concat
+    is position-stable regardless of aggregation order."""
+    return (
         sig.withColumn("band", F.floor(F.col("j") / rows_per_band))
         .groupBy(id_col, "band")
         .agg(
@@ -228,6 +229,15 @@ def lsh_candidate_pairs(
             ).alias("band_key")
         )
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (concat ``rows_per_band`` consecutive minima) and
+    emit distinct candidate pairs sharing any band bucket.  The join is
+    equi on (band, band_key) — linear in bucket sizes."""
+    banded = band_keys(sig, id_col=id_col, rows_per_band=rows_per_band)
     banded = banded.persist()  # both sides of the bucket self-join
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_key")

@@ -480,3 +480,133 @@ def run_index_build(
         "recall_at_k": recall,
         "model_path": model_path,
     }
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    n_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> dict:
+    """Incremental ingestion dedup — how a 100 TB pipeline actually runs
+    MinHash dedup: each arriving batch is checked against a PERSISTED
+    signature store (a versioned ``SnapshotTable`` of per-doc signatures +
+    LSH band keys), never against re-read history text.
+
+    Per batch:
+    1. signatures + band keys for the NEW docs only (one narrow pass);
+    2. candidates = band-key equi-join of new against (store ∪ new) — so
+       within-batch duplicates are caught in the same pass; history-side
+       cost is a join against stored keys, O(|store| matched buckets), no
+       recompute;
+    3. verdict by SIGNATURE agreement (matching minima / n_hashes — the
+       unbiased MinHash estimate of Jaccard): stored state is O(n_hashes)
+       strings per doc, so the store never holds text; a pipeline wanting
+       exact-Jaccard confirmation fetches the original text for the
+       (rare) flagged pairs out of band — stated trade-off;
+    4. only UNIQUE new docs' signatures append to the store (a new
+       version: time travel gives every past ingest's dedup state), so a
+       replayed batch deduplicates against itself — idempotent ingest.
+
+    Returns the verdicts (doc_id, dup_of — smallest matching prior/peer
+    id) and the commit info."""
+    from .operators.dedup import band_keys, minhash_signatures, shingle_array
+    from .sources.snapshots import SnapshotTable
+
+    sh = shingle_array(new_docs, n=n)
+    sig_long = minhash_signatures(sh, n_hashes=n_hashes).localCheckpoint(eager=True)
+    bands_new = band_keys(sig_long, rows_per_band=rows_per_band)
+    sig_new = sig_long.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", "h"))), lambda x: x["h"]
+            ),
+        ).alias("sig")
+    )
+    state_new = sig_new.join(bands_new, "doc_id").select("doc_id", "sig", "band", "band_key")
+
+    table = SnapshotTable(store_path)
+    try:
+        stored = table.read(spark)
+    except FileNotFoundError:
+        stored = spark.createDataFrame(
+            [], "doc_id long, sig string, band bigint, band_key string"
+        )
+    # tag sides: against HISTORY any stored match blocks a new doc (ids are
+    # independent spaces, no ordering assumption); within the BATCH the
+    # smaller id wins, like every canonicalizer here.  A re-sent doc_id
+    # (replayed batch) is a duplicate of its stored self by id identity.
+    pool = (
+        stored.withColumn("is_new", F.lit(False))
+        .unionByName(state_new.withColumn("is_new", F.lit(True)))
+        .localCheckpoint(eager=True)
+    )
+    a = state_new.select(F.col("doc_id").alias("new_id"), "band", "band_key")
+    b = pool.select(F.col("doc_id").alias("old_id"), "band", "band_key", "is_new")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(
+            (~F.col("is_new") & (F.col("old_id") != F.col("new_id")))
+            | (F.col("is_new") & (F.col("old_id") < F.col("new_id")))
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    replayed = state_new.select("doc_id").join(
+        stored.select("doc_id").distinct(), "doc_id"
+    ).select(F.col("doc_id").alias("new_id"), F.col("doc_id").alias("old_id"))
+    sig_pool = pool.select("doc_id", "sig").distinct()
+    # signature agreement: count matching 32-hex minima at aligned offsets
+    match_frac = (
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            F.lit(0),
+            lambda acc, j: acc
+            + F.when(
+                F.substring(F.col("sig_a"), j * 32 + 1, 32)
+                == F.substring(F.col("sig_b"), j * 32 + 1, 32),
+                1,
+            ).otherwise(0),
+        ).cast("double")
+        / n_hashes
+    )
+    dup_pairs = (
+        cand.join(
+            sig_pool.select(F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_a")),
+            "new_id",
+        )
+        .join(
+            sig_pool.select(F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_b")),
+            "old_id",
+        )
+        .withColumn("est_jaccard", match_frac)
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    blockers = dup_pairs.select("new_id", "old_id").unionByName(replayed)
+    verdicts = (
+        state_new.select("doc_id")
+        .distinct()
+        .join(
+            blockers.groupBy("new_id").agg(F.min("old_id").alias("dup_of")),
+            state_new["doc_id"] == F.col("new_id"),
+            "left",
+        )
+        .select("doc_id", "dup_of")
+        .localCheckpoint(eager=True)
+    )
+    unique_ids = verdicts.filter(F.col("dup_of").isNull()).select("doc_id")
+    appended = state_new.join(unique_ids, "doc_id")
+    version = table.write(appended, mode="append", operation="incremental_dedup")
+    n_new = new_docs.select("doc_id").distinct().count()
+    n_dup = verdicts.filter(F.col("dup_of").isNotNull()).count()
+    return {
+        "verdicts": verdicts,
+        "store_version": version,
+        "n_docs": n_new,
+        "n_duplicates": n_dup,
+        "n_inserted": n_new - n_dup,
+    }

@@ -249,3 +249,53 @@ def test_index_build_pipeline_end_to_end(spark, sf_med, tmp_path):
     report2 = run_index_build(spark, sf_med, out, n_clusters=8, nprobe=2, k=3)
     assert report2["index_version"] == report["index_version"] + 1
     assert t.read(spark, report["index_version"]).count() == 500
+
+
+def test_incremental_dedup_against_signature_store(spark, tmp_path):
+    """Ingestion-time dedup: batch 2 checks against batch 1's PERSISTED
+    signatures (no history recompute), catches stored near-dups, in-batch
+    dups, and replayed ids; only unique docs grow the store; a full batch
+    replay with fresh ids marks everything duplicate."""
+    from etl_cloud_logistics_spark.pipelines import run_incremental_dedup
+    from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
+
+    store = str(tmp_path / "sigstore")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different text about spark streaming engines at scale"),
+            (3, "a third unrelated document mentioning warehouses and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_dedup(spark, b1, store)
+    assert r1["n_duplicates"] == 0 and r1["n_inserted"] == 3
+
+    b2 = spark.createDataFrame(
+        [
+            (10, base),  # exact dup of stored doc 1
+            (11, base.replace("today", "tonight")),  # near-dup of stored doc 1
+            (12, "an entirely fresh document on watermarks and state stores"),
+            (13, "twin sentences inside one batch share almost every word here"),
+            (14, "twin sentences inside one batch share almost every word too"),
+            (2, "completely different text about spark streaming engines at scale"),
+        ],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_dedup(spark, b2, store)
+    v = {r.doc_id: r.dup_of for r in r2["verdicts"].collect()}
+    assert v[10] == 1 and v[11] == 1          # caught against the STORE
+    assert v[12] is None and v[13] is None    # fresh + in-batch canonical
+    assert v[14] == 13                        # in-batch near-dup
+    assert v[2] == 2                          # replayed id is idempotent
+    assert r2["n_inserted"] == 2              # only 12 and 13 join the store
+    t = SnapshotTable(store)
+    stored_ids = {
+        r.doc_id for r in t.read(spark).select("doc_id").distinct().collect()
+    }
+    assert stored_ids == {1, 2, 3, 12, 13}
+    # replaying batch 2 under NEW ids: everything is now a duplicate
+    b2_replay = b2.withColumn("doc_id", F.col("doc_id") + 100)
+    r3 = run_incremental_dedup(spark, b2_replay, store)
+    assert r3["n_duplicates"] == r3["n_docs"]
