@@ -141,27 +141,42 @@ def jaccard_pairs(
 
 
 def shingle_array(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    short_doc_fallback: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles as ONE array column ``sh`` per doc —
     the no-shuffle twin of :func:`shingles` (transform over token positions
-    stays entirely inside whole-stage codegen)."""
+    stays entirely inside whole-stage codegen).
+
+    Docs with fewer than ``n`` tokens have an EMPTY shingle set.  Downstream
+    MinHash then yields all-null minima, which collapses every short doc to
+    the same empty signature/band key — distinct short docs would
+    false-positive as duplicates of each other.  ``short_doc_fallback=True``
+    substitutes the full lowered token text as the doc's single shingle:
+    identical short docs still match (equal signatures), distinct ones never
+    collide.  Off by default so oracle twins that mirror the exact
+    empty-set semantics stay bit-identical."""
     toks = tokens(df, text_col).select(id_col, "ws")
     # sequence(1, 0) would be DESCENDING [1, 0], so short docs need the guard
     positions = F.when(
         F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return toks.select(
-        id_col,
-        F.array_distinct(
-            F.transform(
-                positions,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("ws", (i + j).cast("int")) for j in range(n)]
-                ),
-            )
-        ).alias("sh"),
+    arr = F.array_distinct(
+        F.transform(
+            positions,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ws", (i + j).cast("int")) for j in range(n)]
+            ),
+        )
     )
+    if short_doc_fallback:
+        arr = F.when(F.size("ws") >= n, arr).otherwise(
+            F.array(F.concat_ws(" ", F.col("ws")))
+        )
+    return toks.select(id_col, arr.alias("sh"))
 
 
 def minhash_signatures(

@@ -516,7 +516,11 @@ def run_incremental_dedup(
     from .operators.dedup import band_keys, minhash_signatures, shingle_array
     from .sources.snapshots import SnapshotTable
 
-    sh = shingle_array(new_docs, n=n)
+    # short_doc_fallback: docs with < n tokens would otherwise produce
+    # all-null minima → sig='' and band_key='' → every distinct short doc
+    # silently flagged a duplicate of the first one (est_jaccard compares
+    # ''=='' at every offset).  The fallback hashes the full text instead.
+    sh = shingle_array(new_docs, n=n, short_doc_fallback=True)
     sig_long = minhash_signatures(sh, n_hashes=n_hashes).localCheckpoint(eager=True)
     bands_new = band_keys(sig_long, rows_per_band=rows_per_band)
     sig_new = sig_long.groupBy("doc_id").agg(

@@ -514,12 +514,23 @@ class SnapshotTable:
                 "rename the data column or diff a projection"
             )
         if old.columns != new.columns:
-            # additive schema evolution: align on the union schema so an
-            # evolved column reads as NULL on the elder side
+            # schema evolution: align BOTH sides on the union schema, so an
+            # added column reads as NULL on the elder side AND a removed
+            # column reads as NULL on the newer side.  Selecting only
+            # new.columns here would silently drop old-only columns — rows
+            # differing only in a removed column would then compare equal, a
+            # blind spot for the audit view of time travel.
             for c in new.columns:
                 if c not in old.columns:
                     old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
-            old = old.select(new.columns)
+            for c in old.columns:
+                if c not in new.columns:
+                    new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+            union_cols = new.columns + [
+                c for c in old.columns if c not in new.columns
+            ]
+            old = old.select(union_cols)
+            new = new.select(union_cols)
         added = new.exceptAll(old).withColumn("change", F.lit("added"))
         removed = old.exceptAll(new).withColumn("change", F.lit("removed"))
         return added.unionByName(removed)

@@ -109,14 +109,36 @@ def read_csv_corpus(
     sep: str = ",",
 ) -> tuple[DataFrame, DataFrame]:
     """CSV twin of ``read_jsonl_corpus`` — same line-parse + quarantine
-    contract via ``from_csv``.  With ``header=True`` the per-file header
-    line is recognized textually and dropped before parsing (a header line
-    would otherwise quarantine as malformed in every shard)."""
+    contract via ``from_csv``.  With ``header=True`` the FIRST PHYSICAL
+    LINE of each file is dropped (a header line would otherwise quarantine
+    as malformed in every shard).  Positional, not textual: matching the
+    header by text would silently swallow any legitimate data row that
+    happens to equal the joined field names, while missing a real header
+    written with different spacing/case/quoting (which, under an all-string
+    schema, would then parse fine and ingest as data).
+
+    The first line is located without giving up splittable reads: the task
+    reading byte offset 0 of a file owns its first line (Hadoop line-reader
+    contract — every later split skips its leading partial line), so
+    ``min(monotonically_increasing_id)`` over that file's offset-0 rows
+    pins it; the drop is a broadcast anti-condition on (file, id) — one
+    tiny n_files-row agg, no extra full scan materialized."""
     parse_schema = _with_corrupt_sentinel(schema)
     lines = _read_lines(spark, path)
     if header:
-        header_line = sep.join(f.name for f in schema.fields)
-        lines = lines.filter(F.col("raw_line") != header_line)
+        tagged = lines.withColumn("_bs", F.input_file_block_start()).withColumn(
+            "_mid", F.monotonically_increasing_id()
+        )
+        first_per_file = (
+            tagged.filter(F.col("_bs") == 0)
+            .groupBy("src_file")
+            .agg(F.min("_mid").alias("_header_id"))
+        )
+        lines = (
+            tagged.join(F.broadcast(first_per_file), "src_file", "left")
+            .filter(F.col("_mid") != F.col("_header_id"))
+            .select("raw_line", "src_file")
+        )
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in parse_schema.fields
     )

@@ -430,38 +430,64 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def _latest_ttl_fn(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def interval_ms(spec: str) -> int:
+    """Parse a Spark-style '<n> <unit>' interval string to milliseconds."""
+    n, unit = spec.strip().split()
+    return int(n) * _INTERVAL_UNIT_MS[unit.lower().rstrip("s")]
+
+
+def _make_latest_ttl_fn(ttl_ms: int):
     """_latest_fn plus event-time TTL: a user idle past the TTL has their
     state EVICTED when the watermark passes (they re-materialize from their
     next event — correct cache semantics for a latest-status store)."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    best = _fold_latest(state.get if state.exists else None, pdfs)
-    state.update(best)
-    ttl_ms = 2 * 3600 * 1000  # evict after 2 h of event-time idleness
-    # the tz-naive timestamp is UTC wall-clock (session TZ is pinned UTC);
-    # naive .timestamp() would interpret it in the HOST zone and shift the
-    # epoch by the UTC offset — behind the watermark on UTC+ hosts, which
-    # kills the query ("timeout cannot be earlier than watermark")
-    import datetime as _dt
 
-    epoch_ms = int(best[1].replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
-    state.setTimeoutTimestamp(epoch_ms + ttl_ms)
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "last_event_id": [best[0]],
-            "last_ts": [best[1]],
-            "last_event_type": [best[2]],
-            "last_value": [best[3]],
-        }
-    )
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = _fold_latest(state.get if state.exists else None, pdfs)
+        state.update(best)
+        # the tz-naive timestamp is UTC wall-clock (session TZ is pinned UTC);
+        # naive .timestamp() would interpret it in the HOST zone and shift the
+        # epoch by the UTC offset — behind the watermark on UTC+ hosts, which
+        # kills the query ("timeout cannot be earlier than watermark")
+        import datetime as _dt
+
+        epoch_ms = int(best[1].replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        # arbitrary stateful ops do NOT auto-drop late rows: an event landing
+        # more than ttl behind the watermark would place the timeout in the
+        # past and throw ("timeout cannot be earlier than watermark"), so
+        # clamp to just past the current watermark — the row is then evicted
+        # at the next watermark advance, which is the TTL's intent anyway
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(epoch_ms + ttl_ms, wm_ms + 1))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [best[0]],
+                "last_ts": [best[1]],
+                "last_event_type": [best[2]],
+                "last_value": [best[3]],
+            }
+        )
+
+    return fn
 
 
-def latest_status_stream_ttl(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def latest_status_stream_ttl(
+    events: DataFrame, watermark: str = "1 hour", ttl: str = "2 hours"
+) -> DataFrame:
     """Latest-status state per user with BOUNDED state (ST2 at 100 TB):
     ``latest_status_stream``'s NoTimeout variant holds one state row per
     user EVER seen — unbounded over an unbounded identity space.  This
@@ -470,12 +496,24 @@ def latest_status_stream_ttl(events: DataFrame, watermark: str = "1 hour") -> Da
     state size tracks ACTIVE users in the TTL horizon, not lifetime users.
     An evicted user's next event simply re-creates the row (the cache
     re-materializes) — semantics a serving lookup tolerates by design.
-    Eviction is pytest-pinned via numRowsTotal, like the dedup bound."""
+    Eviction is pytest-pinned via numRowsTotal, like the dedup bound.
+
+    ``ttl`` must exceed the watermark delay: with ttl ≤ delay, every event
+    arriving right at the watermark would need its timeout clamped, making
+    eviction degenerate (validated eagerly here rather than failing deep in
+    a microbatch)."""
+    ttl_ms = interval_ms(ttl)
+    if ttl_ms <= interval_ms(watermark):
+        raise ValueError(
+            f"ttl ({ttl}) must be greater than the watermark delay "
+            f"({watermark}): otherwise state is evicted before late data "
+            "the watermark still admits can reach it"
+        )
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _latest_ttl_fn,
+            _make_latest_ttl_fn(ttl_ms),
             outputStructType=LATEST_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",

@@ -601,6 +601,25 @@ def test_misra_gries_bounds_on_zipf_stress(spark):
     # and the self-sizing default picks k honoring the bound
     auto = heavy_hitters_exact(df, "item", threshold=thresh)
     assert {r["item"]: r["n_occurrences"] for r in auto.collect()} == want
+    # RELATIVE-threshold sizing: k = ceil(2/rel) is a constant independent of
+    # n (the scale-safe mode); output == brute force at the same cutoff
+    rel = thresh / n
+    got_rel = {
+        r["item"]: r["n_occurrences"]
+        for r in heavy_hitters_exact(df, "item", rel_threshold=rel).collect()
+    }
+    import math as _math
+
+    want_rel = {
+        it: c for it, c in true.items() if c >= max(1, _math.ceil(rel * n - 1e-9))
+    }
+    assert got_rel == want_rel
+    # absolute self-sizing is capped: a max_k too small to honor the bound
+    # raises instead of silently returning an incomplete candidate set
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "item", threshold=2, max_k=10)
+    with _pytest.raises(ValueError):
+        heavy_hitters_exact(df, "item", threshold=5, rel_threshold=0.1)
 
 
 def test_pagerank_matches_power_iteration(spark):

@@ -299,3 +299,38 @@ def test_incremental_dedup_against_signature_store(spark, tmp_path):
     b2_replay = b2.withColumn("doc_id", F.col("doc_id") + 100)
     r3 = run_incremental_dedup(spark, b2_replay, store)
     assert r3["n_duplicates"] == r3["n_docs"]
+
+
+def test_incremental_dedup_short_docs_not_collapsed(spark, tmp_path):
+    """Docs shorter than the shingle width (< n tokens) must NOT all collide:
+    without the full-text fallback their MinHash minima are all null, every
+    short doc gets sig='' / band_key='' and est_jaccard('','')=1.0, so every
+    distinct short doc after the first was silently dropped.  Identical short
+    docs must still dedup, including against the persisted store."""
+    from etl_cloud_logistics_spark.pipelines import run_incremental_dedup
+
+    store = str(tmp_path / "sigstore_short")
+    b1 = spark.createDataFrame(
+        [(1, "hello"), (2, "goodbye world"), (3, "ok")],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_dedup(spark, b1, store)
+    v1 = {r.doc_id: r.dup_of for r in r1["verdicts"].collect()}
+    assert v1 == {1: None, 2: None, 3: None}  # three DISTINCT short docs
+    assert r1["n_inserted"] == 3
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "hello"),          # exact short dup of stored doc 1
+            (11, "brand new"),      # fresh short doc
+            (12, "same pair"),      # in-batch short twins...
+            (13, "same pair"),
+        ],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_dedup(spark, b2, store)
+    v2 = {r.doc_id: r.dup_of for r in r2["verdicts"].collect()}
+    assert v2[10] == 1            # caught against the STORE by full-text hash
+    assert v2[11] is None
+    assert v2[12] is None and v2[13] == 12
+    assert r2["n_inserted"] == 2

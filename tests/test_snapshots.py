@@ -607,3 +607,30 @@ def test_diff_reports_added_removed_with_multiset_semantics(spark, tmp_path):
         (3, "c", "removed"),  # multiset: 2x -> 1x reports ONE removal
     }
     assert t.diff(spark, v2, v2).count() == 0
+
+
+def test_diff_surfaces_removed_column_changes(spark, tmp_path):
+    """Non-additive schema evolution: a row differing ONLY in a column that
+    the newer version dropped must still show up in the diff (both sides
+    align on the UNION schema with nulls; the old behavior projected old
+    onto new.columns and reported such rows as unchanged)."""
+    t = SnapshotTable(str(tmp_path / "diffdrop"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k long, v string, legacy long"
+        )
+    )
+    v1 = t.latest_version()
+    # v2 drops `legacy` entirely; row k=1 is otherwise identical
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v2 = t.latest_version()
+    d = t.diff(spark, v1, v2)
+    assert set(d.columns) == {"k", "v", "legacy", "change"}
+    rows = {(r.k, r.v, r.legacy, r.change) for r in d.collect()}
+    # EVERY old row differs (legacy 10/20 -> NULL): 2 removed + 2 added
+    assert rows == {
+        (1, "a", 10, "removed"),
+        (2, "b", 20, "removed"),
+        (1, "a", None, "added"),
+        (2, "b", None, "added"),
+    }

@@ -466,6 +466,35 @@ def test_read_csv_corpus_quarantines_and_drops_header(spark, tmp_path):
     assert len(reasons) == 2 and "OPEN" not in g.get(3, ("", 0.0))
 
 
+def test_read_csv_header_drop_is_positional_not_textual(spark, tmp_path):
+    """The header drop removes the FIRST PHYSICAL LINE per file, never a
+    data row that textually equals the field names, and it removes a real
+    header even when its spelling differs from the schema (extra spaces /
+    case) — the two failure modes of text-matching the header."""
+    from pyspark.sql import types as T
+
+    from etl_cloud_logistics_spark.sources.textfiles import read_csv_corpus
+
+    p = tmp_path / "csvpos"
+    p.mkdir()
+    # all-string schema: under text matching, a.csv's row 2 ("name,city" as
+    # DATA) would vanish, and b.csv's spaced/cased header would ingest as data
+    (p / "a.csv").write_text("name,city\nalice,rome\nname,city\nbob,oslo\n")
+    (p / "b.csv").write_text("Name , City\ncarol,lima\n")
+    schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("city", T.StringType())]
+    )
+    good, quar = read_csv_corpus(spark, str(p), schema, header=True)
+    rows = {(r.name, r.city) for r in good.collect()}
+    assert rows == {
+        ("alice", "rome"),
+        ("name", "city"),  # the legitimate data row survives
+        ("bob", "oslo"),
+        ("carol", "lima"),  # b.csv's nonstandard header was still dropped
+    }
+    assert good.count() == 4 and quar.count() == 0
+
+
 def test_jsonl_round_trip(spark, tmp_path):
     from etl_cloud_logistics_spark.sources.textfiles import (
         read_jsonl_corpus,

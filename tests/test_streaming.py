@@ -639,3 +639,64 @@ def test_latest_status_ttl_state_evicts_idle_users(spark, tmp_path_factory):
     # cumulative total an unbounded store would hold
     assert totals and totals[-1] <= 2 * per_batch, totals
     assert max(totals) < n_batches * per_batch, totals
+
+
+def test_latest_status_ttl_survives_very_late_event(spark, tmp_path_factory):
+    """An event arriving more than TTL behind the watermark must not kill
+    the query: arbitrary stateful ops do NOT auto-drop late rows, so
+    best_ts + ttl can land earlier than the current watermark — the timeout
+    is clamped to just past the watermark instead of throwing."""
+    import datetime
+    import os
+
+    from etl_cloud_logistics_spark.catalog import SCHEMAS
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        latest_status_stream_ttl,
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    base = str(tmp_path_factory.mktemp("ttl_late_src"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_chunk(idx, rows):
+        df = spark.createDataFrame(rows, SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{idx}")
+        src = [f for f in os.listdir(f"{base}/_tmp_{idx}") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp_{idx}/{src}", f"{base}/chunk_{idx}.parquet")
+
+    # batch 0 pushes the watermark to ~hour 10; batch 1's user 99 event sits
+    # at hour 0 — 10 h behind, far past the 2 h TTL horizon
+    write_chunk(0, [(1, t0 + datetime.timedelta(hours=10), 1, "ping", 1.0, "{}")])
+    write_chunk(1, [(2, t0, 99, "ping", 1.0, "{}")])
+
+    stream = read_event_stream(spark, base)
+    q = run_stream_to_memory(
+        latest_status_stream_ttl(stream),
+        "ttl_late_out",
+        _ckpt(tmp_path_factory),
+        output_mode="update",
+    )
+    try:
+        assert q.exception() is None  # the pre-fix code dies here
+        users = {
+            r.user_id for r in spark.sql("SELECT user_id FROM ttl_late_out").collect()
+        }
+    finally:
+        q.stop()
+    assert users == {1, 99}
+
+
+def test_latest_status_ttl_validates_against_watermark(spark, tmp_path_factory):
+    """ttl ≤ watermark delay is rejected eagerly (eviction would degenerate)."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        latest_status_stream_ttl,
+        read_event_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("ttl_validate_src"))
+    stream = read_event_stream(spark, base)
+    with _pytest.raises(ValueError, match="watermark"):
+        latest_status_stream_ttl(stream, watermark="3 hours", ttl="2 hours")
