@@ -547,7 +547,6 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample_langs",
-    extra=True,
     oracle="""
     WITH ranked AS (
         SELECT doc_id, lang, source,
@@ -577,7 +576,6 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "temperature_mixture_sources",
-    extra=True,
     oracle="""
     WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     mn AS (SELECT MIN(n) AS n_min FROM cnt),

@@ -93,6 +93,7 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anti_join_new_dates",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date
     FROM orders o
@@ -123,6 +124,7 @@ def anti_join_new_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_signup",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,
            s.event_id AS asof_event_id, s.value AS asof_value
@@ -238,6 +240,7 @@ def dim_time_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dim_datetime_generate",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     WITH dd AS (
         SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
@@ -323,6 +326,7 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rollup_status_priority",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
@@ -346,6 +350,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "set_ops_counts",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle=f"""
     SELECT 'union' AS op, COUNT(*) AS n FROM (
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

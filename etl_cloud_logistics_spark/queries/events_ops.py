@@ -25,6 +25,7 @@ from . import register
 # ---------------------------------------------------------------------------
 @register(
     "latest_event_per_user",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     SELECT user_id, event_id AS last_event_id, ts AS last_ts,
            event_type AS last_event_type, value AS last_value

@@ -57,6 +57,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_audio_frames",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,

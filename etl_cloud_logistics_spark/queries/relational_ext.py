@@ -241,6 +241,7 @@ def cross_join_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semi_join_urgent_customers",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
@@ -628,9 +629,8 @@ def incremental_report_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM surv
     GROUP BY o_orderstatus, o_orderpriority
     """,
-    extra=True,  # X7 retraction path (r4); the insert-only driver row is
-    # incremental_report_refresh — this proves the same state absorbs
-    # deletes/updates, CI-exact-gated like the other extras
+    # r5: rotated INTO the driver window — proves the incremental state
+    # absorbs deletes/updates, not just the insert-only feed
 )
 def incremental_refresh_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance under RETRACTIONS (deletes + updates of old
@@ -832,7 +832,6 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_copurchase",
-    extra=True,
     oracle=None,  # iterative power iteration has no SQL twin; the operator
     # is differential-tested against driver-side numpy power iteration at
     # 1e-8 plus a rank-mass invariant (tests/test_operators.py)
@@ -890,7 +889,7 @@ SELECT part, MIN(dist) AS hops FROM walk GROUP BY part
 """
 
 
-@register("reachable_parts_bfs", oracle=_SQL_BFS, extra=True)
+@register("reachable_parts_bfs", oracle=_SQL_BFS)  # r5: rotated INTO the driver window
 def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive-CTE transitive closure (Spark 4's WITH RECURSIVE): minimum
     hop count from the smallest co-purchased part to everything reachable

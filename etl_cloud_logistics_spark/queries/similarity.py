@@ -67,6 +67,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_ivf_bucketed",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label FROM embeddings),
@@ -402,7 +403,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "srp_lsh_neardup_pairs",
-    extra=True,
     oracle=f"""
     WITH planes AS (
         SELECT t, b, d,
@@ -463,7 +463,6 @@ def srp_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "maxsim_retrieval_topk",
-    extra=True,
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     c AS (
@@ -542,7 +541,6 @@ def maxsim_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_pq_rerank",
-    extra=True,
     oracle=None,  # PQ codebooks come from iterative k-means (not
     # SQL-derivable, same as the trained-IVF path); recall and invariants
     # are pytest-measured (test_pq_recall_and_compression_on_sf_corpus)

@@ -373,6 +373,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_metrics",
+    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle=f"""
     WITH t AS (
         SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
@@ -1018,7 +1019,6 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_token_stats",
-    extra=True,
     oracle=None,  # the greedy BPE merge loop has no relational twin; the
     # merge sequence, round-trip reconstruction and determinism are
     # pytest-pinned on a hand-computed fixture (tests/test_tokenize.py)
@@ -1059,7 +1059,6 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "heavy_hitter_words",
-    extra=True,
     oracle="""
     WITH w AS (
         SELECT unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS word
