@@ -315,3 +315,192 @@ def temperature_rates(
     if alpha == 0.5:
         return {g: math.sqrt(n_min / n) for g, n in counts.items()}
     return {g: (n_min / n) ** (1.0 - alpha) for g, n in counts.items()}
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (scale-safe global prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def budget_select(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Select rows in ``order_col`` priority order until the running sum of
+    ``weight_col`` would exceed ``budget`` — the "best docs under an N-token
+    budget" selection every data-constrained training run makes (quality
+    score desc, token count as weight).
+
+    A naive cumulative window ``SUM() OVER (ORDER BY ...)`` with no
+    PARTITION BY collapses the whole corpus into ONE task — the classic
+    global-prefix-sum scale trap.  This runs the textbook two-phase form
+    instead:
+
+    1. range-partition + sort by ``(order_col, id_col)`` — Spark's
+       distributed sort, every partition holds a contiguous key range;
+    2. one tiny aggregation of per-partition weight sums (one row per
+       partition, collected to the driver — bounded by cluster size, never
+       by data);
+    3. per-partition cumulative window (partitioned by partition id — no
+       single-task stage) plus the broadcast prefix offset of all earlier
+       partitions.
+
+    ``id_col`` must be a unique tiebreaker so the total order — and
+    therefore the selected set — is deterministic.  Output: the selected
+    rows with their global ``cum_weight`` (inclusive).  Rows with
+    ``cum_weight > budget`` are cut; the first over-budget row is NOT
+    included (strict knapsack-prefix semantics, matching the oracle's
+    ``QUALIFY cum <= budget``)."""
+    ordn = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, ordn, F.col(id_col).asc())
+        .sortWithinPartitions(ordn, F.col(id_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        part_sums = {
+            r["_pid"]: r["w"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(weight_col).alias("w"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(part_sums):
+            offsets[pid] = acc
+            acc += part_sums[pid]
+        off_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for pid, off in offsets.items()
+                        for x in (F.lit(pid), F.lit(off))
+                    ]
+                ),
+                F.col("_pid"),
+            )
+            if offsets
+            else F.lit(0),
+            F.lit(0),
+        )
+        from pyspark.sql import Window as W
+
+        win = (
+            W.partitionBy("_pid")
+            .orderBy(ordn, F.col(id_col).asc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        out = (
+            ranged.withColumn(
+                "cum_weight",
+                (F.sum(weight_col).over(win) + off_expr).cast("long"),
+            )
+            .filter(F.col("cum_weight") <= budget)
+            .drop("_pid")
+        )
+        # materialization note: callers that need `ranged` gone immediately
+        # should count/collect `out` before this unpersist; as a lazily
+        # returned frame the cached blocks are dropped by the ContextCleaner
+        # once nothing references them
+        return out
+    finally:
+        ranged.unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter decontamination (same answer as exact, broadcast-bounded)
+# ---------------------------------------------------------------------------
+
+
+def contaminated_docs_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Exactly :func:`contaminated_docs`, computed through a Bloom-filter
+    prefilter — the 100 TB form of the bench-side broadcast.
+
+    ``contaminated_docs`` broadcasts the benchmark's raw n-gram STRINGS:
+    fine for megabyte eval suites, but a consortium-scale decontam list
+    (every public benchmark + held-out sets, ~10⁸ grams) would broadcast
+    tens of GB of strings.  A Bloom filter at 10 bits/key holds the same
+    membership signal in n_grams×10 BITS (125 MB for 10⁸ grams — an easy
+    broadcast) at ~1% false positives, and Bloom has NO false negatives,
+    so:
+
+    1. JVM-side, k=7 hash values per training gram (``xxhash64(s, i)`` —
+       stays in whole-stage codegen; Python never hashes strings);
+    2. one Arrow ``mapInPandas`` pass tests the k bit positions with
+       vectorized numpy indexing and keeps candidate grams (~hits + 1% of
+       the corpus);
+    3. candidates alone take the exact broadcast-join verify, so false
+       positives die and the result is BIT-IDENTICAL to the exact
+       operator — same oracle SQL, stronger scale story.
+
+    The filter is built once from the bench grams (driver-side numpy over
+    the collected hash columns — bench is the small side by definition)."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import shingles as _sh
+
+    bench_grams = (
+        _sh(bench, id_col, text_col, n).withColumnRenamed(id_col, "bench_id")
+    )
+    distinct_grams = bench_grams.select("s").distinct()
+    # the modulus depends on the gram count — counted from the same small
+    # frame we collect anyway
+    n_keys = max(distinct_grams.count(), 1)
+    m_bits = max(n_keys * bits_per_key, 64)
+    hash_cols = [
+        F.pmod(F.xxhash64("s", F.lit(i)), F.lit(m_bits)).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    bits = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for row in distinct_grams.select(*hash_cols).collect():
+        for i in range(n_hashes):
+            h = row[f"h{i}"]
+            bits[h >> 6] |= np.uint64(1) << np.uint64(h & 63)
+    sc = train.sparkSession.sparkContext
+    bc = sc.broadcast(bits)
+
+    train_grams = shingles(train, id_col, text_col, n)
+    with_hashes = train_grams.select(
+        id_col,
+        "s",
+        *[
+            F.pmod(F.xxhash64("s", F.lit(i)), F.lit(m_bits)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+
+    schema = f"`{id_col}` long, s string"
+
+    def probe(batches):
+        arr = bc.value
+        for pdf in batches:
+            mask = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                h = pdf[f"h{i}"].to_numpy(dtype=np.int64).astype(np.uint64)
+                mask &= (arr[h >> np.uint64(6)] >> (h & np.uint64(63))) & np.uint64(
+                    1
+                ) == 1
+            yield pdf.loc[mask, [id_col, "s"]]
+
+    candidates = with_hashes.mapInPandas(probe, schema=schema)
+    hits = candidates.join(F.broadcast(bench_grams), "s")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("s").alias("n_hit_grams"),
+        F.countDistinct("bench_id").alias("n_bench_docs"),
+    )

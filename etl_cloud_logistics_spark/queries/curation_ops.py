@@ -120,6 +120,9 @@ def curation_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT source) AS n_sources
     FROM sh GROUP BY shard
     """,
+    extra=True,  # r5: rotated OUT after three green rounds; X6 keeps driver
+    # rows curation_pipeline_end2end (shard stage) / stratified_sample_langs
+    # / temperature_mixture_sources / dsir_importance_weights
 )
 def shard_assign_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-export shard assignment balance: deterministic md5-keyed
@@ -274,12 +277,43 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     5. leakage-safe md5 split on source + language-mixture downsampling.
 
     Stage costs at 100 TB: (1) rides the corpus scan, (2) one narrow
-    hash-shuffle, (3) the documented pair-join + iteration (the only
-    super-linear stage, shingle-evidence-bounded), (4) broadcast probe,
-    (5) pure column expressions.  Output: one row per kept training doc."""
-    from ..operators.dedup import jaccard_pairs, neardup_components, shingles
-
+    hash-shuffle, (3) the pair stage — EXACT Jaccard here so the spanning
+    oracle replays it bit-for-bit; production runs the same pipeline with
+    ``candidates='lsh'`` (capped MinHash-LSH candidates + exact verify of
+    candidates only — the evidence-bounded setting, probed at scale by
+    tools/scaling_probe.py --pipeline), (4) broadcast probe, (5) pure
+    column expressions.  Output: one row per kept training doc."""
     docs = load_table(spark, sf_dir, "documents")
+    return curation_pipeline(spark, docs)
+
+
+def curation_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    candidates: str = "exact",
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pipeline implementation over an arbitrary documents frame (doc_id,
+    text, lang, source) with a parameterized near-dup CANDIDATE stage:
+
+    - ``candidates='exact'``: shared-shingle join + exact Jaccard — every
+      qualifying pair by construction; the oracle-replayable setting the
+      registry row uses.
+    - ``candidates='lsh'``: MinHash-LSH candidate generation + exact
+      Jaccard verification of candidates only (``minhash_lsh_neardup``),
+      with the ``max_shingle_freq`` hot-shingle cap — the 100 TB setting:
+      candidate volume is evidence-bounded by shared band buckets instead
+      of shared shingles, so the only super-linear stage of the exact form
+      becomes ~linear (measured by tools/scaling_probe.py --pipeline).
+      With no cap and the same threshold the two settings agree whenever
+      LSH recall is 1.0 (pytest-pinned on the sf corpus)."""
+    from ..operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_neardup,
+        neardup_components,
+        shingles,
+    )
     ws = F.split(F.lower("text"), " ")
     n_words = F.size(ws)
     grams = F.when(
@@ -319,12 +353,24 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
-    sh = shingles(qe).persist()
-    pairs = (
-        jaccard_pairs(sh, threshold=0.5)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    if candidates == "exact":
+        sh = shingles(qe).persist()
+        pairs = (
+            jaccard_pairs(sh, threshold=threshold)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+    elif candidates == "lsh":
+        sh = None
+        pairs = (
+            minhash_lsh_neardup(
+                qe, threshold=threshold, max_shingle_freq=max_shingle_freq
+            )
+            .select("doc_a", "doc_b")
+            .persist()
+        )
+    else:
+        raise ValueError(f"candidates must be 'exact' or 'lsh', got {candidates!r}")
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -335,7 +381,8 @@ def curation_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream depends on sh/pairs any more — release those caches here
     # rather than leaking them for the session's life (registry-wide sweeps
     # run this query alongside 89 others)
-    sh.unpersist()
+    if sh is not None:
+        sh.unpersist()
     pairs.unpersist()
     canon = qe.join(comp, "doc_id", "left").filter(
         F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
@@ -625,3 +672,85 @@ def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", "n_kept", rate_col[F.col("source")].alias("rate")
         )
     )
+
+
+@register(
+    "decontam_bloom_prefilter",
+    oracle=f"""
+    WITH {_GRAMS4_CTE},
+    tr AS (SELECT doc_id, s FROM g4 WHERE NOT ({_BENCH_PRED})),
+    be AS (SELECT doc_id AS bench_id, s FROM g4 WHERE {_BENCH_PRED})
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.s) AS n_hit_grams,
+           COUNT(DISTINCT be.bench_id) AS n_bench_docs
+    FROM tr JOIN be ON tr.s = be.s
+    GROUP BY tr.doc_id
+    """,
+    extra=True,  # r5: same answer as decontam_ngram_overlap by construction
+    # (Bloom has no false negatives; FPs die in the exact verify), so the
+    # driver row for the decontam family stays the exact form
+)
+def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a Bloom-filter prefilter — the consortium-
+    scale decontam-list form (10⁸ bench grams broadcast as a 125 MB bit
+    array instead of tens of GB of strings).  k hash values are computed
+    JVM-side (``xxhash64``), one Arrow pass tests bits with vectorized
+    numpy, and surviving candidates take the exact broadcast-join verify —
+    the result is bit-identical to ``decontam_ngram_overlap`` (same oracle
+    SQL), which is the point: the Bloom stage changes the memory footprint,
+    never the answer."""
+    from ..operators.curation import contaminated_docs_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench_flag = F.col("doc_id") % 25 == 0
+    return contaminated_docs_bloom(
+        docs.filter(~bench_flag), docs.filter(bench_flag), n=4
+    )
+
+
+@register(
+    "token_budget_select",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                   / len(string_split(lower(text), ' ')) AS quality
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, quality,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+                   AS cum_weight
+        FROM t
+    )
+    SELECT doc_id, n_tokens, quality, cum_weight
+    FROM c WHERE cum_weight <= 8000
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained corpus selection: keep the highest-quality docs
+    (distinct-word ratio as the quality proxy — IEEE int/int division, so
+    both engines order identically) until an 8k-token budget is filled —
+    the "best N tokens" selection every compute-optimal training run makes.
+
+    The oracle's ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY is the
+    classic one-task scale trap; the Spark side runs
+    ``operators.curation.budget_select`` — distributed range-partition
+    sort, per-partition sums collected (bounded by cluster size), then
+    per-partition cumulative windows plus broadcast prefix offsets.  Same
+    answer, no single-task stage at any corpus size."""
+    from ..operators.curation import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    t = docs.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+            "quality"
+        ),
+    )
+    return budget_select(
+        t, order_col="quality", weight_col="n_tokens", budget=8000
+    ).select("doc_id", "n_tokens", "quality", "cum_weight")

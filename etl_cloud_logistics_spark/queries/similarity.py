@@ -55,6 +55,9 @@ _COS_TERMS = """
     )
     WHERE rank <= 5
     """,
+    extra=True,  # r5: rotated OUT of the driver window after four green
+    # rounds; X3 keeps driver rows knn_sq8_rerank / knn_pq_rerank /
+    # hybrid_search_rrf / maxsim_retrieval_topk
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for the first 10 vectors (X3 baseline):
@@ -114,6 +117,9 @@ def knn_ivf_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.35
     """,
+    extra=True,  # r5: rotated OUT after four green rounds; X2 keeps driver
+    # rows neardup_minhash_lsh / neardup_components_canonical /
+    # srp_lsh_neardup_pairs / passage_dedup_chunks
 )
 def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (X2, vector variant): unordered

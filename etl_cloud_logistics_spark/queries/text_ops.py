@@ -62,6 +62,9 @@ _JACCARD_CTE = f"""
     FROM documents
     GROUP BY md5(lower(text))
     """,
+    extra=True,  # r5: rotated OUT after four green rounds; X1 keeps driver
+    # rows passage_dedup_chunks + the exact-dedup stage inside
+    # curation_pipeline_end2end
 )
 def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (X1) keyed by content hash — at 100 TB you never group by
@@ -1185,3 +1188,231 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexes stay in the Java∩RE2 common dialect so the oracle's
     regexp_replace(…,'g') is character-identical."""
     return redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "duplicated_span_fraction",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g8 AS (
+        SELECT DISTINCT doc_id,
+               list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+        ) t
+    ),
+    df AS (SELECT s, COUNT(DISTINCT doc_id) AS n_docs FROM g8 GROUP BY s)
+    SELECT g8.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(*) FILTER (WHERE df.n_docs > 1) AS n_shared,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs > 1) AS DOUBLE) / COUNT(*)
+               AS dup_span_frac
+    FROM g8 JOIN df ON g8.s = df.s
+    GROUP BY g8.doc_id
+    """,
+)
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" diagnostic, word-8-gram
+    approximation): for each doc, the fraction of its distinct 8-word spans
+    that also occur in at least one OTHER document.  Long spans shared
+    across docs are memorization fuel exact-doc and MinHash dedup both
+    miss (a boilerplate paragraph inside otherwise-distinct pages).
+
+    Two shuffles at any scale: span → doc-count aggregation, then the
+    span-keyed equi-join back (never a pair join — cost follows corpus
+    size, not corpus²).  A full substring-remove pass would follow this
+    with per-span excision; the fraction is the triage view that decides
+    whether that pass is worth scheduling."""
+    docs = load_table(spark, sf_dir, "documents")
+    g8 = shingles(docs, n=8)
+    df_counts = g8.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        g8.join(df_counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / F.count("*")).alias("dup_span_frac"),
+        )
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    d AS (SELECT DISTINCT term, doc_id FROM occ),
+    p AS (
+        SELECT term, COUNT(*) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM d GROUP BY term
+    ),
+    tf AS (SELECT term, COUNT(*) AS n_occurrences FROM occ GROUP BY term)
+    SELECT p.term, p.df, tf.n_occurrences, p.postings
+    FROM p JOIN tf ON p.term = tf.term
+    ORDER BY p.df DESC, p.term
+    LIMIT 40
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-side twin of bm25_retrieval_topk,
+    which consumes these statistics): per term, document frequency, total
+    occurrences, and the sorted posting list of containing doc_ids —
+    emitted here for the 40 highest-df terms (unique term tiebreaker).
+
+    Scale shape: one explode + two term-keyed aggregations — posting lists
+    build with a single shuffle keyed on the term.  At 100 TB a stop-word's
+    posting row is unbounded, so the production layout shards postings into
+    fixed-size blocks per term ((term, block_no) keys, the Lucene skip-list
+    layout) and keeps df/tf stats exact as here; the capped top-40 emission
+    keeps the registry row's output stable while exercising the same
+    plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    d = occ.select("term", "doc_id").distinct()
+    p = d.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+    tf = occ.groupBy("term").agg(F.count("*").alias("n_occurrences"))
+    return (
+        p.join(tf, "term")
+        .select("term", "df", "n_occurrences", "postings")
+        .orderBy(F.desc("df"), "term")
+        .limit(40)
+    )
+
+
+@register(
+    "word_vote_lang_classifier",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    clw AS (SELECT lang, term, COUNT(*) AS n_lw FROM occ GROUP BY lang, term),
+    cl AS (SELECT lang, COUNT(*) AS n_l FROM occ GROUP BY lang),
+    vocab AS (SELECT COUNT(DISTINCT term) AS v FROM occ),
+    terms AS (SELECT DISTINCT term FROM occ),
+    rates AS (
+        SELECT t.term, cl.lang,
+               CAST(COALESCE(clw.n_lw, 0) + 1 AS DOUBLE) / (cl.n_l + vocab.v)
+                   AS rate
+        FROM terms t CROSS JOIN cl CROSS JOIN vocab
+        LEFT JOIN clw ON clw.term = t.term AND clw.lang = cl.lang
+    ),
+    votes AS (
+        SELECT term, lang AS vote_lang FROM (
+            SELECT term, lang,
+                   row_number() OVER (
+                       PARTITION BY term ORDER BY rate DESC, lang
+                   ) AS rn
+            FROM rates
+        ) WHERE rn = 1
+    ),
+    doc_votes AS (
+        SELECT o.doc_id, v.vote_lang, COUNT(*) AS w
+        FROM occ o JOIN votes v ON o.term = v.term
+        GROUP BY o.doc_id, v.vote_lang
+    ),
+    pred AS (
+        SELECT doc_id, vote_lang AS pred_lang FROM (
+            SELECT doc_id, vote_lang,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY w DESC, vote_lang
+                   ) AS rn
+            FROM doc_votes
+        ) WHERE rn = 1
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE p.pred_lang = d.lang) AS n_correct,
+           CAST(COUNT(*) FILTER (WHERE p.pred_lang = d.lang) AS DOUBLE)
+               / COUNT(*) AS accuracy
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang
+    """,
+)
+def word_vote_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A learned-from-data language classifier trained DISTRIBUTED and
+    log-free: Laplace-smoothed per-class word rates ((n_lw+1)/(n_l+V) —
+    a single IEEE division of integer counts, bit-identical across
+    engines, where summed log-probabilities would drift by libm ulps),
+    each word votes for its maximum-rate class, and a document is
+    classified by tf-weighted majority vote (exact integer weights).
+    Output: per-language document counts and self-classification accuracy.
+
+    Training is two count aggregations over one explode; the model (vote
+    table) is vocabulary-bounded metadata, broadcast for the scoring join —
+    the corpus shuffles once (doc-keyed vote aggregation) and never holds
+    floats in accumulation, so the plan and the answer both survive 100 TB
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    occ = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    clw = occ.groupBy("lang", "term").agg(F.count("*").alias("n_lw"))
+    cl = occ.groupBy("lang").agg(F.count("*").alias("n_l"))
+    vocab = occ.agg(F.countDistinct("term").alias("v"))
+    terms = occ.select("term").distinct()
+    rates = (
+        terms.crossJoin(F.broadcast(cl))
+        .crossJoin(F.broadcast(vocab))
+        .join(clw, ["term", "lang"], "left")
+        .select(
+            "term",
+            "lang",
+            (
+                (F.coalesce(F.col("n_lw"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_l") + F.col("v"))
+            ).alias("rate"),
+        )
+    )
+    win_t = W.partitionBy("term").orderBy(F.desc("rate"), F.asc("lang"))
+    votes = (
+        rates.withColumn("rn", F.row_number().over(win_t))
+        .filter(F.col("rn") == 1)
+        .select("term", F.col("lang").alias("vote_lang"))
+    )
+    doc_votes = (
+        occ.join(F.broadcast(votes), "term")
+        .groupBy("doc_id", "vote_lang")
+        .agg(F.count("*").alias("w"))
+    )
+    win_d = W.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("vote_lang"))
+    pred = (
+        doc_votes.withColumn("rn", F.row_number().over(win_d))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("vote_lang").alias("pred_lang"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            correct.alias("n_correct"),
+            (correct.cast("double") / F.count("*")).alias("accuracy"),
+        )
+    )
