@@ -13,6 +13,9 @@ show a ~100× step from K=1 to K=10.
 
 Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --vectors [K ...]  (embedding kit)
+       python tools/scaling_probe.py --pipeline [K ...] (composed curation
+           pipeline, LSH candidate setting — the production configuration
+           of the engine's flagship use case, not just its kit pieces)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -127,10 +130,83 @@ def vector_probe(ks: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def replicated_documents_full(spark, k: int):
+    """Like :func:`replicated_corpus` but keeps lang/source (the composed
+    pipeline's split/mixture stages consume them) and tags by SUFFIXING
+    every word with the replica id instead of interleaving filler tokens.
+    A per-word suffix is a bijection on the vocabulary, so word counts,
+    distinct-trigram counts, and hence the pipeline's quality-gate
+    decisions (10..1000 words, repetition <= 0.2) are IDENTICAL to the
+    base corpus in every replica — kept-doc counts must scale exactly K×.
+    The interleaved-tag construction used by the kit probe doubles token
+    counts, which pushes every sf0.1 doc over the gate's 1000-word cap and
+    would leave stages 4-5 probing empty frames (kept=0 observed)."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    ws = F.split(F.lower("text"), " ")
+    parts = []
+    for r in range(k):
+        tagged = F.concat_ws(
+            " ", F.transform(ws, lambda w: F.concat(w, F.lit(f"_r{r}")))
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+                tagged.alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+        eager=True
+    )
+
+
+def pipeline_probe(ks: list[int]) -> None:
+    """Scaling slope of the COMPOSED curation pipeline (quality gate →
+    exact dedup → LSH near-dup canonicalization → decontam → split/mix)
+    in its production candidate setting.  The kit probes above cover the
+    stages in isolation; the pipeline is the engine's stated core use
+    case, so its composition gets its own measured row.  Replica tagging
+    suffixes every word with the replica id (word counts and repetition
+    ratios preserved — see replicated_documents_full), so the quality gate
+    keeps identical docs per replica and kept counts scale ~K× (not
+    exactly: the split/mixture stage keys md5 decisions on doc_id, which
+    differs per replica — observed 1484 vs 1498–1505/replica at K=1/5/10);
+    a kept count far below K× would itself flag a scale bug."""
+    from etl_cloud_logistics_spark.queries.curation_ops import curation_pipeline
+
+    spark = get_spark("scaling-probe-pipe")
+    warm = replicated_documents_full(spark, 1)
+    curation_pipeline(spark, warm, candidates="lsh", max_shingle_freq=100).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    spark.catalog.clearCache()
+    print(f"composed-pipeline probe over {SF_DIR} (LSH candidates, freq cap 100)")
+    print(f"{'K':>3} {'docs':>7} {'wall_sec':>9} {'kept':>7}")
+    for k in ks:
+        corpus = replicated_documents_full(spark, k)
+        n_docs = corpus.count()
+        t0 = time.perf_counter()
+        kept = curation_pipeline(
+            spark, corpus, candidates="lsh", max_shingle_freq=100
+        ).count()
+        wall = time.perf_counter() - t0
+        print(f"{k:>3} {n_docs:>7} {wall:>9.2f} {kept:>7}")
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
         vector_probe([int(a) for a in args[1:]] or [1, 5, 10])
+        return
+    if args and args[0] == "--pipeline":
+        pipeline_probe([int(a) for a in args[1:]] or [1, 5, 10])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
