@@ -700,3 +700,183 @@ def test_latest_status_ttl_validates_against_watermark(spark, tmp_path_factory):
     stream = read_event_stream(spark, base)
     with _pytest.raises(ValueError, match="watermark"):
         latest_status_stream_ttl(stream, watermark="3 hours", ttl="2 hours")
+
+
+def test_streaming_soak_all_stateful_jobs_through_restart(
+    spark, tmp_path_factory
+):
+    """Soak: ALL four stateful jobs (watermark-bounded dedup, TTL
+    latest-status, strict-order funnel, windowed counts) run concurrently
+    over one at-least-once source, are stopped MID-INPUT, and restart from
+    their checkpoints to consume redeliveries plus fresh data.  Per-job
+    recovery is pinned elsewhere; this pins the composition:
+
+    - dedup state survives the restart (redeliveries delivered AFTER the
+      restart are dropped by state recovered from the checkpoint) and the
+      durable audit sink holds every event exactly once;
+    - TTL state plateaus at the active-cohort size across the restart
+      (numRowsTotal never near the lifetime-user total);
+    - funnel and windowed-count emissions aggregate to the batch answers
+      over the full input despite duplicates and the stop/start;
+    - no query dies (q.exception() is None for all four)."""
+    import datetime
+
+    from etl_cloud_logistics_spark.catalog import SCHEMAS
+    from etl_cloud_logistics_spark.operators.eventflow import funnel_user_steps
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        FUNNEL_STEPS,
+        dedup_stream,
+        funnel_stream,
+        latest_status_stream_ttl,
+        read_event_stream,
+        windowed_counts,
+    )
+
+    base = str(tmp_path_factory.mktemp("soak_src"))
+    sink_base = str(tmp_path_factory.mktemp("soak_sinks"))
+    ckpt_base = str(tmp_path_factory.mktemp("soak_ckpts"))
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def cohort(b):
+        rows = []
+        for i in range(10):
+            u = b * 100 + i
+            start = t0 + datetime.timedelta(hours=4 * b, seconds=i)
+            for s, step in enumerate(FUNNEL_STEPS):
+                rows.append(
+                    (
+                        b * 1000 + i * 10 + s,
+                        start + datetime.timedelta(seconds=60 * s),
+                        u,
+                        step,
+                        float(10 * s),
+                        "{}",
+                    )
+                )
+        return rows
+
+    def write_chunk(idx, rows):
+        df = spark.createDataFrame(rows, SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{idx}")
+        src = [f for f in os.listdir(f"{base}/_tmp_{idx}") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp_{idx}/{src}", f"{base}/chunk_{idx}.parquet")
+
+    c0, c1, c2 = cohort(0), cohort(1), cohort(2)
+    delivered = []  # the as-delivered multiset (windowed counts see dups)
+
+    JOBS = {
+        "dedup": lambda s: dedup_stream(s),
+        "ttl": lambda s: latest_status_stream_ttl(s),
+        "funnel": lambda s: funnel_stream(s),
+        "wins": lambda s: windowed_counts(s),
+    }
+
+    def start_all():
+        qs = {}
+        for name, job in JOBS.items():
+            out = f"{sink_base}/{name}"
+
+            def sink(batch_df, batch_id, _out=out):
+                batch_df.write.mode("append").parquet(_out)
+
+            qs[name] = (
+                job(read_event_stream(spark, base))
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", f"{ckpt_base}/{name}")
+                .start()
+            )
+        return qs
+
+    # run 1: cohort 0, then cohort 1 with five in-batch duplicates
+    write_chunk(0, c0)
+    write_chunk(1, c1 + c1[:5])
+    delivered += c0 + c1 + c1[:5]
+    qs = start_all()
+    for q in qs.values():
+        q.processAllAvailable()
+    for q in qs.values():
+        assert q.exception() is None
+        q.stop()
+
+    # mid-input restart: the source then redelivers ten cohort-1 events
+    # (within every job's watermark horizon) and ships a fresh cohort
+    write_chunk(2, c1[:10])
+    write_chunk(3, c2)
+    delivered += c1[:10] + c2
+    qs = start_all()
+    for q in qs.values():
+        q.processAllAvailable()
+    ttl_totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (json.loads(pj.json) for pj in qs["ttl"].recentProgress)
+        if p.get("stateOperators")
+    ]
+    for q in qs.values():
+        assert q.exception() is None
+        q.stop()
+
+    all_events = spark.createDataFrame(c0 + c1 + c2, SCHEMAS["events"])
+    delivered_df = spark.createDataFrame(delivered, SCHEMAS["events"])
+
+    # dedup: every event exactly once across both runs — in-batch dups,
+    # post-restart redeliveries, and checkpoint replay all collapse
+    audit = spark.read.parquet(f"{sink_base}/dedup")
+    assert audit.count() == 90
+    assert audit.select("event_id").distinct().count() == 90
+
+    # TTL latest-status: final emission per user equals the batch answer
+    ttl_rows = spark.read.parquet(f"{sink_base}/ttl")
+    got_latest = {
+        r.user_id: r.m
+        for r in ttl_rows.groupBy("user_id")
+        .agg(F.max("last_event_id").alias("m"))
+        .collect()
+    }
+    want_latest = {
+        r.user_id: r.m
+        for r in all_events.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    assert got_latest == want_latest
+    # ...and state plateaus at the active-cohort scale, not lifetime users
+    assert ttl_totals and ttl_totals[-1] <= 20, ttl_totals
+    assert max(ttl_totals) < 30, ttl_totals
+
+    # funnel: monotone emissions aggregate to the batch funnel
+    fun = spark.read.parquet(f"{sink_base}/funnel")
+    got_funnel = {
+        r.user_id: (r.step, r.t1, r.t2, r.t3)
+        for r in fun.groupBy("user_id")
+        .agg(
+            F.max("step_reached").alias("step"),
+            F.min("step_ts_1").alias("t1"),
+            F.min("step_ts_2").alias("t2"),
+            F.min("step_ts_3").alias("t3"),
+        )
+        .collect()
+    }
+    want_funnel = {}
+    for r in funnel_user_steps(all_events, FUNNEL_STEPS).collect():
+        ts = [r.step_ts_1, r.step_ts_2, r.step_ts_3]
+        want_funnel[r.user_id] = (sum(t is not None for t in ts), *ts)
+    assert got_funnel == want_funnel
+    assert all(v[0] == len(FUNNEL_STEPS) for v in want_funnel.values())
+
+    # windowed counts: running updates max out at the batch counts over the
+    # AS-DELIVERED multiset (duplicates included — dedup is a separate job)
+    wins = spark.read.parquet(f"{sink_base}/wins")
+    got_wins = {
+        (r.window_start, r.event_type): r.m
+        for r in wins.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("m"))
+        .collect()
+    }
+    want_wins = {
+        ((r["w"]["start"]), r.event_type): r.n
+        for r in delivered_df.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got_wins == want_wins
