@@ -1,0 +1,136 @@
+"""Bloom-filter membership prefilters: the broadcast-bounded form of a
+"does this key appear on the other side?" check.
+
+Why this exists (100 TB design note): the engine's small-side joins
+broadcast raw key SETS (decontam grams, dimension keys).  That breaks down
+when the build side is merely *smaller*, not *small* — 10⁸ keys of raw
+strings is tens of GB to broadcast, but the same membership signal at
+``bits_per_key=10`` is n/10⁸ × 125 MB of bits at ~1% false positives, and
+Bloom has NO false negatives, so an exact verify (join or downstream
+predicate) restores bit-identical results.  This is the classic semi-join
+reduction from distributed query processing (a.k.a. bloom-join): probe
+before the shuffle so only plausible rows pay exchange cost.
+
+Determinism: k hash values are computed JVM-side with ``xxhash64(key, i)``
+(whole-stage codegen; Python never hashes), so the filter contents are a
+pure function of the key set.  The Python stage only does vectorized numpy
+bit tests over Arrow batches (§2.10 UDF policy: no row-at-a-time Python).
+
+Provenance: the reference has no Bloom layer — its extracts are single-node
+psycopg2/Snowflake pulls (/root/reference/scripts/05_etl_pipeline/
+etl_pipeline.py:230-277) where membership checks are SQL ``IN`` lists; the
+operator exists for the scale regime the reference never reaches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class BloomModel:
+    """A built filter: packed bit array + the hashing geometry that built
+    it.  Model metadata in the IVF-centroid legitimacy class — O(bits),
+    independent of the probe side's size."""
+
+    bits: np.ndarray  # uint64-packed, length ceil(m_bits / 64)
+    m_bits: int
+    n_hashes: int
+
+    def fp_rate_estimate(self, n_keys: int) -> float:
+        """Classic (1 - e^{-kn/m})^k estimate for documentation/tuning."""
+        k, m = self.n_hashes, self.m_bits
+        return float((1.0 - np.exp(-k * n_keys / m)) ** k)
+
+
+def _hash_cols(key_col: str, m_bits: int, n_hashes: int):
+    return [
+        F.pmod(F.xxhash64(key_col, F.lit(i)), F.lit(m_bits)).alias(f"_bh{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def build_bloom(
+    keys_df: DataFrame,
+    key_col: str,
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+) -> BloomModel:
+    """Build a Bloom filter over the DISTINCT values of ``key_col``.
+
+    The build side is the small(er) side by contract; only its k hash
+    values per distinct key reach the driver (never the key payloads),
+    and the returned bit array is what gets broadcast.  At 10 bits/key,
+    k=7 is the optimal hash count (~0.9% FP)."""
+    distinct = keys_df.select(F.col(key_col).cast("string").alias("k")).distinct()
+    n_keys = max(distinct.count(), 1)
+    m_bits = max(n_keys * bits_per_key, 64)
+    bits = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for row in distinct.select(*_hash_cols("k", m_bits, n_hashes)).collect():
+        for i in range(n_hashes):
+            h = row[f"_bh{i}"]
+            bits[h >> 6] |= np.uint64(1) << np.uint64(h & 63)
+    return BloomModel(bits=bits, m_bits=m_bits, n_hashes=n_hashes)
+
+
+def bloom_filter_rows(
+    df: DataFrame, key_col: str, model: BloomModel
+) -> DataFrame:
+    """Keep rows whose ``key_col`` *may* be in the filter (superset of the
+    true matches — no false negatives).  Hashing stays JVM-side; the Arrow
+    stage does k vectorized bit lookups per batch and projects the
+    original columns back out unchanged."""
+    cols = df.columns
+    if key_col not in cols:
+        raise ValueError(f"{key_col!r} not in {cols}")
+    with_hashes = df.withColumn("_bk", F.col(key_col).cast("string")).select(
+        *cols, *_hash_cols("_bk", model.m_bits, model.n_hashes)
+    )
+    bc = df.sparkSession.sparkContext.broadcast(model.bits)
+    n_hashes = model.n_hashes
+    schema = df.schema
+
+    def probe(batches):
+        arr = bc.value
+        for pdf in batches:
+            mask = np.ones(len(pdf), dtype=bool)
+            for i in range(n_hashes):
+                h = pdf[f"_bh{i}"].to_numpy(dtype=np.int64).astype(np.uint64)
+                mask &= (
+                    (arr[h >> np.uint64(6)] >> (h & np.uint64(63)))
+                    & np.uint64(1)
+                ) == 1
+            yield pdf.loc[mask, cols]
+
+    return with_hashes.mapInPandas(probe, schema=schema)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str | None = None,
+    how: str = "inner",
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """Semi-join-reduced equi-join: build a Bloom over the small side's
+    keys, prefilter the big side BEFORE its shuffle, then run the exact
+    join on survivors — same rows as ``big.join(small, ...)`` (false
+    positives die in the exact join; no false negatives exist).
+
+    When the join is selective (most big-side rows match nothing), the
+    exchange moves only ~selectivity + ~1% of the big side instead of all
+    of it — the dominant cost at 100 TB.  When the small side fits a plain
+    broadcast join, use that instead; this operator is for the in-between
+    regime where keys fit a filter but rows/payloads don't."""
+    small_key = small_key or big_key
+    model = build_bloom(small, small_key)
+    reduced = bloom_filter_rows(big, big_key, model)
+    if small_key == big_key:
+        return reduced.join(small, big_key, how)
+    return reduced.join(small, reduced[big_key] == small[small_key], how)

@@ -358,60 +358,61 @@ def budget_select(
     ``QUALIFY cum <= budget``)."""
     ordn = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     n_parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint (eager), NOT persist: the offsets collected below are
+    # only valid for the exact partition assignment they were computed from,
+    # and repartitionByRange re-SAMPLES its range boundaries whenever the
+    # frame re-executes — a cache eviction (or the unpersist this function
+    # used to do) would silently shift rows between partitions and corrupt
+    # the prefix sums.  The checkpoint pins the materialized partitions for
+    # the returned frame's lifetime; blocks are freed by the ContextCleaner
+    # when the result goes out of scope.
     ranged = (
         df.repartitionByRange(n_parts, ordn, F.col(id_col).asc())
         .sortWithinPartitions(ordn, F.col(id_col).asc())
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    try:
-        part_sums = {
-            r["_pid"]: r["w"]
-            for r in ranged.groupBy("_pid")
-            .agg(F.sum(weight_col).alias("w"))
-            .collect()
-        }
-        offsets, acc = {}, 0
-        for pid in sorted(part_sums):
-            offsets[pid] = acc
-            acc += part_sums[pid]
-        off_expr = F.coalesce(
-            F.element_at(
-                F.create_map(
-                    *[
-                        x
-                        for pid, off in offsets.items()
-                        for x in (F.lit(pid), F.lit(off))
-                    ]
-                ),
-                F.col("_pid"),
-            )
-            if offsets
-            else F.lit(0),
-            F.lit(0),
+    part_sums = {
+        r["_pid"]: r["w"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(part_sums):
+        offsets[pid] = acc
+        acc += part_sums[pid]
+    off_expr = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for pid, off in offsets.items()
+                    for x in (F.lit(pid), F.lit(off))
+                ]
+            ),
+            F.col("_pid"),
         )
-        from pyspark.sql import Window as W
+        if offsets
+        else F.lit(0),
+        F.lit(0),
+    )
+    from pyspark.sql import Window as W
 
-        win = (
-            W.partitionBy("_pid")
-            .orderBy(ordn, F.col(id_col).asc())
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
+    win = (
+        W.partitionBy("_pid")
+        .orderBy(ordn, F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        ranged.withColumn(
+            "cum_weight",
+            (F.sum(weight_col).over(win) + off_expr).cast("long"),
         )
-        out = (
-            ranged.withColumn(
-                "cum_weight",
-                (F.sum(weight_col).over(win) + off_expr).cast("long"),
-            )
-            .filter(F.col("cum_weight") <= budget)
-            .drop("_pid")
-        )
-        # materialization note: callers that need `ranged` gone immediately
-        # should count/collect `out` before this unpersist; as a lazily
-        # returned frame the cached blocks are dropped by the ContextCleaner
-        # once nothing references them
-        return out
-    finally:
-        ranged.unpersist(blocking=False)
+        .filter(F.col("cum_weight") <= budget)
+        .drop("_pid")
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -449,56 +450,21 @@ def contaminated_docs_bloom(
        operator — same oracle SQL, stronger scale story.
 
     The filter is built once from the bench grams (driver-side numpy over
-    the collected hash columns — bench is the small side by definition)."""
-    import numpy as np
-    import pandas as pd
-
+    the collected hash columns — bench is the small side by definition);
+    the generic machinery lives in :mod:`operators.bloom` and is shared
+    with :func:`operators.bloom.bloom_semi_join`."""
+    from .bloom import bloom_filter_rows, build_bloom
     from .dedup import shingles as _sh
 
     bench_grams = (
         _sh(bench, id_col, text_col, n).withColumnRenamed(id_col, "bench_id")
     )
-    distinct_grams = bench_grams.select("s").distinct()
-    # the modulus depends on the gram count — counted from the same small
-    # frame we collect anyway
-    n_keys = max(distinct_grams.count(), 1)
-    m_bits = max(n_keys * bits_per_key, 64)
-    hash_cols = [
-        F.pmod(F.xxhash64("s", F.lit(i)), F.lit(m_bits)).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    bits = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
-    for row in distinct_grams.select(*hash_cols).collect():
-        for i in range(n_hashes):
-            h = row[f"h{i}"]
-            bits[h >> 6] |= np.uint64(1) << np.uint64(h & 63)
-    sc = train.sparkSession.sparkContext
-    bc = sc.broadcast(bits)
-
-    train_grams = shingles(train, id_col, text_col, n)
-    with_hashes = train_grams.select(
-        id_col,
-        "s",
-        *[
-            F.pmod(F.xxhash64("s", F.lit(i)), F.lit(m_bits)).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
+    model = build_bloom(
+        bench_grams, "s", bits_per_key=bits_per_key, n_hashes=n_hashes
     )
-
-    schema = f"`{id_col}` long, s string"
-
-    def probe(batches):
-        arr = bc.value
-        for pdf in batches:
-            mask = np.ones(len(pdf), dtype=bool)
-            for i in range(n_hashes):
-                h = pdf[f"h{i}"].to_numpy(dtype=np.int64).astype(np.uint64)
-                mask &= (arr[h >> np.uint64(6)] >> (h & np.uint64(63))) & np.uint64(
-                    1
-                ) == 1
-            yield pdf.loc[mask, [id_col, "s"]]
-
-    candidates = with_hashes.mapInPandas(probe, schema=schema)
+    candidates = bloom_filter_rows(
+        shingles(train, id_col, text_col, n), "s", model
+    )
     hits = candidates.join(F.broadcast(bench_grams), "s")
     return hits.groupBy(id_col).agg(
         F.countDistinct("s").alias("n_hit_grams"),

@@ -631,6 +631,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'o_orderkey_unique', n, CAST(n - d_key AS BIGINT), n = d_key FROM s
     ) ORDER BY expectation
     """,
+    extra=True,  # r5: rotated OUT after three green rounds; the DQ family
+    # keeps driver rows zscore_outlier_gate + ks_drift_order_prices
 )
 def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite over orders (operators.expectations):
@@ -716,3 +718,120 @@ def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return mad_outlier_stats(orders, "o_totalprice", "o_orderpriority")
+
+
+# drift-detection split: the lake's "old" vs "new" populations
+_DRIFT_CUT = "1998-01-01"
+
+
+@register(
+    "ks_drift_order_prices",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUT} 00:00:00'
+                    THEN 'a' ELSE 'b' END AS side
+        FROM orders
+    ),
+    counts AS (
+        SELECT v,
+               SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS c_a,
+               SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS c_b
+        FROM t GROUP BY v
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b
+        FROM counts
+    ),
+    cum AS (
+        SELECT v, SUM(c_a) OVER (ORDER BY v) AS cum_a,
+                  SUM(c_b) OVER (ORDER BY v) AS cum_b
+        FROM counts
+    ),
+    gaps AS (
+        SELECT v,
+               ABS(CAST(cum_a AS DOUBLE) / (SELECT n_a FROM tot)
+                   - CAST(cum_b AS DOUBLE) / (SELECT n_b FROM tot)) AS gap
+        FROM cum
+    )
+    SELECT (SELECT MAX(gap) FROM gaps) AS ks_stat,
+           (SELECT MIN(v) FROM gaps
+            WHERE gap = (SELECT MAX(gap) FROM gaps)) AS at_value,
+           (SELECT n_a FROM tot) AS n_a,
+           (SELECT n_b FROM tot) AS n_b
+    """,
+)
+def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift check on the order-price
+    distribution, pre- vs post-1998 — the numeric-column gate a lake runs
+    before trusting a new ingest window.  KS is chosen over PSI/KL because
+    every CDF value is ONE integer/integer IEEE division (log-free →
+    bit-identical across engines; see operators/drift.py).  The oracle's
+    global ``SUM() OVER (ORDER BY v)`` is the one-task trap; the Spark
+    side runs the distributed two-phase prefix sum."""
+    from ..operators.drift import ks_statistic
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("side"),
+    )
+    return ks_statistic(orders, "o_totalprice", "side")
+
+
+@register(
+    "chi2_drift_priorities",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderpriority AS category,
+               CASE WHEN o_orderdate < TIMESTAMP '{_DRIFT_CUT} 00:00:00'
+                    THEN 'a' ELSE 'b' END AS side
+        FROM orders
+    ),
+    counts AS (
+        SELECT category,
+               CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS obs_a,
+               CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS obs_b
+        FROM t GROUP BY category
+    ),
+    tot AS (
+        SELECT CAST(SUM(obs_a) AS BIGINT) AS tot_a,
+               CAST(SUM(obs_b) AS BIGINT) AS tot_b
+        FROM counts
+    )
+    SELECT category, obs_a, obs_b,
+           CAST(obs_a AS DOUBLE) * tot_b / tot_a AS expected_b,
+           (obs_b - CAST(obs_a AS DOUBLE) * tot_b / tot_a)
+               * (obs_b - CAST(obs_a AS DOUBLE) * tot_b / tot_a)
+               / (CAST(obs_a AS DOUBLE) * tot_b / tot_a) AS contribution
+    FROM counts, tot
+    WHERE obs_a > 0
+    """,
+    extra=True,  # r5: same drift family as ks_drift_order_prices, which
+    # holds the driver row; this categorical sibling is CI-exact-gated
+)
+def chi2_drift_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift report for order priorities across the same
+    pre-/post-1998 split: per-category χ² contributions (observed-b vs
+    expected-under-a's-distribution).  Contributions are per-row fixed
+    expression trees over integer counts — deterministic on any engine —
+    and deliberately NOT summed (a cross-row float total would be
+    accumulation-order-dependent; the handful of category rows sum
+    driver-side when a scalar is wanted)."""
+    from ..operators.drift import chi2_drift_report
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("timestamp"), "a"
+        )
+        .otherwise("b")
+        .alias("side"),
+    )
+    return chi2_drift_report(orders, "category", "side")

@@ -561,6 +561,8 @@ def star_join_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total_spend DESC, c_custkey
     LIMIT 20
     """,
+    extra=True,  # r5: rotated OUT after three green rounds; X7 keeps the
+    # driver row incremental_refresh_retractions
 )
 def incremental_report_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance of the customer report: the order
@@ -905,3 +907,43 @@ def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_BFS)
+
+
+@register(
+    "bloom_semi_reduced_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_acctbal > 9000
+    ORDER BY o.o_orderkey
+    """,
+)
+def bloom_semi_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective big⋈medium equi-join through a Bloom semi-join reduction
+    (`operators.bloom.bloom_semi_join`): the high-balance customer subset's
+    keys build a 10-bits/key filter, the orders side is pruned BEFORE its
+    exchange (no false negatives, ~1% false positives that die in the
+    exact join), and the result is row-identical to the plain join — the
+    oracle IS the plain join.
+
+    This is the regime between broadcast-join (small side fits whole) and
+    full shuffle-join (nothing fits): at 100 TB a dimension subset whose
+    KEYS fit a 100 MB filter but whose rows don't fit a broadcast gets the
+    big side's shuffle cut to ~selectivity of its former volume — the
+    classic distributed semi-join reduction (Bernstein & Chiu 1981)."""
+    from ..operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rich = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    return (
+        bloom_semi_join(orders, rich, "o_custkey")
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

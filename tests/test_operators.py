@@ -655,3 +655,116 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = [r.rank for r in pagerank(df, max_iter=40, tol=1e-12).collect()]
     assert all(abs(x - 0.2) < 1e-9 for x in got)
+
+
+def test_ks_statistic_matches_direct_computation(spark):
+    """KS over a small two-sample set equals the direct all-values CDF-gap
+    computation (python), including duplicate values and unequal sizes;
+    the at_value tie-break is the smallest attaining value."""
+    from etl_cloud_logistics_spark.operators.drift import ks_statistic
+
+    a = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0]
+    b = [2.0, 3.0, 4.0, 4.0, 8.0]
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v double, side string")
+    got = ks_statistic(df, "v", "side", partitions=4).first()
+
+    support = sorted(set(a + b))
+    gaps = {
+        x: abs(
+            sum(1 for y in a if y <= x) / len(a)
+            - sum(1 for y in b if y <= x) / len(b)
+        )
+        for x in support
+    }
+    want = max(gaps.values())
+    assert got["ks_stat"] == want
+    assert got["at_value"] == min(x for x, g in gaps.items() if g == want)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+
+
+def test_ks_statistic_zero_on_identical_samples(spark):
+    from etl_cloud_logistics_spark.operators.drift import ks_statistic
+
+    rows = [(float(i % 7), s) for i in range(70) for s in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, side string")
+    assert ks_statistic(df, "v", "side").first()["ks_stat"] == 0.0
+
+
+def test_ks_statistic_no_global_window(spark):
+    """The distributed form never runs a non-partitioned window (the
+    one-task trap the oracle's SQL form embodies)."""
+    from etl_cloud_logistics_spark.operators.drift import ks_statistic
+
+    rows = [(float(i % 13), "a" if i % 2 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "v double, side string")
+    out = ks_statistic(df, "v", "side", partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line, line
+
+
+def test_chi2_drift_report_values(spark):
+    """Hand-checked contributions: a shifted categorical distribution."""
+    from etl_cloud_logistics_spark.operators.drift import chi2_drift_report
+
+    rows = (
+        [("x", "a")] * 30 + [("y", "a")] * 10
+        + [("x", "b")] * 10 + [("y", "b")] * 30
+    )
+    df = spark.createDataFrame(rows, "category string, side string")
+    got = {r["category"]: r for r in chi2_drift_report(df, "category", "side").collect()}
+    # expected_b for x: 30/40 * 40 = 30; contribution (10-30)^2/30
+    assert got["x"]["expected_b"] == 30.0
+    assert got["x"]["contribution"] == (10 - 30.0) ** 2 / 30.0
+    assert got["y"]["expected_b"] == 10.0
+    assert got["y"]["contribution"] == (30 - 10.0) ** 2 / 10.0
+
+
+def test_bloom_semi_join_equals_plain_join(spark):
+    """bloom_semi_join returns exactly the plain join's rows — false
+    positives die in the exact join, false negatives cannot exist — even
+    with a deliberately saturated (1-bit-per-key) filter."""
+    from etl_cloud_logistics_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 100) for i in range(2000)], "row_id long, k long"
+    )
+    small = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(0, 100, 7)], "k long, payload string"
+    )
+    want = sorted(
+        tuple(r) for r in big.join(small, "k").select("row_id", "k", "payload").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom_semi_join(big, small, "k")
+        .select("row_id", "k", "payload")
+        .collect()
+    )
+    assert got == want and want
+    saturated = sorted(
+        tuple(r)
+        for r in bloom_semi_join(big, small, "k", bits_per_key=1, n_hashes=1)
+        .select("row_id", "k", "payload")
+        .collect()
+    )
+    assert saturated == want
+
+
+def test_bloom_filter_rows_is_superset_prefilter(spark):
+    """The prefilter keeps every true member and prunes most non-members
+    at 10 bits/key."""
+    from etl_cloud_logistics_spark.operators.bloom import (
+        bloom_filter_rows,
+        build_bloom,
+    )
+
+    members = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    model = build_bloom(members, "k")
+    probe = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    kept = {r["k"] for r in bloom_filter_rows(probe, "k", model).collect()}
+    assert set(range(500)) <= kept  # no false negatives, ever
+    fp = len(kept) - 500
+    assert fp / 4500 < 0.05, fp  # ~1% expected at 10 bits/key
