@@ -520,3 +520,56 @@ def latest_status_stream_ttl(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor (operators.drift composed into ingestion)
+# ---------------------------------------------------------------------------
+
+
+def foreach_batch_drift_monitor(
+    reference: DataFrame,
+    value_col: str,
+    out_path: str,
+    min_rows: int = 1,
+):
+    """A ``foreachBatch`` sink that scores every arriving micro-batch's
+    ``value_col`` distribution against a static reference with the
+    two-sample KS statistic (``operators.drift.ks_statistic``) and appends
+    one ``(batch_id, ks_stat, at_value, n_ref, n_batch)`` row per batch to
+    ``out_path`` — the ingest-time version of the batch drift gate (alert
+    when ks_stat crosses the threshold your sample sizes justify).
+
+    The reference frame is typically small (a sampled baseline window) and
+    is re-used across batches; the KS computation itself is the
+    distributed two-phase form, so a huge micro-batch is fine.  Batches
+    with fewer than ``min_rows`` values are skipped (a KS against an empty
+    side is meaningless, and the empty-batch heartbeat would write junk
+    rows)."""
+    from ..operators.drift import ks_statistic
+
+    ref = reference.select(
+        F.col(value_col).alias("v"), F.lit("a").alias("side")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_vals = batch_df.select(
+            F.col(value_col).alias("v"), F.lit("b").alias("side")
+        )
+        if batch_vals.limit(min_rows).count() < min_rows:
+            return
+        row = ks_statistic(ref.unionByName(batch_vals), "v", "side").first()
+        batch_df.sparkSession.createDataFrame(
+            [
+                (
+                    batch_id,
+                    row["ks_stat"],
+                    row["at_value"],
+                    row["n_a"],
+                    row["n_b"],
+                )
+            ],
+            "batch_id long, ks_stat double, at_value double, n_ref long, n_batch long",
+        ).write.mode("append").parquet(out_path)
+
+    return sink

@@ -560,3 +560,34 @@ def test_read_jsonl_corpus_reads_gzip_shards(spark, tmp_path):
     q = quar.collect()
     assert len(q) == 1 and q[0].raw_line == "broken {" and q[0].reason == "malformed"
     assert q[0].src_file.endswith("part-0.jsonl.gz")
+
+
+def test_orc_roundtrip_and_predicate_pushdown(spark, sf_small, tmp_path):
+    """The lake surface is format-agnostic where Spark is: ORC round-trips
+    the orders table bit-for-bit (values AND schema), partition pruning
+    works on a partitioned ORC layout, and a filter reaches the ORC scan
+    as a pushed-down predicate (the same scan contract the parquet tests
+    pin — searchArgument/pushed-filters in the scan node)."""
+    from etl_cloud_logistics_spark.catalog import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").orc(path)
+
+    back = spark.read.orc(path)
+    assert sorted(back.columns) == sorted(orders.columns)
+    want = sorted(tuple(r) for r in orders.select(*sorted(orders.columns)).collect())
+    got = sorted(tuple(r) for r in back.select(*sorted(orders.columns)).collect())
+    assert got == want
+
+    # partition pruning: only the 'O' directory is read
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" not in plan or "PartitionFilters" in plan or "o_orderstatus=O" in plan
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+    # predicate pushdown on a data column reaches the ORC scan
+    filtered = back.filter(F.col("o_totalprice") > 100000.0)
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in fplan and "o_totalprice" in fplan.split("PushedFilters: [", 1)[1][:200], fplan[:800]
+    assert filtered.count() == orders.filter(F.col("o_totalprice") > 100000.0).count()

@@ -880,3 +880,63 @@ def test_streaming_soak_all_stateful_jobs_through_restart(
         .collect()
     }
     assert got_wins == want_wins
+
+
+def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path_factory):
+    """Per-micro-batch KS monitoring against a static reference: batches
+    drawn from the reference's distribution score near zero, the shifted
+    batch scores high — and the monitor row count matches the non-empty
+    batch count (exactly one score per batch)."""
+    import datetime
+
+    from etl_cloud_logistics_spark.catalog import SCHEMAS
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        foreach_batch_drift_monitor,
+        read_event_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("drift_src"))
+    out = str(tmp_path_factory.mktemp("drift_out")) + "/scores"
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(batch, shift):
+        return [
+            (
+                batch * 1000 + i,
+                t0 + datetime.timedelta(hours=batch, seconds=i),
+                i,
+                "ping",
+                float((i * 37) % 100) + shift,  # deterministic uniform-ish
+                "{}",
+            )
+            for i in range(200)
+        ]
+
+    def write_chunk(idx, chunk_rows):
+        df = spark.createDataFrame(chunk_rows, SCHEMAS["events"])
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{idx}")
+        src = [f for f in os.listdir(f"{base}/_tmp_{idx}") if f.endswith(".parquet")][0]
+        os.rename(f"{base}/_tmp_{idx}/{src}", f"{base}/chunk_{idx}.parquet")
+
+    reference = spark.createDataFrame(rows(9, 0.0), SCHEMAS["events"]).select("value")
+    write_chunk(0, rows(0, 0.0))   # same distribution
+    write_chunk(1, rows(1, 0.0))   # same distribution
+    write_chunk(2, rows(2, 60.0))  # shifted by 60
+
+    q = (
+        read_event_stream(spark, base)
+        .writeStream.foreachBatch(
+            foreach_batch_drift_monitor(reference, "value", out)
+        )
+        .option("checkpointLocation", _ckpt(tmp_path_factory))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    scores = {r.batch_id: r.ks_stat for r in spark.read.parquet(out).collect()}
+    assert len(scores) == 3
+    assert scores[0] == 0.0 and scores[1] == 0.0  # identical value multisets
+    assert scores[2] > 0.5  # 60-point shift on a 0..99 support
+    n = {r.batch_id: (r.n_ref, r.n_batch) for r in spark.read.parquet(out).collect()}
+    assert all(v == (200, 200) for v in n.values())
