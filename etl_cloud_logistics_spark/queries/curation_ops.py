@@ -22,6 +22,7 @@ from ..operators.curation import (
     split_assign,
 )
 from . import register
+from ._sqlutil import hex_prefix_bigint
 
 # DuckDB twin of operators.dedup.shingles with n=4 (word 4-grams, distinct)
 _GRAMS4_CTE = """
@@ -399,7 +400,7 @@ def curation_pipeline(
 
 # DuckDB twin of the DSIR hashed-ngram likelihood-ratio scoring, shared by
 # the weighting query and the Gumbel-top-k resampling step built on it
-_DSIR_CTES = """
+_DSIR_CTES = f"""
     tok AS (
         SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
     ),
@@ -415,10 +416,12 @@ _DSIR_CTES = """
             SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
         ) t
     ),
-    feats AS (
-        SELECT doc_id, source,
-               ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS b
+    fh AS (
+        SELECT doc_id, source, substr(md5(feat), 1, 8) AS h
         FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    feats AS (
+        SELECT doc_id, source, {hex_prefix_bigint('h', 8)} % 4096 AS b FROM fh
     ),
     raw AS (SELECT b, COUNT(*) AS c FROM feats GROUP BY b),
     tgt AS (
@@ -534,13 +537,18 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_gumbel_topk",
     oracle=f"""
     WITH {_DSIR_CTES},
+    gh AS (
+        SELECT doc_id, logweight,
+               substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+        FROM perdoc
+    ),
     g AS (
         SELECT doc_id, logweight,
                round(logweight
-                     - ln(-ln((('0x' || substr(md5('gumbel:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     - ln(-ln(({hex_prefix_bigint('h', 8)}
                                + 0.5) / 4294967296.0)),
                      4) AS gkey
-        FROM perdoc
+        FROM gh
     )
     SELECT doc_id, logweight, gkey, CAST(rnk AS INT) AS rnk
     FROM (
@@ -623,26 +631,36 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "temperature_mixture_sources",
-    oracle="""
+    oracle=f"""
     WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     mn AS (SELECT MIN(n) AS n_min FROM cnt),
     rates AS (
         SELECT source, n, sqrt(CAST(n_min AS DOUBLE) / n) AS rate FROM cnt, mn
     ),
-    dec AS (
-        SELECT d.source, r.rate, r.n,
-               CASE WHEN r.rate >= 1.0 THEN TRUE
-                    ELSE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-                         < CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT)
-               END AS keep
+    hx AS (
+        SELECT d.source, r.rate,
+               substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8) AS h
         FROM documents d JOIN rates r USING (source)
+    ),
+    dec AS (
+        SELECT source, rate,
+               CASE WHEN rate >= 1.0 THEN TRUE
+                    ELSE {hex_prefix_bigint('h', 8)}
+                         < CAST(FLOOR(rate * 4294967296.0) AS BIGINT)
+               END AS keep
+        FROM hx
     )
     SELECT source,
            COUNT(*) AS n_docs,
            SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-           MIN(rate) AS rate
+           ROUND(MIN(rate), 6) AS rate
     FROM dec GROUP BY source
     """,
+    # r5 driver flagged hash_match=false on this row while local comparison
+    # is tuple-for-tuple bit-exact — the only green candidate emitting a raw
+    # irrational double (rate = sqrt(n_min/n)) AND using DuckDB's
+    # nonstandard '0x' hex cast.  r6 hardening: rate rounds to 6 decimals on
+    # BOTH sides and the hex decode is ANSI arithmetic (hex_prefix_bigint).
 )
 def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixing across sources at α=0.5 (operators.curation.
@@ -669,7 +687,12 @@ def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep_mix"), 1).otherwise(0)).alias("n_kept"),
         )
         .select(
-            "source", "n_docs", "n_kept", rate_col[F.col("source")].alias("rate")
+            "source",
+            "n_docs",
+            "n_kept",
+            # 6-decimal round on both sides (oracle: ROUND(MIN(rate), 6)) —
+            # never emit a raw irrational double from a driver row
+            F.round(rate_col[F.col("source")], 6).alias("rate"),
         )
     )
 
@@ -686,9 +709,11 @@ def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tr JOIN be ON tr.s = be.s
     GROUP BY tr.doc_id
     """,
-    extra=True,  # r5: same answer as decontam_ngram_overlap by construction
-    # (Bloom has no false negatives; FPs die in the exact verify), so the
-    # driver row for the decontam family stays the exact form
+    # r6: promoted INTO the driver window (was extra since r5) — same
+    # answer as decontam_ngram_overlap by construction (Bloom has no false
+    # negatives; FPs die in the exact verify), and it now exercises the
+    # r6 DISTRIBUTED Bloom build (operators/bloom.py) under the external
+    # correctness gate
 )
 def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through a Bloom-filter prefilter — the consortium-

@@ -789,7 +789,13 @@ def order_window_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "copurchase_part_pairs",
-    extra=True,
+    # r6: promoted INTO the driver window (replacing the oracle-less
+    # knn_pq_rerank/bpe_token_stats slots, r5 verdict item 1c).  The ratio
+    # columns stay UNROUNDED on purpose: IEEE division of identical integer
+    # operands is engine-exact, while ROUND(double, k) of a terminating
+    # ratio (x/128, …) lands on the HALF_UP-vs-HALF_EVEN boundary — the
+    # no-raw-doubles rule applies to irrational outputs (sqrt/ln), not to
+    # exact dyadic ratios (verify skill gotcha list)
     oracle="""
     WITH li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
     ic AS (SELECT item, COUNT(*) AS orders_i FROM li GROUP BY item),
@@ -832,20 +838,90 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared co-purchase graph head: frequent part pairs (minsup=3) as a
+# both-directions edge list — the same derivation _SQL_BFS uses
+_COPURCHASE_EDGES_CTES = """li AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+ic AS (SELECT item, COUNT(*) AS c FROM li GROUP BY item),
+freq AS (SELECT item FROM ic WHERE c >= 3),
+lf AS (SELECT li.basket, li.item FROM li JOIN freq ON freq.item = li.item),
+pairs AS (
+    SELECT a.item AS pa, b.item AS pb
+    FROM lf a JOIN lf b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+),
+edges AS (
+    SELECT pa AS src, pb AS dst FROM pairs
+    UNION ALL
+    SELECT pb AS src, pa AS dst FROM pairs
+)"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 12, damping_pct: int = 85) -> str:
+    """Unroll ``pagerank_fixed``'s n_iter power iterations as chained CTEs.
+
+    Every step is BIGINT add/multiply/floor-div — DuckDB's ``//`` and
+    Spark's ``div`` truncate identically on the non-negative values here,
+    so the oracle reproduces the fixed-point ranks bit-for-bit (the same
+    decimal-exact-sum discipline the kit uses for float aggregates,
+    applied to an iterative algorithm)."""
+    from ..operators.graph import PR_SCALE
+
+    # every CTE is MATERIALIZED: each r{i} feeds two consumers (d/c of the
+    # next round) and edges/outd feed all twelve — plain CTEs would be
+    # INLINED per reference, re-deriving the whole upstream subtree 2^12
+    # times (first attempt died on file handles before it died on time)
+    parts = [
+        f"WITH {_COPURCHASE_EDGES_CTES.replace(' AS (', ' AS MATERIALIZED (')},",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges),",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),",
+        "outd AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),",
+        f"r0 AS MATERIALIZED (SELECT node, {PR_SCALE} // n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    base = f"(({100 - damping_pct} * {PR_SCALE}) // (100 * nn.n))"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (
+    SELECT COALESCE(SUM(p.r), 0) AS dm
+    FROM r{i - 1} p LEFT JOIN outd o ON p.node = o.src
+    WHERE o.src IS NULL
+),
+c{i} AS MATERIALIZED (
+    SELECT e.dst AS node, SUM(p.r // o.od) AS inflow
+    FROM r{i - 1} p JOIN outd o ON p.node = o.src
+    JOIN edges e ON e.src = p.node
+    GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+    SELECT nd.node,
+           {base} + ({damping_pct} * (COALESCE(c.inflow, 0) + d.dm // nn.n)) // 100 AS r
+    FROM nodes nd
+    LEFT JOIN c{i} c ON c.node = nd.node
+    CROSS JOIN d{i} d CROSS JOIN nn
+)"""
+        )
+    parts.append(f"\nSELECT node AS part, r AS rank_fp FROM r{n_iter}")
+    return "".join(parts)
+
+
 @register(
     "pagerank_copurchase",
-    oracle=None,  # iterative power iteration has no SQL twin; the operator
-    # is differential-tested against driver-side numpy power iteration at
-    # 1e-8 plus a rank-mass invariant (tests/test_operators.py)
+    oracle=_pagerank_oracle_sql(),
+    # r6: gained a REAL oracle — the fixed-point variant's 12 power
+    # iterations unrolled as chained BIGINT CTEs (r5 verdict item 1b); the
+    # float variant stays differential-tested against numpy in pytest
 )
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (parts as nodes, frequent pair
     edges both directions): which parts anchor the catalog.  Iterative like
     neardup_components — one shuffle join per round, lineage checkpoint-
-    truncated, convergence probed distributed; eager (runs when built).
-    Float ranks are order-dependent in the last bits, hence rows-only."""
+    truncated; eager (runs when built).  Uses the fixed-point
+    ``pagerank_fixed`` (scaled-BIGINT, engine-exact integer arithmetic) so
+    the 12 unrolled iterations in the DuckDB oracle reproduce every rank
+    bit-for-bit — the float twin (``operators.graph.pagerank``) keeps the
+    convergence-probed production form and its numpy differential test."""
     from ..operators.cooccurrence import frequent_item_pairs
-    from ..operators.graph import pagerank
+    from ..operators.graph import pagerank_fixed
 
     li = load_table(spark, sf_dir, "lineitem")
     # checkpoint the mined pairs BEFORE the two-direction union — otherwise
@@ -859,10 +935,8 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).union(pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst")))
-    pr = pagerank(edges, max_iter=12, tol=1e-6)
-    return pr.select(
-        F.col("node").alias("part"), F.round("rank", 6).alias("rank")
-    ).orderBy("part")
+    pr = pagerank_fixed(edges, n_iter=12)
+    return pr.select(F.col("node").alias("part"), "rank_fp").orderBy("part")
 
 
 _SQL_BFS = """
@@ -891,22 +965,45 @@ SELECT part, MIN(dist) AS hops FROM walk GROUP BY part
 """
 
 
-@register("reachable_parts_bfs", oracle=_SQL_BFS)  # r5: rotated INTO the driver window
+@register(
+    "reachable_parts_bfs",
+    oracle=_SQL_BFS,
+    # r6: the Spark side swapped from the recursive CTE to the frontier-
+    # dedup BFS operator — the CTE's UNION ALL step enumerates every WALK
+    # of length ≤4 (~avg_degree^4 rows; 628 MB shuffle / 14.9 s at sf0.1
+    # in SHUFFLE_AUDIT_r05) where BFS shuffles only frontier-sized sets.
+    # The recursive-CTE text STAYS as the DuckDB oracle (MIN(dist) over
+    # walks == first-visit level), so the row still differential-tests the
+    # iterate-until-fixpoint semantics.
+)
 def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive-CTE transitive closure (Spark 4's WITH RECURSIVE): minimum
-    hop count from the smallest co-purchased part to everything reachable
-    within 4 hops of the frequent-pair graph.  The SAME SQL text runs on
-    both engines — like sql_entrypoint_revenue, but exercising the
-    iterate-until-fixpoint surface a migrating workload's hierarchy/BOM
-    queries need; the DataFrame twin of this shape is operators.graph /
-    operators.dedup.neardup_components (checkpointed loops, the form that
-    controls lineage depth at 100 TB — a recursive CTE's depth is bounded
-    by spark.sql.cteRecursionLevelLimit, so unbounded-diameter graphs
-    still belong to the operator form)."""
-    from ..catalog import register_views
+    """Minimum hop count from the smallest co-purchased part to everything
+    reachable within 4 hops of the frequent-pair graph — transitive
+    closure in its scale-safe form: level-synchronous frontier-dedup BFS
+    (operators.graph.bfs_min_hops; checkpointed loop, one frontier-sized
+    equi-join per level).  The DuckDB oracle is the equivalent recursive
+    CTE (walk enumeration + MIN(dist)); Spark 4 can run that same text
+    (WITH RECURSIVE, bounded by spark.sql.cteRecursionLevelLimit), but at
+    100 TB walk enumeration is a combinatorial bomb, so the operator form
+    is what the registry serves."""
+    from ..operators.cooccurrence import frequent_item_pairs
+    from ..operators.graph import bfs_min_hops
 
-    register_views(spark, sf_dir)
-    return spark.sql(_SQL_BFS)
+    li = load_table(spark, sf_dir, "lineitem")
+    # checkpoint mined pairs before the two-direction union (same reason
+    # as pagerank_copurchase: the union would run the mining twice)
+    pairs = (
+        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        .select("item_a", "item_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst")))
+    seeds = edges.agg(F.min("src").alias("node"))
+    return bfs_min_hops(edges, seeds, max_hops=4).select(
+        F.col("node").alias("part"), "hops"
+    )
 
 
 @register(

@@ -550,6 +550,9 @@ def maxsim_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # PQ codebooks come from iterative k-means (not
     # SQL-derivable, same as the trained-IVF path); recall and invariants
     # are pytest-measured (test_pq_recall_and_compression_on_sf_corpus)
+    extra=True,  # r6: rotated back out of the driver window — the driver
+    # can only count oracle-less rows (r5 `err: no_oracle`), so the slot
+    # goes to an oracle-bearing extra; the pytest recall gates stay
 )
 def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized serving path (X3): per-subspace codebooks trained

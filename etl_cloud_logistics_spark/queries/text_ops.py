@@ -23,6 +23,7 @@ from ..operators.dedup import (
     tokens,
 )
 from . import register
+from ._sqlutil import hex_prefix_bigint
 
 # DuckDB twin of operators.dedup.shingles (3-gram word shingles, distinct)
 _SHINGLES_CTE = """
@@ -186,12 +187,14 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_near_pairs",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
         FROM documents
+    ), hs AS (
+        SELECT doc_id, substring(md5(w), 1, 15) AS hx FROM tok
     ), h AS (
-        SELECT doc_id, CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS hv FROM tok
+        SELECT doc_id, {hex_prefix_bigint('hx', 15)} AS hv FROM hs
     ), bits AS (
         SELECT doc_id, b.bit,
                SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -1025,6 +1028,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # the greedy BPE merge loop has no relational twin; the
     # merge sequence, round-trip reconstruction and determinism are
     # pytest-pinned on a hand-computed fixture (tests/test_tokenize.py)
+    extra=True,  # r6: rotated back out of the driver window — the driver
+    # can only count oracle-less rows (r5 `err: no_oracle`), so the slot
+    # goes to an oracle-bearing extra; the fixture pins stay
 )
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-dependent token counts (X4): train 64 BPE merges from the

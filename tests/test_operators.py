@@ -753,6 +753,23 @@ def test_bloom_semi_join_equals_plain_join(spark):
     assert saturated == want
 
 
+def test_bloom_semi_join_rejects_outer_joins(spark):
+    """The prefilter drops unmatched big-side rows BEFORE the join, so an
+    outer variant would silently lose the null-extended rows — the
+    operator must refuse rather than mis-answer (r5 advice)."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.operators.bloom import bloom_semi_join
+
+    big = spark.createDataFrame([(1, 1), (2, 2)], "row_id long, k long")
+    small = spark.createDataFrame([(1, "v")], "k long, payload string")
+    for how in ("left", "full", "right", "left_outer", "left_anti"):
+        with _pytest.raises(ValueError, match="bloom_semi_join supports"):
+            bloom_semi_join(big, small, "k", how=how)
+    # the match-only forms stay accepted
+    assert bloom_semi_join(big, small, "k", how="left_semi").count() == 1
+
+
 def test_bloom_filter_rows_is_superset_prefilter(spark):
     """The prefilter keeps every true member and prunes most non-members
     at 10 bits/key."""

@@ -16,6 +16,8 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --pipeline [K ...] (composed curation
            pipeline, LSH candidate setting — the production configuration
            of the engine's flagship use case, not just its kit pieces)
+       python tools/scaling_probe.py --bloom [N ...]    (distributed Bloom
+           build at N distinct keys; default 1e6 3e6 1e7)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -200,6 +202,31 @@ def pipeline_probe(ks: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def bloom_probe(n_keys_list: list[int]) -> None:
+    """Wall-time slope of the DISTRIBUTED Bloom build at ≥10⁶ distinct
+    keys (r5 verdict item 3: the old build collected one Row per key and
+    set bits in Python — this probe is the evidence the r6 build's driver
+    traffic is bounded by FILTER size, not key count).  Expect ~linear
+    build time in n_keys (one hash projection + word-grouped bit_or) and
+    a words/filter ratio near the dense-filter bound."""
+    from etl_cloud_logistics_spark.operators.bloom import build_bloom
+
+    spark = get_spark("scaling-probe-bloom")
+    # warm-up: compile the plan shape once
+    build_bloom(spark.range(10_000).toDF("k"), "k")
+    print("distributed Bloom build probe (synthetic distinct keys)")
+    print(f"{'n_keys':>10} {'wall_sec':>9} {'m_bits':>12} {'words_kb':>9}")
+    for n in n_keys_list:
+        keys = spark.range(n).toDF("k")
+        t0 = time.perf_counter()
+        model = build_bloom(keys, "k")
+        wall = time.perf_counter() - t0
+        print(
+            f"{n:>10} {wall:>9.2f} {model.m_bits:>12} "
+            f"{model.bits.nbytes / 1024:>9.1f}"
+        )
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -207,6 +234,9 @@ def main() -> None:
         return
     if args and args[0] == "--pipeline":
         pipeline_probe([int(a) for a in args[1:]] or [1, 5, 10])
+        return
+    if args and args[0] == "--bloom":
+        bloom_probe([int(a) for a in args[1:]] or [1_000_000, 3_000_000, 10_000_000])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
