@@ -158,6 +158,9 @@ def main() -> None:
         "maxsim_retrieval_topk",
         "srp_lsh_neardup_pairs",
         "pagerank_copurchase",
+        # r6: BFS swapped to the eager frontier loop — track its rebuild
+        # cost the same way as the other iterative rows
+        "reachable_parts_bfs",
     ]
     ext_heavy = [n for n in ext_heavy if n in suite]
     # queries whose DataFrame construction executes the operator (iterative
@@ -167,6 +170,7 @@ def main() -> None:
         "curation_pipeline_end2end",
         "pagerank_copurchase",
         "knn_pq_rerank",
+        "reachable_parts_bfs",
     }
     ext_warm: dict[str, float] = {}
     for name in ext_heavy:

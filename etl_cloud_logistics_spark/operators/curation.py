@@ -372,12 +372,22 @@ def budget_select(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    part_sums = {
-        r["_pid"]: r["w"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum(weight_col).alias("w"))
-        .collect()
-    }
+    # NULL weights are a data error, not a zero: SUM skips them, so the row
+    # would survive the <= budget cut without paying into cum_weight (and
+    # an all-NULL partition's NULL sum would TypeError the offset fold).
+    # The null probe rides the same one-row-per-partition aggregation.
+    part_stats = ranged.groupBy("_pid").agg(
+        F.sum(weight_col).alias("w"),
+        F.sum(F.when(F.col(weight_col).isNull(), 1).otherwise(0)).alias("n_null"),
+    ).collect()
+    n_null = sum(r["n_null"] for r in part_stats)
+    if n_null:
+        raise ValueError(
+            f"budget_select requires non-null {weight_col!r}: {n_null} null-"
+            f"weight rows would be selected without consuming budget — "
+            f"filter or impute them explicitly first"
+        )
+    part_sums = {r["_pid"]: r["w"] if r["w"] is not None else 0 for r in part_stats}
     offsets, acc = {}, 0
     for pid in sorted(part_sums):
         offsets[pid] = acc

@@ -747,6 +747,76 @@ def srp_signatures(
     )
 
 
+def srp_signatures_arrow(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    n_bits: int = 8,
+) -> DataFrame:
+    """The vectorized twin of :func:`srp_signatures`: ONE Arrow pass per
+    partition computing the same exact integer projections with an int64
+    matmul — bit-identical output (pytest-pinned), ~an order of magnitude
+    less work than the corpus×dim×(T·B) relational aggregation.
+
+    Exactness carries over unchanged: x·2⁴³ is an integer every float32
+    with \\|x\\| ≥ 2⁻²⁰ represents exactly in double (and 64-dim sums of
+    ±x·2⁴³ stay < 2⁵⁹ ≪ 2⁶³), so the int64 accumulation — in ANY order —
+    equals the relational form's DECIMAL(38,0) sums and the DuckDB
+    oracle's.  The ±1 plane matrix is the same md5-derived Rademacher grid
+    (srp_plane_rows), broadcast as (T·B)×dim int64 — a few KB.  No
+    shuffle at all until the caller's bucket join: signature generation is
+    embarrassingly parallel, which is exactly why the relational form's
+    two shuffles were pure overhead."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    planes = np.array(
+        [
+            [srp_sign(t, b, d) for d in range(dim)]
+            for t in range(n_tables)
+            for b in range(n_bits)
+        ],
+        dtype=np.int64,
+    )  # (T·B, dim)
+    p_bc = spark.sparkContext.broadcast(planes)
+    n_t, n_b = n_tables, n_bits
+    scale = float(2**43)
+
+    def gen(batches):
+        P = p_bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            # exact: float32 → double is lossless, ·2^43 shifts the
+            # exponent only, rint is a no-op on the guaranteed-integer
+            # range and matches the DECIMAL cast on anything below it
+            X = np.rint(V * scale).astype(np.int64)
+            proj = X @ P.T  # (n, T·B) exact int64
+            bits = (proj >= 0).reshape(len(pdf), n_t, n_b)
+            chars = np.where(bits, "1", "0")
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_t),
+                    "t": np.tile(np.arange(n_t, dtype=np.int32), len(pdf)),
+                    "sig": [
+                        "".join(row)
+                        for vec in chars
+                        for row in vec
+                    ],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} long, t int, sig string"
+    )
+
+
 def srp_lsh_neardup(
     emb: DataFrame,
     threshold: float,
@@ -756,10 +826,18 @@ def srp_lsh_neardup(
     dim: int = 64,
     n_tables: int = 8,
     n_bits: int = 8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Hyperplane-LSH near-duplicate pairs: candidates = unordered pairs
     sharing a full B-bit signature in ANY of the T tables (equi-join on
     (t, sig), distinct), verified by exact decimal cosine ≥ threshold.
+
+    ``impl`` selects signature generation: ``'arrow'`` (default — one
+    vectorized int64-matmul pass, srp_signatures_arrow) or
+    ``'relational'`` (the corpus×dim×(T·B) aggregation whose SQL twin is
+    the DuckDB oracle).  Both produce bit-identical signatures
+    (pytest-pinned equality on the sf corpus), so the choice is purely a
+    cost decision.
 
     The scale contract matches the MinHash/LSH text path: candidate
     generation is an equi-join on shared evidence — shuffle O(corpus · T),
@@ -770,7 +848,10 @@ def srp_lsh_neardup(
     the trained-IVF bucketing (knn_ivf_trained) whose probe count buys
     recall monotonically.  The measured figure on the planted fixture is
     pytest-pinned (test_extensions.py)."""
-    sigs = srp_signatures(
+    if impl not in ("arrow", "relational"):
+        raise ValueError(f"impl must be 'arrow' or 'relational': {impl!r}")
+    sig_fn = srp_signatures_arrow if impl == "arrow" else srp_signatures
+    sigs = sig_fn(
         emb, id_col=id_col, vec_col=vec_col, dim=dim, n_tables=n_tables, n_bits=n_bits
     )
     a = sigs.select(F.col(id_col).alias("vec_a"), "t", "sig")

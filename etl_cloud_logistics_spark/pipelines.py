@@ -520,6 +520,16 @@ def run_incremental_dedup(
     # all-null minima → sig='' and band_key='' → every distinct short doc
     # silently flagged a duplicate of the first one (est_jaccard compares
     # ''=='' at every offset).  The fallback hashes the full text instead.
+    #
+    # Signature-scheme versioning: signatures are only comparable when
+    # derived identically — a store written under a different shingle n,
+    # hash count, banding, or fallback rule would silently miss (or
+    # falsely merge) cross-era duplicates.  Every state row carries the
+    # scheme stamp; a mismatch on read refuses loudly rather than
+    # mis-deduplicating (backfill needs the original text, which the store
+    # deliberately never holds — so the remedies are re-ingest into a new
+    # store, or read history with the old parameters).
+    scheme = f"mh1:n{n}:h{n_hashes}:rpb{rows_per_band}:sdf1"
     sh = shingle_array(new_docs, n=n, short_doc_fallback=True)
     sig_long = minhash_signatures(sh, n_hashes=n_hashes).localCheckpoint(eager=True)
     bands_new = band_keys(sig_long, rows_per_band=rows_per_band)
@@ -531,14 +541,33 @@ def run_incremental_dedup(
             ),
         ).alias("sig")
     )
-    state_new = sig_new.join(bands_new, "doc_id").select("doc_id", "sig", "band", "band_key")
+    state_new = sig_new.join(bands_new, "doc_id").select(
+        "doc_id", "sig", "band", "band_key", F.lit(scheme).alias("scheme")
+    )
 
     table = SnapshotTable(store_path)
     try:
         stored = table.read(spark)
+        if "scheme" not in stored.columns:
+            raise ValueError(
+                f"signature store at {store_path} predates scheme stamping — "
+                f"its signatures are not comparable to {scheme!r} ones; "
+                f"re-ingest into a fresh store"
+            )
+        foreign = (
+            stored.select("scheme").filter(F.col("scheme") != scheme).limit(1).collect()
+        )
+        if foreign:
+            raise ValueError(
+                f"signature store at {store_path} holds scheme "
+                f"{foreign[0]['scheme']!r} but this run derives {scheme!r} — "
+                f"cross-era signatures would silently miss duplicates; "
+                f"re-ingest into a fresh store or run with the stored "
+                f"parameters"
+            )
     except FileNotFoundError:
         stored = spark.createDataFrame(
-            [], "doc_id long, sig string, band bigint, band_key string"
+            [], "doc_id long, sig string, band bigint, band_key string, scheme string"
         )
     # tag sides: against HISTORY any stored match blocks a new doc (ids are
     # independent spaces, no ordering assumption); within the BATCH the

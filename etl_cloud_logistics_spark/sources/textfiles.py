@@ -121,13 +121,26 @@ def read_csv_corpus(
     reading byte offset 0 of a file owns its first line (Hadoop line-reader
     contract — every later split skips its leading partial line), so
     ``min(monotonically_increasing_id)`` over that file's offset-0 rows
-    pins it; the drop is a broadcast anti-condition on (file, id) — one
-    tiny n_files-row agg, no extra full scan materialized."""
+    pins it; the drop is a broadcast anti-condition on (file, id) over ONE
+    checkpointed materialization of the tagged scan (the ids are
+    nondeterministic across re-executions, so both consumers must read the
+    same physical pass)."""
     parse_schema = _with_corrupt_sentinel(schema)
     lines = _read_lines(spark, path)
     if header:
-        tagged = lines.withColumn("_bs", F.input_file_block_start()).withColumn(
-            "_mid", F.monotonically_increasing_id()
+        # localCheckpoint (eager) BEFORE deriving first_per_file:
+        # monotonically_increasing_id is documented nondeterministic across
+        # re-executions, and the agg subtree and the probe subtree below
+        # would otherwise run the scan twice — any partition-layout
+        # divergence between the two runs (config change, listing order,
+        # AQE) silently re-admits the header or drops a real data row.
+        # Same recompute hazard the prefix-sum operators pin
+        # (operators/curation.budget_select); one materialized pass feeds
+        # both subtrees.
+        tagged = (
+            lines.withColumn("_bs", F.input_file_block_start())
+            .withColumn("_mid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
         )
         first_per_file = (
             tagged.filter(F.col("_bs") == 0)

@@ -270,6 +270,20 @@ def test_budget_select_matches_single_partition_window(spark):
     assert len(budget_select(df, "score", "w", total, partitions=8).collect()) == 200
 
 
+def test_budget_select_rejects_null_weights(spark):
+    """NULL weights would be selected without consuming budget (SUM skips
+    them) and an all-NULL partition's NULL sum TypeErrors the offset fold —
+    the operator must refuse loudly instead (r5 advice)."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.operators.curation import budget_select
+
+    rows = [(i, float(i), 2 if i % 3 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w long")
+    with _pytest.raises(ValueError, match="non-null 'w'"):
+        budget_select(df, "score", "w", 20, partitions=4).collect()
+
+
 def test_budget_select_no_single_task_stage(spark):
     """The selection plan never runs a global (non-partitioned) window —
     every Window node in the executed plan carries a partition spec."""

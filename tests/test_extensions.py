@@ -701,6 +701,29 @@ def test_srp_signatures_deterministic(spark):
     assert all(len(s) == 4 and set(s) <= {"0", "1"} for s in a.values())
 
 
+def test_srp_signatures_arrow_equals_relational(spark, sf_small):
+    """The vectorized Arrow signature pass is bit-identical to the
+    relational DECIMAL(38,0) aggregation on the real sf corpus — the
+    equality that lets the registry row serve the fast form while the
+    DuckDB oracle replays the relational one."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        srp_signatures,
+        srp_signatures_arrow,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    rel = {
+        (r.vec_id, r.t): r.sig
+        for r in srp_signatures(emb, n_tables=4, n_bits=8).collect()
+    }
+    arw = {
+        (r.vec_id, r.t): r.sig
+        for r in srp_signatures_arrow(emb, n_tables=4, n_bits=8).collect()
+    }
+    assert rel == arw and len(rel) > 0
+
+
 def test_sliding_chunks_cover_and_overlap(spark, sf_small):
     """Chunk geometry: strides cover every character, consecutive chunks
     share exactly the overlap, and concatenating the non-overlap prefixes

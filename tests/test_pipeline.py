@@ -301,6 +301,37 @@ def test_incremental_dedup_against_signature_store(spark, tmp_path):
     assert r3["n_duplicates"] == r3["n_docs"]
 
 
+def test_incremental_dedup_rejects_scheme_change(spark, tmp_path):
+    """Signatures are only comparable under identical derivation (shingle
+    n, hash count, banding, fallback): a store written under one scheme
+    must refuse a run under another instead of silently missing cross-era
+    duplicates (r5 advice).  The scheme stamp travels in the state rows."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.pipelines import run_incremental_dedup
+    from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
+
+    store = str(tmp_path / "sigstore_scheme")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        "doc_id long, text string",
+    )
+    run_incremental_dedup(spark, b1, store)
+    stored = SnapshotTable(store).read(spark)
+    assert set(stored.select("scheme").distinct().toPandas()["scheme"]) == {
+        "mh1:n3:h8:rpb2:sdf1"
+    }
+    b2 = spark.createDataFrame(
+        [(2, "another document arriving after a tokenizer upgrade happened")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="scheme"):
+        run_incremental_dedup(spark, b2, store, n_hashes=16)
+    # same parameters still ingest fine
+    r = run_incremental_dedup(spark, b2, store)
+    assert r["n_inserted"] == 1
+
+
 def test_incremental_dedup_short_docs_not_collapsed(spark, tmp_path):
     """Docs shorter than the shingle width (< n tokens) must NOT all collide:
     without the full-text fallback their MinHash minima are all null, every

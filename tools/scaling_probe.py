@@ -18,6 +18,8 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            of the engine's flagship use case, not just its kit pieces)
        python tools/scaling_probe.py --bloom [N ...]    (distributed Bloom
            build at N distinct keys; default 1e6 3e6 1e7)
+       python tools/scaling_probe.py --graph [K ...]    (frontier BFS +
+           fixed-point PageRank over K× disjoint graph replicas)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -227,6 +229,76 @@ def bloom_probe(n_keys_list: list[int]) -> None:
         )
 
 
+def graph_probe(ks: list[int]) -> None:
+    """Scaling slope of the graph kit after the r6 BFS de-fuse: run
+    frontier-dedup BFS and fixed-point PageRank over K disjoint replicas
+    of the sf co-purchase graph (edge endpoints offset per replica, so
+    |V| and |E| scale exactly K× with no cross-replica edges).  BFS from
+    one seed touches ONE replica regardless of K — its cost should be
+    ~flat in K (frontier-bounded, the property the recursive-CTE walk
+    enumeration lacked); PageRank touches all replicas — ~linear.  A BFS
+    slope rising with K would mean per-level work scales with the GRAPH,
+    not the frontier — the bug class this probe exists to catch."""
+    from etl_cloud_logistics_spark.operators.cooccurrence import (
+        frequent_item_pairs,
+    )
+    from etl_cloud_logistics_spark.operators.graph import (
+        bfs_min_hops,
+        pagerank_fixed,
+    )
+
+    spark = get_spark("scaling-probe-graph")
+    li = load_table(spark, SF_DIR, "lineitem")
+    pairs = (
+        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        .select("item_a", "item_b")
+        .localCheckpoint(eager=True)
+    )
+    base_edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    offset = (
+        base_edges.agg(F.max(F.greatest("src", "dst"))).first()[0] or 0
+    ) + 1
+    # warm the loop plan shapes once
+    seeds0 = base_edges.agg(F.min("src").alias("node"))
+    bfs_min_hops(base_edges, seeds0, max_hops=4).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    print(f"graph probe over {SF_DIR} (edge list replicated K× disjointly)")
+    print(f"{'K':>3} {'edges':>9} {'bfs_sec':>8} {'bfs_rows':>9} {'pr_sec':>7}")
+    for k in ks:
+        reps = [
+            base_edges.select(
+                (F.col("src") + F.lit(r * offset)).alias("src"),
+                (F.col("dst") + F.lit(r * offset)).alias("dst"),
+            )
+            for r in range(k)
+        ]
+        edges = reps[0]
+        for p in reps[1:]:
+            edges = edges.unionByName(p)
+        edges = edges.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
+        n_edges = edges.count()
+        seeds = edges.agg(F.min("src").alias("node"))
+        t0 = time.perf_counter()
+        bfs_rows = bfs_min_hops(edges, seeds, max_hops=4).count()
+        bfs_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pagerank_fixed(edges, n_iter=6).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        pr_sec = time.perf_counter() - t0
+        print(
+            f"{k:>3} {n_edges:>9} {bfs_sec:>8.2f} {bfs_rows:>9} {pr_sec:>7.2f}"
+        )
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -237,6 +309,9 @@ def main() -> None:
         return
     if args and args[0] == "--bloom":
         bloom_probe([int(a) for a in args[1:]] or [1_000_000, 3_000_000, 10_000_000])
+        return
+    if args and args[0] == "--graph":
+        graph_probe([int(a) for a in args[1:]] or [1, 5, 10])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
