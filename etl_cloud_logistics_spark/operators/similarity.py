@@ -862,16 +862,40 @@ def srp_lsh_neardup(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"))
-    eb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"))
+    # norms once per corpus VECTOR (O(n) decimal folds), not once per
+    # candidate pair endpoint (O(candidates) — the r6 profile showed the
+    # verify stage at ~8 of the row's 11.5 s at sf0.1, dwarfing the
+    # vectorized signatures); same value either way, so emitted cosines
+    # are unchanged
+    ea = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("a_vec"),
+        norm_exact(F.col(vec_col)).alias("a_norm"),
+    )
+    eb = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("b_vec"),
+        norm_exact(F.col(vec_col)).alias("b_norm"),
+    )
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    # two-phase verify, same contract as cosine_neardup_pairs: codegen
+    # double-dot prefilter with a 1e-6 margin (dwarfs ~1e-15 relative
+    # double-summation error, and covers the half-ulp a 6-decimal ROUND
+    # can pull a just-below-threshold pair up by), exact decimal cosine
+    # only for survivors — emitted values stay bit-exact vs the oracle,
+    # which replays the plain exact form over the full candidate set
     return (
-        pairs.select(
+        pairs.filter(
+            dot_unrolled(F.col("a_vec"), F.col("b_vec"), dim)
+            / (F.col("a_norm") * F.col("b_norm"))
+            >= threshold - 1e-6
+        )
+        .select(
             "vec_a",
             "vec_b",
             F.round(
                 dot_exact(F.col("a_vec"), F.col("b_vec"))
-                / (norm_exact(F.col("a_vec")) * norm_exact(F.col("b_vec"))),
+                / (F.col("a_norm") * F.col("b_norm")),
                 6,
             ).alias("cos_sim"),
         )
