@@ -134,3 +134,81 @@ def heavy_hitters_exact(
         .filter(F.col("n_occurrences") >= threshold)
     )
     return exact
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the point-frequency
+# member of the mergeable-sketch family (HLL distinct, GK quantiles, MG
+# frequent items).  Unlike MG the estimate NEVER undercounts: each of
+# `depth` rows hashes the item into `width` counters and the point query
+# takes the MIN over its cells, so collisions only inflate.  Overcount is
+# bounded by e/width × total mass with probability 1 - e^-depth.
+#
+# The build here is deliberately RELATIONAL and md5-derandomized: cells are
+# `(row j, bucket h_j(item))` keys OR-folded by a plain groupBy-SUM, so the
+# whole sketch — build AND query — replays in ANSI SQL and the oracle
+# differential covers the sketch itself, not just its output contract.  At
+# 100 TB the input is the term-frequency aggregate (one shuffle); the cell
+# grid is depth×width rows regardless of corpus size (map-side partial
+# aggregation collapses each partition to ≤ depth×width partial cells),
+# and the grid broadcasts for point lookups.
+# --------------------------------------------------------------------------
+
+
+def _cm_bucket(j: int, item, width: int) -> F.Column:
+    """Bucket of hash row ``j``: first 8 md5 hex chars of ``"cm{j}:" + item``
+    read as an integer, mod width — byte-identical to the oracle's
+    ``hex_prefix_bigint(md5('cm' || j || ':' || item), 8) % width``."""
+    h = F.md5(F.concat(F.lit(f"cm{j}:"), item).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def cm_sketch(tf: DataFrame, item_col: str, cnt_col: str, depth: int = 4,
+              width: int = 1024) -> DataFrame:
+    """Build the depth×width Count-Min grid from a term-frequency frame.
+
+    Returns ``(j, bucket, cell)`` rows — at most depth×width of them.  Input
+    is the aggregated (item, count) frame rather than the raw stream so the
+    corpus shuffles once (for the tf groupBy) and the sketch build fans out
+    only depth rows per DISTINCT item."""
+    jb = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                _cm_bucket(j, F.col(item_col), width).alias("bucket"),
+            )
+            for j in range(depth)
+        ])
+    ).alias("jb")
+    return (
+        tf.select(F.col(cnt_col).alias("_cnt"), jb)
+        .select("jb.j", "jb.bucket", "_cnt")
+        .groupBy("j", "bucket")
+        .agg(F.sum("_cnt").alias("cell"))
+    )
+
+
+def cm_lookup(cells: DataFrame, items: DataFrame, item_col: str,
+              depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-frequency estimates: MIN over each item's depth cells.
+
+    ``cells`` is small (≤ depth×width rows) and broadcasts; the probe side
+    fans out depth rows per item then folds back with one item-keyed
+    aggregation."""
+    probes = items.select(
+        item_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cm_bucket(j, F.col(item_col), width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("jb"),
+    ).select(item_col, "jb.j", "jb.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cell").alias("cm_estimate"))
+    )

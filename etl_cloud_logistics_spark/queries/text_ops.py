@@ -1422,3 +1422,187 @@ def word_vote_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (correct.cast("double") / F.count("*")).alias("accuracy"),
         )
     )
+
+
+@register(
+    "remove_duplicated_spans",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    pw AS (
+        SELECT doc_id, i - 1 AS pos, ws[i] AS w
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, len(ws))) AS i
+        ) t
+    ),
+    sp AS (
+        SELECT doc_id, i - 1 AS i0,
+               list_aggregate(ws[i:i+7], 'string_agg', ' ') AS s
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+        ) t
+    ),
+    dup AS (SELECT s FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) > 1),
+    cov AS (
+        SELECT DISTINCT sp.doc_id, sp.i0 + d AS pos
+        FROM sp JOIN dup USING (s), LATERAL (
+            SELECT unnest(generate_series(0, 7)) AS d
+        ) t
+    ),
+    kept AS (
+        SELECT pw.doc_id, pw.pos, pw.w
+        FROM pw LEFT JOIN cov ON pw.doc_id = cov.doc_id AND pw.pos = cov.pos
+        WHERE cov.doc_id IS NULL
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_words,
+           a.n_kept,
+           CAST(len(t.ws) AS BIGINT) - a.n_kept AS n_removed,
+           a.clean_text
+    FROM agg a JOIN tok t USING (doc_id)
+    """,
+    extra=True,  # the TRANSFORM twin of driver row duplicated_span_fraction
+)
+def remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication as a TRANSFORM (Lee et al. 2021,
+    word-8-gram form): rewrite each document with every word position
+    covered by a cross-document duplicated span excised, emitting the
+    cleaned text plus removal accounting.  This is the pass
+    ``duplicated_span_fraction`` (the driver-checked triage view) decides
+    to schedule: that row measures memorization fuel, this one burns it —
+    boilerplate paragraphs shared across otherwise-distinct pages are cut
+    from every host document while the surrounding prose survives.
+
+    Scale shape: span-keyed aggregation to find cross-doc spans (the
+    anti-monotone evidence join, never a doc-pair join), position expansion
+    bounded at 8 rows per duplicated-span occurrence, a LEFT ANTI join to
+    drop covered word positions, and one doc-keyed regroup to reassemble
+    text — every shuffle keyed on span or doc_id, cost linear in corpus
+    size.  Documents whose every position is covered drop from the output
+    (nothing left to emit) on both engines identically.
+
+    Determinism: word order is reassembled by explicit position sort
+    (array_sort over (pos, word) structs / ``string_agg ... ORDER BY pos``)
+    — never collection order."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    pw = tok.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    n = F.size("ws")
+    idx = F.when(n >= 8, F.sequence(F.lit(0), n - 8)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sp = tok.select("doc_id", F.explode(idx).alias("i0"), "ws").select(
+        "doc_id", "i0", F.concat_ws(" ", F.expr("slice(ws, i0 + 1, 8)")).alias("s")
+    )
+    dup = (
+        sp.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("s")
+    )
+    cov = (
+        sp.join(dup, "s")
+        .select("doc_id", F.explode(F.sequence("i0", F.col("i0") + 7)).alias("pos"))
+        .distinct()
+    )
+    agg = (
+        pw.join(cov, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    nw = tok.select("doc_id", F.size("ws").cast("bigint").alias("n_words"))
+    return agg.join(nw, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "n_kept",
+        (F.col("n_words") - F.col("n_kept")).alias("n_removed"),
+        "clean_text",
+    )
+
+
+_CM_BUCKET = hex_prefix_bigint("h", 8)
+
+_CM_ORACLE = f"""
+    WITH occ AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS cnt FROM occ GROUP BY term),
+    hx AS (
+        SELECT term, cnt, j, md5('cm' || j || ':' || term) AS h
+        FROM tf, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) t
+    ),
+    hashes AS (
+        SELECT term, cnt, j, {_CM_BUCKET} % 1024 AS bucket FROM hx
+    ),
+    cells AS (
+        SELECT j, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+        FROM hashes GROUP BY j, bucket
+    ),
+    topk AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 30),
+    est AS (
+        SELECT hs.term, hs.cnt, MIN(c.cell) AS cm_estimate
+        FROM hashes hs
+        JOIN cells c ON c.j = hs.j AND c.bucket = hs.bucket
+        WHERE hs.term IN (SELECT term FROM topk)
+        GROUP BY hs.term, hs.cnt
+    )
+    SELECT term, cnt AS true_count, cm_estimate,
+           cm_estimate - cnt AS overcount
+    FROM est
+    ORDER BY true_count DESC, term
+"""
+
+
+@register(
+    "cmsketch_word_counts",
+    oracle=_CM_ORACLE,
+    extra=True,  # sketch family's driver row is heavy_hitter_words (MG)
+)
+def cmsketch_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates for the corpus's 30 most
+    frequent words, alongside their exact counts and the sketch's
+    overcount — the fourth mergeable sketch in the kit (HLL distinct, GK
+    quantiles, MG frequent items, CM point frequency; Cormode &
+    Muthukrishnan 2005).  CM never undercounts (MIN over depth=4 hash rows;
+    collisions only inflate), so ``overcount >= 0`` always and the 4×1024
+    grid bounds expected overcount by e/1024 of total term mass per row.
+
+    The build is md5-derandomized and fully relational
+    (``operators.heavyhitters.cm_sketch`` / ``cm_lookup``), so the oracle
+    replays the ENTIRE sketch — hash rows, bucket assignment, cell sums,
+    MIN fold — not just the output contract: the sketch itself is
+    differential-tested.  Scale: one corpus shuffle (term frequency), a
+    ≤4×1024-row grid via map-side partial aggregation, broadcast lookups."""
+    from ..operators.heavyhitters import cm_lookup, cm_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = occ.groupBy("term").agg(F.count("*").alias("cnt"))
+    cells = cm_sketch(tf, "term", "cnt", depth=4, width=1024)
+    topk = tf.orderBy(F.desc("cnt"), "term").limit(30)
+    est = cm_lookup(cells, topk.select("term"), "term", depth=4, width=1024)
+    return (
+        topk.join(est, "term")
+        .select(
+            "term",
+            F.col("cnt").alias("true_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_count"), "term")
+    )

@@ -172,3 +172,121 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(sum_exact(revenue).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*)) AS qty_threshold
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq    ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < pq.qty_threshold
+    """,
+    extra=True,  # engine-breadth demo: the correlated-scalar-subquery shape
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the classic CORRELATED
+    SCALAR SUBQUERY shape — each lineitem compares against an aggregate of
+    its own part's lineitems.  Spark-first decorrelation: compute the
+    per-part 20%-of-average threshold once as a grouped aggregate, then
+    equi-join it back; Catalyst performs exactly this rewrite for the
+    subquery form, and stating it as a join keeps the plan explicit (one
+    fact-keyed aggregation + one fact-sized join, never a per-row rescan —
+    the O(n) form of what a naive engine executes as O(n·n_part)).
+
+    Determinism: the threshold's AVG runs as a decimal-exact SUM divided by
+    COUNT (order-independent; a double SUM would drift by addend order),
+    and the final division by 7.0 is a single IEEE op on a decimal-exact
+    numerator.  ``n_lines`` pins the surviving-row set so the oracle
+    differential cannot pass on a compensating-value accident."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    pq = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (sum_exact("l_quantity") / F.count("*"))).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(sum_exact("l_extendedprice") / F.lit(7.0), 6).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_high_balance",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6)))
+                    FILTER (WHERE c_acctbal > 0.0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE c_acctbal > 0.0) AS a
+        FROM customer
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+    extra=True,  # engine-breadth demo: global-aggregate predicate + NOT EXISTS
+)
+def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-relations check, adapted): customers whose balance
+    exceeds the average POSITIVE balance and who placed no order since the
+    cutoff ("dormant" — every synthetic customer has SOME order, so Q22's
+    literal never-ordered predicate is vacuous here), counted per nation —
+    the migrating workload's two remaining subquery shapes in one query: an
+    uncorrelated scalar aggregate used as a filter constant, and a
+    correlated NOT EXISTS.
+
+    Spark-first: the scalar average is a 1-row aggregate CROSS-broadcast
+    onto the customer scan (never a driver collect); NOT EXISTS is a
+    LEFT ANTI join against just the order keys (column-pruned before its
+    exchange).  Both sides of the anti join hash on the customer key — at
+    100 TB this is one fact-sized shuffle and nothing else.
+
+    Determinism: the average is a decimal-exact filtered SUM over a
+    filtered COUNT (single IEEE division); totacctbal is decimal-exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    pos = F.when(F.col("c_acctbal") > 0.0, F.col("c_acctbal"))
+    avg_bal = cust.agg(
+        (sum_exact(pos) / F.count(pos)).alias("a")
+    )
+    orders_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(orders_keys, cust.c_custkey == orders_keys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            sum_exact("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

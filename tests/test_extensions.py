@@ -993,3 +993,61 @@ def test_ann_recall_table_on_clustered_corpus(spark, clustered_corpus):
     assert pq[20] <= pq[100] <= pq[200] + 1e-9
     assert pq[100] >= 0.85
     assert pq[200] >= 0.95
+
+
+def test_cm_sketch_never_undercounts_and_exact_when_wide(spark):
+    """CM point estimates are one-sided: MIN over depth hash rows can only
+    overcount (collisions inflate, nothing decrements).  With a grid much
+    wider than the vocabulary, collisions vanish and estimates go exact."""
+    from etl_cloud_logistics_spark.operators.heavyhitters import cm_lookup, cm_sketch
+
+    rows = [(f"w{i % 37}",) for i in range(1500)] + [("rare",)]
+    items = spark.createDataFrame(rows, ["term"])
+    tf = items.groupBy("term").agg(F.count("*").alias("cnt"))
+
+    # narrow grid: collisions likely, but never an undercount
+    cells = cm_sketch(tf, "term", "cnt", depth=4, width=16)
+    est = cm_lookup(cells, tf.select("term"), "term", depth=4, width=16)
+    joined = {r["term"]: (r["cnt"], r["cm_estimate"])
+              for r in tf.join(est, "term").collect()}
+    assert len(joined) == 38
+    assert all(est >= true for true, est in joined.values())
+
+    # wide grid: no collisions at this vocabulary -> exact
+    cells_w = cm_sketch(tf, "term", "cnt", depth=4, width=65536)
+    est_w = cm_lookup(cells_w, tf.select("term"), "term", depth=4, width=65536)
+    for r in tf.join(est_w, "term").collect():
+        assert r["cm_estimate"] == r["cnt"], r
+
+
+def test_remove_duplicated_spans_excises_planted_boilerplate(spark, tmp_path):
+    """Two docs share a 10-word boilerplate run; the transform must cut the
+    shared words from BOTH hosts, leave the unique doc byte-identical, and
+    account n_removed exactly."""
+    import os
+
+    from etl_cloud_logistics_spark.queries.text_ops import remove_duplicated_spans
+
+    boiler = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta epsilon", "en", "s1", 0),
+        (2, f"one two {boiler} three four five six", "en", "s2", 0),
+        (3, "entirely unique words nothing shared here at all today friend",
+         "en", "s3", 0),
+    ]
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(spark, sf_dir).collect()}
+    # the 10 boilerplate words are covered by duplicated 8-gram spans in both
+    # hosts; the unique doc keeps every word
+    for d in (1, 2):
+        assert "quick brown fox" not in out[d]["clean_text"]
+        assert out[d]["n_removed"] == 10, out[d]
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[2]["clean_text"] == "one two three four five six"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == docs[2][1]
