@@ -573,3 +573,46 @@ def foreach_batch_drift_monitor(
         ).write.mode("append").parquet(out_path)
 
     return sink
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (operators.heavyhitters folded across batches)
+# ---------------------------------------------------------------------------
+
+
+def foreach_batch_heavy_hitters(state_path: str, item_col: str, k: int = 256):
+    """A ``foreachBatch`` sink maintaining a k-counter Misra-Gries summary
+    of ``item_col`` across the whole stream — frequent-items monitoring
+    with state bounded at k rows no matter how much data flows through
+    (the streaming twin of the batch ``heavy_hitters_exact`` driver row,
+    which can afford an exact verify pass because it re-reads its input).
+
+    Per batch: per-partition MG sketches over the new rows
+    (``mg_sketch_partials`` — constant memory), then one associative
+    ``mg_compress`` merge with the persisted summary (Agarwal et al. 2012),
+    so after any prefix of the stream every item with true count
+    > n_seen/(k+1) is present and counts undercount by at most that bound.
+    State persists via ``atomic_overwrite`` and carries the last applied
+    batch id, making crash-replays of a batch idempotent (the same
+    replay-safe-batch-id contract as ``foreach_batch_refresh_ops``)."""
+    from ..operators.heavyhitters import mg_compress, mg_sketch_partials
+    from ..sources.upsert import atomic_overwrite
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(state_path)
+            seen = state.agg(F.max("last_batch")).first()[0]
+        except Exception:
+            state, seen = None, None
+        if seen is not None and batch_id <= seen:
+            return  # crash-replay of an already-applied batch
+        summary = mg_sketch_partials(batch_df.select(item_col), item_col, k)
+        if state is not None:
+            summary = summary.unionByName(state.select("item", "cnt"))
+        merged = mg_compress(summary, k)
+        atomic_overwrite(
+            merged.withColumn("last_batch", F.lit(batch_id)), state_path
+        )
+
+    return sink

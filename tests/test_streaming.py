@@ -940,3 +940,81 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path_factory):
     assert scores[2] > 0.5  # 60-point shift on a 0..99 support
     n = {r.batch_id: (r.n_ref, r.n_batch) for r in spark.read.parquet(out).collect()}
     assert all(v == (200, 200) for v in n.values())
+
+
+def test_streaming_heavy_hitters_bounded_state_and_undercount(
+    spark, tmp_path_factory
+):
+    """Fold a Zipf-ish item stream through the streaming MG summary in 3
+    micro-batches: state stays ≤ k rows, every true heavy item (count >
+    n/(k+1)) survives the fold, estimates never overcount and undercount
+    by at most n/(k+1) — and a crash-replay of the last batch changes
+    nothing (replay-safe batch ids)."""
+    from collections import Counter
+
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        foreach_batch_heavy_hitters,
+    )
+
+    base = str(tmp_path_factory.mktemp("hh_src"))
+    state = str(tmp_path_factory.mktemp("hh_state")) + "/summary"
+    k = 16
+
+    def zipf_rows(batch):
+        rows = []
+        for i in range(1200):
+            # heavy items a/b/c dominate; tail spreads across 200 items
+            if i % 3 == 0:
+                item = "a"
+            elif i % 5 == 0:
+                item = "b"
+            elif i % 7 == 0:
+                item = "c"
+            else:
+                item = f"t{(batch * 1200 + i) % 200}"
+            rows.append((item,))
+        return rows
+
+    all_rows = []
+    for b in range(3):
+        chunk = zipf_rows(b)
+        all_rows += chunk
+        df = spark.createDataFrame(chunk, "item string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp_{b}")
+        src = [
+            f for f in os.listdir(f"{base}/_tmp_{b}") if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{base}/_tmp_{b}/{src}", f"{base}/chunk_{b}.parquet")
+
+    sink = foreach_batch_heavy_hitters(state, "item", k=k)
+    q = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", _ckpt(tmp_path_factory))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["item"]: r["cnt"] for r in spark.read.parquet(state).collect()}
+    true = Counter(r[0] for r in all_rows)
+    n = len(all_rows)
+    bound = n / (k + 1)
+    assert len(got) <= k
+    for item, cnt in true.items():
+        if cnt > bound:
+            assert item in got, f"heavy item {item} lost (true={cnt})"
+    for item, est in got.items():
+        assert est <= true[item], f"{item}: est {est} > true {true[item]}"
+        assert true[item] - est <= bound + 1e-9
+
+    # crash-replay: re-applying the final batch must be a no-op
+    before = sorted(got.items())
+    last_batch = spark.createDataFrame(zipf_rows(2), "item string")
+    sink(last_batch, 2)
+    after = sorted(
+        (r["item"], r["cnt"]) for r in spark.read.parquet(state).collect()
+    )
+    assert after == before
