@@ -614,3 +614,90 @@ def resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         step_seconds=3600,
         tiebreak_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# A9 time-series sibling — rolling-baseline anomaly gate
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, ts, event_id, value,
+               COUNT(value) OVER w AS n_base,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+        SELECT user_id, ts, event_id, value, n_base,
+               s1 / n_base AS base_mean,
+               (s2 - s1 * s1 / n_base) / n_base AS base_var,
+               (value - s1 / n_base)
+                   / sqrt((s2 - s1 * s1 / n_base) / n_base) AS z
+        FROM base
+        WHERE n_base >= 10
+    )
+    SELECT user_id, ts, event_id, value, n_base, base_mean, z
+    FROM scored
+    WHERE base_var > 0 AND abs(z) > 3
+    """,
+    extra=True,  # A9's time-series sibling; the static-population driver row
+    # is zscore_outlier_gate
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline anomaly detection (A9/F21's TIME-SERIES form): each
+    event is scored against its user's own trailing window — the previous
+    ≤20 observations (current row excluded, so the anomaly cannot poison
+    its own baseline) — and flagged when it sits more than 3 rolling
+    standard deviations from the rolling mean.  The static-population
+    z-score (`zscore_outlier_gate`) answers "is this value extreme for the
+    fleet"; this answers "is this value extreme FOR THIS SENSOR RIGHT NOW",
+    the form ops monitoring actually wants, and the batch twin of what
+    `deviation_alert_stream` approximates incrementally.
+
+    Scale shape: ONE hash-partitioned window keyed on user_id (never a
+    global sort); the frame is bounded at 20 rows so window state is
+    constant per partition.
+
+    Determinism: the rolling sums run in DECIMAL — `value` carries ≤2
+    decimal places so value² is exact at scale 6 and both engines' frame
+    sums are identical integers-in-decimal; mean/variance/z are then
+    per-row FIXED EXPRESSION TREES over those exact operands (IEEE ops,
+    incl. correctly-rounded sqrt — never a cross-row float accumulation),
+    so emitting the UNROUNDED doubles is engine-exact (the χ²/KS
+    discipline).  Warm-up rows (fewer than 10 baseline points) and
+    zero-variance baselines are excluded by deterministic predicates."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    v = F.col("value")
+    base = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.count("value").over(w).alias("n_base"),
+        F.sum(v.cast("decimal(38,6)")).over(w).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_base")
+    var = (
+        F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_base")
+    ) / F.col("n_base")
+    z = (F.col("value") - mean) / F.sqrt(var)
+    scored = base.filter(F.col("n_base") >= 10).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        "n_base",
+        mean.alias("base_mean"),
+        var.alias("base_var"),
+        z.alias("z"),
+    )
+    return scored.filter((F.col("base_var") > 0) & (F.abs(F.col("z")) > 3)).select(
+        "user_id", "ts", "event_id", "value", "n_base", "base_mean", "z"
+    )

@@ -595,15 +595,21 @@ def foreach_batch_heavy_hitters(state_path: str, item_col: str, k: int = 256):
     State persists via ``atomic_overwrite`` and carries the last applied
     batch id, making crash-replays of a batch idempotent (the same
     replay-safe-batch-id contract as ``foreach_batch_refresh_ops``)."""
+    import os
+
     from ..operators.heavyhitters import mg_compress, mg_sketch_partials
-    from ..sources.upsert import atomic_overwrite
+    from ..sources.upsert import _recover_interrupted_swap, atomic_overwrite
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # first-run detection by path, not a blanket except: a CORRUPT state
+        # read must fail loudly, never silently restart the summary from
+        # zero (which would quietly void the undercount bound)
+        _recover_interrupted_swap(state_path)
+        if os.path.exists(state_path):
             state = spark.read.parquet(state_path)
             seen = state.agg(F.max("last_batch")).first()[0]
-        except Exception:
+        else:
             state, seen = None, None
         if seen is not None and batch_id <= seen:
             return  # crash-replay of an already-applied batch
