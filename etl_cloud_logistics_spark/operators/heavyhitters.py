@@ -194,7 +194,10 @@ def cm_lookup(cells: DataFrame, items: DataFrame, item_col: str,
 
     ``cells`` is small (≤ depth×width rows) and broadcasts; the probe side
     fans out depth rows per item then folds back with one item-keyed
-    aggregation."""
+    aggregation.  The join is LEFT with missing cells coalesced to 0: a
+    cell no build item hashed into holds count 0, so probing an UNSEEN
+    item whose buckets are (partly) empty correctly estimates 0 rather
+    than dropping the item or overstating from its occupied buckets."""
     probes = items.select(
         item_col,
         F.explode(
@@ -208,9 +211,9 @@ def cm_lookup(cells: DataFrame, items: DataFrame, item_col: str,
         ).alias("jb"),
     ).select(item_col, "jb.j", "jb.bucket")
     return (
-        probes.join(F.broadcast(cells), ["j", "bucket"])
+        probes.join(F.broadcast(cells), ["j", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cell").alias("cm_estimate"))
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cm_estimate"))
     )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..catalog import load_table
 from ..functions import sum_exact
@@ -198,12 +199,15 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): the classic CORRELATED
     SCALAR SUBQUERY shape — each lineitem compares against an aggregate of
-    its own part's lineitems.  Spark-first decorrelation: compute the
-    per-part 20%-of-average threshold once as a grouped aggregate, then
-    equi-join it back; Catalyst performs exactly this rewrite for the
-    subquery form, and stating it as a join keeps the plan explicit (one
-    fact-keyed aggregation + one fact-sized join, never a per-row rescan —
-    the O(n) form of what a naive engine executes as O(n·n_part)).
+    its own part's lineitems.  Spark-first decorrelation, one step past
+    Catalyst's aggregate-then-rejoin rewrite (which the oracle spells out):
+    p_partkey→p_brand is functional, so a part's lineitems are all
+    brand-filtered or none are — the brand broadcast-semi-filter can run
+    FIRST, and the per-part 20%-of-average threshold then comes from a
+    window over the already-filtered fact subset.  One broadcast join +
+    ONE hash-partitioned window shuffle on the ~1/25th-sized subset,
+    versus the rejoin form's full-fact aggregation plus a second
+    fact-sized join (and versus the naive engine's O(n·n_part) rescan).
 
     Determinism: the threshold's AVG runs as a decimal-exact SUM divided by
     COUNT (order-independent; a double SUM would drift by addend order),
@@ -212,14 +216,14 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     differential cannot pass on a compensating-value accident."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
-    pq = li.groupBy("l_partkey").agg(
-        (F.lit(0.2) * (sum_exact("l_quantity") / F.count("*"))).alias(
-            "qty_threshold"
-        )
+    w = W.partitionBy("l_partkey")
+    threshold = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count("*").over(w)
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(pq, "l_partkey")
+        .withColumn("qty_threshold", threshold)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(sum_exact("l_extendedprice") / F.lit(7.0), 6).alias(

@@ -1019,6 +1019,13 @@ def test_cm_sketch_never_undercounts_and_exact_when_wide(spark):
     for r in tf.join(est_w, "term").collect():
         assert r["cm_estimate"] == r["cnt"], r
 
+    # probing an item the build never saw: its buckets are empty in the
+    # wide grid, so the estimate must be exactly 0 (left join + coalesce —
+    # an inner join would silently drop the probe or overstate it)
+    unseen = spark.createDataFrame([("never-built",)], ["term"])
+    got = cm_lookup(cells_w, unseen, "term", depth=4, width=65536).collect()
+    assert len(got) == 1 and got[0]["cm_estimate"] == 0
+
 
 def test_remove_duplicated_spans_excises_planted_boilerplate(spark, tmp_path):
     """Two docs share a 10-word boilerplate run; the transform must cut the
