@@ -482,6 +482,67 @@ def run_index_build(
     }
 
 
+def run_index_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    out_dir: str,
+) -> dict:
+    """Append-only incremental maintenance of the ANN index built by
+    :func:`run_index_build` — the FAISS ``add``-without-``train``
+    contract: NEW vectors are encoded with the index's PINNED model
+    (coarse quantizer + SQ8 bounds read from the latest version's model
+    file, NEVER retrained — retraining would re-bucket history, which is a
+    REBUILD and gets its own version + model via ``run_index_build``) and
+    committed as an APPEND version of the same ``SnapshotTable``: no
+    existing index file is read, re-encoded, or rewritten, so the cost is
+    O(delta), while serving from the new version sees old ∪ new and a
+    pinned elder version still time-travels to exactly its own rows.
+
+    The stated trade-off (same as FAISS add-after-train): if the delta's
+    distribution drifts outside the trained SQ8 bounds, out-of-range
+    dimensions clamp — quantization error grows for those vectors until
+    the next full rebuild refreshes bounds; the exact-rerank contract
+    still guarantees REPORTED scores stay exact, drift can only cost
+    shortlist recall.  The new version gets its own model file with the
+    inherited parameters, preserving the one-model-per-version invariant
+    (every version can always be dequantized with the parameters it was
+    encoded under)."""
+    from .operators.similarity import build_sq8_index
+    from .sources.snapshots import SnapshotTable
+
+    table = SnapshotTable(os.path.join(out_dir, "ann_index"))
+    parent = table.latest_version()
+    if parent is None:
+        raise FileNotFoundError(
+            f"no ANN index at {out_dir!r} — run_index_build first; append "
+            "has no model to encode with"
+        )
+    model_path = os.path.join(out_dir, "ann_index", f"model_v{parent}.json")
+    with open(model_path) as f:
+        model = json.load(f)
+
+    delta = build_sq8_index(
+        new_vectors, model["lo"], model["hi"], centroids=model["centroids"]
+    )
+    version = table.write(delta, mode="append", operation="index-append")
+    new_model_path = os.path.join(
+        out_dir, "ann_index", f"model_v{version}.json"
+    )
+    tmp_path = new_model_path + ".tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(model, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_path, new_model_path)
+    return {
+        "index_version": version,
+        "parent_version": parent,
+        "appended_rows": new_vectors.count(),
+        "index_rows": table.read(spark).count(),
+        "model_path": new_model_path,
+    }
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     new_docs: DataFrame,

@@ -365,3 +365,77 @@ def test_incremental_dedup_short_docs_not_collapsed(spark, tmp_path):
     assert v2[11] is None
     assert v2[12] is None and v2[13] == 12
     assert r2["n_inserted"] == 2
+
+
+def test_index_append_encodes_with_pinned_model(spark, sf_med, tmp_path):
+    """Incremental index maintenance: an append encodes ONLY the delta with
+    the parent version's model (no retrain, no history re-encode), serving
+    from the new version retrieves old AND new vectors, the old version
+    still time-travels to exactly its own rows, and appending without an
+    index fails loudly."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import knn_sq8_serve
+    from etl_cloud_logistics_spark.pipelines import run_index_append, run_index_build
+    from etl_cloud_logistics_spark.sources.snapshots import SnapshotTable
+
+    out = str(tmp_path / "annout")
+    with _pytest.raises(FileNotFoundError):
+        run_index_append(
+            spark,
+            load_table(spark, sf_med, "embeddings").limit(1),
+            out,
+        )
+
+    base = run_index_build(spark, sf_med, out, n_clusters=8, nprobe=2, k=3)
+    emb = load_table(spark, sf_med, "embeddings")
+    # delta: 20 existing vectors re-badged with fresh ids (same distribution,
+    # so SQ8 bounds hold exactly and retrievability is geometric fact)
+    delta = emb.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    rep = run_index_append(spark, delta, out)
+    assert rep["parent_version"] == base["index_version"]
+    assert rep["index_version"] == base["index_version"] + 1
+    assert rep["appended_rows"] == 20
+    assert rep["index_rows"] == 520
+
+    t = SnapshotTable(f"{out}/ann_index")
+    # old version untouched (time travel) and old rows byte-identical in new
+    assert t.read(spark, base["index_version"]).count() == 500
+    old_rows = {
+        r["neighbor_id"]: (r["bucket"], list(r["codes"]))
+        for r in t.read(spark, base["index_version"]).collect()
+    }
+    new_rows = {
+        r["neighbor_id"]: (r["bucket"], list(r["codes"]))
+        for r in t.read(spark, rep["index_version"]).collect()
+    }
+    assert all(new_rows[i] == old_rows[i] for i in old_rows)
+    # one model per version, appended model inherits the parent's params
+    m0 = _json.load(open(base["model_path"]))
+    m1 = _json.load(open(rep["model_path"]))
+    assert m0 == m1 and rep["model_path"] != base["model_path"]
+
+    # serving from the appended version: querying with original vec 3 must
+    # surface its appended twin 100003 at cos 1.0 (the self-match filter
+    # excludes 3 itself; the twin proves the delta rows are live in the
+    # index and fetchable in the rerank)
+    corpus = emb.unionByName(delta)
+    queries = emb.filter(F.col("vec_id") == 3)
+    served = knn_sq8_serve(
+        t.read(spark, rep["index_version"]),
+        queries,
+        corpus,
+        k=3,
+        lo=m1["lo"],
+        hi=m1["hi"],
+        centroids=m1["centroids"],
+        nprobe=2,
+    )
+    rows = {r["neighbor_id"]: r for r in served.collect()}
+    assert 100003 in rows, sorted(rows)
+    assert rows[100003]["cos_sim"] == 1.0 and rows[100003]["rank"] == 1
