@@ -1055,10 +1055,33 @@ def knn_pq(
     decides it), exact decimal rerank of the shortlist only.
     ``bucket_col=None`` scores the whole corpus (the pure-PQ measurement
     mode); give a bucket column to compose with IVF pruning."""
-    if shortlist is None:
-        shortlist = 4 * k
+    index = build_pq_index(
+        corpus, codebooks, dim=dim, bucket_col=bucket_col,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return knn_pq_serve(
+        index, queries, corpus, k, codebooks, shortlist=shortlist,
+        bucket_col=bucket_col, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    dim: int = 64,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE PQ scored index, mirroring :func:`build_sq8_index`:
+    per corpus vector its coarse bucket, its m ``tinyint`` subspace codes
+    (32× smaller than float32, vs SQ8's 4×) and the reconstruction norm —
+    floats excluded.  The codebooks (m × k_sub × dim/m floats) are the
+    model metadata to persist alongside, exactly like SQ8's (lo, hi,
+    centroids); encode once per corpus version, serve many times with
+    :func:`knn_pq_serve` from storage."""
     bucket = F.col(bucket_col) if bucket_col else F.lit(0)
-    index = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         bucket.alias("bucket"),
         encode_pq(F.col(vec_col), codebooks, dim).alias("codes"),
@@ -1072,6 +1095,27 @@ def knn_pq(
             )
         ),
     )
+
+
+def knn_pq_serve(
+    index: DataFrame,
+    queries: DataFrame,
+    corpus_vectors: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    shortlist: int | None = None,
+    bucket_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from a PRE-BUILT (possibly storage-resident) PQ index —
+    the ADC shortlist touches only ``index`` (codes, no floats);
+    ``corpus_vectors`` is consulted only for the exact-rerank fetch.
+    Results are identical to :func:`knn_pq` over the same corpus (shared
+    `_asym_shortlist_rerank` tail; pinned by the parquet round-trip
+    test)."""
+    if shortlist is None:
+        shortlist = 4 * k
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -1079,7 +1123,7 @@ def knn_pq(
         (F.col(bucket_col) if bucket_col else F.lit(0)).alias("bucket"),
     )
     return _asym_shortlist_rerank(
-        index, q, queries, corpus, k, shortlist,
+        index, q, queries, corpus_vectors, k, shortlist,
         recon=lambda codes: decode_pq(codes, codebooks),
         id_col=id_col, vec_col=vec_col,
     )

@@ -1058,3 +1058,32 @@ def test_remove_duplicated_spans_excises_planted_boilerplate(spark, tmp_path):
     assert out[2]["clean_text"] == "one two three four five six"
     assert out[3]["n_removed"] == 0
     assert out[3]["clean_text"] == docs[2][1]
+
+
+def test_pq_index_parquet_roundtrip_serves_identically(spark, sf_med, tmp_path):
+    """PQ's index lifecycle, mirroring the SQ8 one: build_pq_index once,
+    persist to parquet, serve from the STORED index — identical results to
+    the single-plan knn_pq, codes surviving as genuine array<tinyint>
+    (the 32x footprint claim)."""
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.similarity import (
+        build_pq_index,
+        knn_pq,
+        knn_pq_serve,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_med, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = train_pq_codebooks(emb, m=8, k=16, n_iter=2)
+
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, books).write.parquet(path)
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"
+
+    direct = knn_pq(queries, emb, k=3, codebooks=books, shortlist=50)
+    served = knn_pq_serve(stored, queries, emb, k=3, codebooks=books, shortlist=50)
+    a = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in served.collect())
+    assert a == b and len(a) == 30
