@@ -1044,3 +1044,155 @@ def bloom_semi_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch — set-operation estimates (operators.kmv)
+# ---------------------------------------------------------------------------
+
+def _kmv_oracle() -> str:
+    from ._sqlutil import hex_prefix_bigint
+
+    h = hex_prefix_bigint("hh", 15)
+    return f"""
+    WITH ha AS (
+        SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hh
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    hb AS (
+        SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS hh
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    sa AS (SELECT {h} AS h FROM ha ORDER BY h LIMIT 128),
+    sb AS (SELECT {h} AS h FROM hb ORDER BY h LIMIT 128),
+    su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) u
+           ORDER BY h LIMIT 128),
+    stat_a AS (SELECT COUNT(*) AS n_a, MAX(h) AS vk_a FROM sa),
+    stat_b AS (SELECT COUNT(*) AS n_b, MAX(h) AS vk_b FROM sb),
+    stat_u AS (SELECT COUNT(*) AS n_u, MAX(h) AS vk_u FROM su),
+    common AS (
+        SELECT COUNT(*) AS n_common
+        FROM su JOIN sa ON su.h = sa.h JOIN sb ON su.h = sb.h
+    ),
+    exact_a AS (
+        SELECT COUNT(DISTINCT o_custkey) AS exact_distinct_a
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    exact_b AS (
+        SELECT COUNT(DISTINCT o_custkey) AS exact_distinct_b
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    ),
+    exact_u AS (
+        SELECT COUNT(DISTINCT o_custkey) AS exact_union FROM orders
+    ),
+    exact_i AS (
+        SELECT COUNT(*) AS exact_intersection FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        )
+    ),
+    est AS (
+        SELECT
+            CASE WHEN n_a < 128 THEN CAST(n_a AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0 / vk_a END AS est_distinct_a,
+            CASE WHEN n_b < 128 THEN CAST(n_b AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0 / vk_b END AS est_distinct_b,
+            CASE WHEN n_u < 128 THEN CAST(n_u AS DOUBLE)
+                 ELSE 127.0 * 1152921504606846976.0 / vk_u END AS est_union,
+            n_common / n_u AS est_jaccard
+        FROM stat_a, stat_b, stat_u, common
+    )
+    SELECT 128 AS k,
+           est_distinct_a, exact_distinct_a,
+           est_distinct_b, exact_distinct_b,
+           est_union, exact_union,
+           est_jaccard,
+           est_jaccard * est_union AS est_intersection,
+           exact_intersection
+    FROM est, exact_a, exact_b, exact_u, exact_i
+    """
+
+
+@register(
+    "kmv_customer_overlap",
+    oracle=_kmv_oracle(),
+    extra=True,  # sketch family's driver rows: heavy_hitter_words (MG),
+    # q04 (exact countDistinct); HLL variant approx_distinct_users_hll
+)
+def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via K-minimum-values sketches (`operators.kmv`,
+    Beyer et al. 2007): distinct customers ordering before vs since 1997,
+    their union, Jaccard, and intersection — all estimated from two 128-row
+    sketches, next to the exact answers so the row is self-evaluating
+    (the CM-row pattern).  This is the set-operation capability HLL lacks:
+    two HLL sketches union fine but cannot intersect; KMV intersects
+    through the union sketch's members, so "how many customers do these
+    two segments share" runs on k-row synopses instead of a pairwise
+    distinct scan.
+
+    Scale shape: per side one hash-distinct shuffle + a TakeOrdered(k)
+    merge of k-row partials; everything after operates on ≤128-row frames.
+    The md5 derandomization means the oracle replays the SKETCH itself —
+    hashes, cuts, estimator branches — not just the output contract.
+
+    Determinism: estimates are fixed IEEE expression trees over exact
+    integers ((k-1)·2^60/v_k — both factors exactly-representable doubles,
+    int64→double conversions identical under IEEE round-to-nearest), and
+    the Jaccard is a single int/int division; all emitted UNROUNDED."""
+    from ..operators.kmv import kmv_estimate, kmv_sketch
+
+    k = 128
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    side_a = orders.filter(F.col("o_orderdate") < cutoff)
+    side_b = orders.filter(F.col("o_orderdate") >= cutoff)
+    sa = kmv_sketch(side_a, "o_custkey", k)
+    sb = kmv_sketch(side_b, "o_custkey", k)
+    su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+
+    stat_a = kmv_estimate(
+        sa.agg(F.count("*").alias("n"), F.max("h").alias("vk")), k,
+        out_col="est_distinct_a",
+    ).select("est_distinct_a")
+    stat_b = kmv_estimate(
+        sb.agg(F.count("*").alias("n"), F.max("h").alias("vk")), k,
+        out_col="est_distinct_b",
+    ).select("est_distinct_b")
+    stat_u = kmv_estimate(
+        su.agg(F.count("*").alias("n"), F.max("h").alias("vk")), k,
+        out_col="est_union",
+    ).select(F.col("n").alias("n_u"), "est_union")
+    common = (
+        su.join(sa, "h").join(sb, "h").agg(F.count("*").alias("n_common"))
+    )
+
+    exact_a = side_a.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_a")
+    )
+    exact_b = side_b.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_b")
+    )
+    exact_u = orders.agg(F.countDistinct("o_custkey").alias("exact_union"))
+    exact_i = (
+        side_a.select("o_custkey")
+        .intersect(side_b.select("o_custkey"))
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+
+    est_j = F.col("n_common") / F.col("n_u")
+    return (
+        stat_a.join(stat_b).join(stat_u).join(common)
+        .join(exact_a).join(exact_b).join(exact_u).join(exact_i)
+        .select(
+            F.lit(128).alias("k"),
+            "est_distinct_a", "exact_distinct_a",
+            "est_distinct_b", "exact_distinct_b",
+            "est_union", "exact_union",
+            est_j.alias("est_jaccard"),
+            (est_j * F.col("est_union")).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

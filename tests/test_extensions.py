@@ -1087,3 +1087,46 @@ def test_pq_index_parquet_roundtrip_serves_identically(spark, sf_med, tmp_path):
     a = sorted(tuple(r) for r in direct.collect())
     b = sorted(tuple(r) for r in served.collect())
     assert a == b and len(a) == 30
+
+
+def test_kmv_sketch_accuracy_exhaustive_branch_and_union_merge(spark):
+    """KMV contract: (a) a side with fewer than k distinct keys is its own
+    exhaustive sketch and estimates EXACTLY; (b) at n >> k the basic
+    estimator lands within a few sigma (1/sqrt(k-2)); (c) the k smallest
+    of two merged sketches IS the union's sketch (the mergeability that
+    makes intersection possible), row-for-row."""
+    from etl_cloud_logistics_spark.operators.kmv import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k = 256
+    big = spark.createDataFrame([(i,) for i in range(20000)], ["key"])
+    small = spark.createDataFrame([(i,) for i in range(50)], ["key"])
+
+    # (a) exhaustive: n < k -> exact
+    s_small = kmv_sketch(small, "key", k)
+    est_small = kmv_estimate(
+        s_small.agg(F.count("*").alias("n"), F.max("h").alias("vk")), k
+    ).first()["est"]
+    assert est_small == 50.0
+
+    # (b) accuracy: 1/sqrt(254) ~ 6.3%; allow 4 sigma
+    s_big = kmv_sketch(big, "key", k)
+    est_big = kmv_estimate(
+        s_big.agg(F.count("*").alias("n"), F.max("h").alias("vk")), k
+    ).first()["est"]
+    assert abs(est_big - 20000) / 20000 < 0.25, est_big
+
+    # (c) union merge: k smallest of (sketch_a ∪ sketch_b) == sketch of
+    # (A ∪ B) — verified against the sketch built from the unioned input
+    a = spark.createDataFrame([(i,) for i in range(10000)], ["key"])
+    b = spark.createDataFrame([(i,) for i in range(5000, 15000)], ["key"])
+    merged = (
+        kmv_sketch(a, "key", k).unionByName(kmv_sketch(b, "key", k))
+        .distinct().orderBy("h").limit(k)
+    )
+    direct = kmv_sketch(a.unionByName(b), "key", k)
+    assert [r["h"] for r in merged.collect()] == [
+        r["h"] for r in direct.collect()
+    ]
