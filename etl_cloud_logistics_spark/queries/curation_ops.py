@@ -315,22 +315,42 @@ def curation_pipeline(
         neardup_components,
         shingles,
     )
-    ws = F.split(F.lower("text"), " ")
-    n_words = F.size(ws)
-    grams = F.when(
-        n_words >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n_words - 3),
-            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.greatest(n_words - 2, F.lit(0))
-    rep = F.when(
-        total > 0,
-        (total - F.size(F.array_distinct(grams))).cast("double") / total,
-    ).otherwise(F.lit(0.0))
-    q = docs.withColumn("n_tok", n_words.cast("long")).filter(
-        n_words.between(10, 1000) & (rep <= 0.2)
+    # Stage `ws`/`grams`/`rep` as columns before filtering: an inline
+    # `split(...)[i]` inside the (interpreted, CSE-free) transform lambda
+    # re-splits the doc per gram element — O(n_words^2) per doc.  With
+    # attribute references each access is O(1); the helper columns are
+    # dropped so `q` keeps the original docs schema + n_tok.
+    staged = (
+        docs.withColumn("ws", F.split(F.lower("text"), " "))
+        .withColumn("n_words", F.size("ws"))
+        .withColumn(
+            "grams",
+            F.when(
+                F.col("n_words") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_words") - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn("total", F.greatest(F.col("n_words") - 2, F.lit(0)))
+        .withColumn(
+            "rep",
+            F.when(
+                F.col("total") > 0,
+                (F.col("total") - F.size(F.array_distinct("grams"))).cast("double")
+                / F.col("total"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    q = (
+        staged.filter(
+            F.col("n_words").between(10, 1000) & (F.col("rep") <= 0.2)
+        )
+        .withColumn("n_tok", F.col("n_words").cast("long"))
+        .drop("ws", "n_words", "grams", "total", "rep")
     )
     keep = q.groupBy(F.md5(F.lower("text").cast("binary")).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
@@ -483,20 +503,28 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``mixture_sample``-style thresholding on logweight, or Gumbel-top-k
     on weight + md5 noise for true importance RESAMPLING."""
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
+    # Stage `ws` as a column: `F.element_at(<inline split>, i)` inside the
+    # interpreted transform lambda re-splits the doc per bigram element —
+    # O(n_words^2) per doc.  An attribute reference makes it O(1).
+    tok = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("ws")
+    )
+    wsc = F.col("ws")
     bi_pos = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+        F.size(wsc) >= 2, F.sequence(F.lit(1), F.size(wsc) - 1)
     ).otherwise(F.array().cast("array<int>"))
     bigrams = F.transform(
         bi_pos,
         lambda i: F.concat_ws(
-            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
+            " ",
+            F.element_at(wsc, i.cast("int")),
+            F.element_at(wsc, (i + 1).cast("int")),
         ),
     )
-    feats = docs.select(
+    feats = tok.select(
         "doc_id",
         "source",
-        F.explode(F.concat(ws, bigrams)).alias("feat"),
+        F.explode(F.concat(wsc, bigrams)).alias("feat"),
     ).select(
         "doc_id",
         "source",
@@ -768,11 +796,13 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import budget_select
 
     docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.lower("text"), " ")
+    # stage the split once; three inline references would re-split per row
     t = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    ).select(
         "doc_id",
-        F.size(ws).cast("long").alias("n_tokens"),
-        (F.size(F.array_distinct(ws)).cast("double") / F.size(ws)).alias(
+        F.size("ws").cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct("ws")).cast("double") / F.size("ws")).alias(
             "quality"
         ),
     )
