@@ -531,23 +531,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(F.md5(F.col("feat").cast("binary")), 1, 8), 16, 10)
          .cast("long") % 4096).alias("b"),
     )
-    raw = feats.groupBy("b").agg(F.count("*").alias("rc"))
-    tgt = (
-        feats.filter(F.col("source").isin("src1", "src2", "src3"))
-        .groupBy("b")
-        .agg(F.count("*").alias("tc"))
+    # raw and target bucket counts in ONE aggregation pass (count + filtered
+    # count over the same groupBy) — the earlier two-agg + left-join layout
+    # re-ran the explode/md5 featurization per model and paid a bucket-keyed
+    # join; tc = 0 here is exactly the coalesce(tc, 0) the join produced for
+    # target-absent buckets, so the smoothed ratios are bit-identical.
+    bucket_counts = feats.groupBy("b").agg(
+        F.count("*").alias("rc"),
+        F.count_if(F.col("source").isin("src1", "src2", "src3")).alias("tc"),
     )
-    nr = raw.agg(F.sum("rc").cast("double").alias("nr"))
-    nt = tgt.agg(F.sum("tc").cast("double").alias("nt"))
+    totals = bucket_counts.agg(
+        F.sum("rc").cast("double").alias("nr"),
+        F.sum("tc").cast("double").alias("nt"),
+    )
     logratio = F.ln(
-        ((F.coalesce(F.col("tc"), F.lit(0)) + 1).cast("double") / (F.col("nt") + 4096.0))
+        ((F.col("tc") + 1).cast("double") / (F.col("nt") + 4096.0))
         / ((F.col("rc") + 1).cast("double") / (F.col("nr") + 4096.0))
     ).cast("decimal(20,10)")
-    probs = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(nt))
-        .select("b", logratio.alias("logratio"))
+    probs = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "b", logratio.alias("logratio")
     )
     weight = F.round(F.sum("logratio").cast("double"), 4)
     return (
