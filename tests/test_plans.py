@@ -155,6 +155,39 @@ def test_no_registry_query_plans_a_cartesian_product(spark, sf_small):
     assert not offenders, offenders
 
 
+@pytest.mark.parametrize(
+    "name,max_splits",
+    [
+        ("doc_quality_battery", 2),
+        ("dsir_importance_weights", 6),
+        ("token_budget_select", 2),
+    ],
+)
+def test_hof_consumers_stage_tokenization_once(spark, sf_small, name, max_splits):
+    """Guard against the O(n_words²) HOF-lambda pathology: higher-order
+    lambdas are interpreted (no codegen, no common-subexpression
+    elimination), so an inline split()[i] captured by a transform lambda
+    re-splits the document per array element, and a multi-referenced inline
+    expression tree re-evaluates per reference (doc_quality_battery's
+    executed plan once carried 19 copies of split — 26 s for 1.5 MB of
+    text).  Tokenization must be staged as a column; the plan may then
+    carry at most one split per scan branch."""
+    plan = plan_of(spark, sf_small, name)
+    n = plan.count("split(")
+    assert n <= max_splits, f"{name}: {n} split() copies in executed plan"
+
+
+def test_span_fraction_shuffles_spans_once(spark, sf_small):
+    """duplicated_span_fraction must keep the single span-keyed exchange
+    layout: one aggregation carries the 8-gram strings, everything after
+    moves ints.  A join-back or pre-shuffle distinct reappearing shows up
+    as extra exchanges (the old layout shuffled the spans 3x, 126 MB vs
+    40 MB at sf0.1)."""
+    plan = plan_of(spark, sf_small, "duplicated_span_fraction")
+    assert plan.count("Exchange") <= 2, plan[:1500]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark, sf_small):
     """At cluster scale a selective dim filter should reach the fact side
     BEFORE the shuffle via Spark's runtime bloom filter (InjectRuntimeFilter):
