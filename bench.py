@@ -42,6 +42,7 @@ Three measurements per the round-1 review (PERFORMANCE.md):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -110,6 +111,14 @@ def main() -> None:
     # measured 3.5 s polluted vs 0.6 s clean, purely from its position after
     # the dedup block.  Cleanup runs OUTSIDE the timed region.
     def reset_memory() -> None:
+        # Python gc FIRST: localCheckpoint RDD blocks (the eager iterative
+        # rows create dozens per execution) are freed by the ContextCleaner
+        # only after their py4j DataFrame refs die; clearCache() never touches
+        # them.  Without this, late-session runs of curation_pipeline_end2end
+        # measured 15-20 s vs 6-8 s clean — the blocks squat in the
+        # BlockManager and shrink execution memory for later queries
+        # (tools/concurrent_bisect.py condition C, applied).
+        gc.collect()
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
@@ -163,6 +172,17 @@ def main() -> None:
         "reachable_parts_bfs",
     ]
     ext_heavy = [n for n in ext_heavy if n in suite]
+    # Fresh session for the extension-row phase: by this point the driver
+    # has run ~170 query executions, and the accumulated scheduler/listener
+    # metadata inflates PER-JOB overhead — many-job iterative rows measured
+    # ~3x their fresh-session cost at end-of-session (curation pipeline
+    # 17-22 s here vs 7 s in a clean session, pagerank 6.9 vs 4.7) while
+    # single-job rows were unaffected; neither clearCache, JVM GC, nor
+    # Python gc recovered it.  The restart isolates operator cost from
+    # driver-session age; a production cluster submits each query as its
+    # own application, so the fresh-session number is the honest one.
+    spark.stop()
+    spark = get_spark()
     # queries whose DataFrame construction executes the operator (iterative
     # loops with eager checkpoints, k-means/PQ training): warm = rebuild+execute
     eager = {
