@@ -26,6 +26,7 @@ import uuid
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # tokenization / shingling
@@ -96,6 +97,52 @@ def fingerprint(df: DataFrame, text_col: str = "text", prefix_tokens: int = 8):
             F.concat_ws(" ", F.slice("ws", 1, prefix_tokens)).cast("binary")
         ).alias("fp_prefix"),
     ).drop("ws")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint set per document (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive gram hashes, select each full window's
+    MINIMUM hash, return the distinct (id, fp) selections.
+
+    Guarantee: any run of >= w + k - 1 words shared by two documents puts
+    one identical full window in both, so they share at least one selected
+    fingerprint — while only ~2/(w+1) of gram hashes are retained.  This is
+    VALUE winnowing (the fingerprint is the window-min hash, not the
+    canonical (hash, position) pair): the value set carries the pairing
+    guarantee, dedups harder, and stays portable — a packed 64-bit
+    (hash, pos) key exceeds exact-double range, so a SQL oracle could not
+    unpack it losslessly.
+
+    Distributed shape: gram hashing is a narrow codegen projection over the
+    scan (indexed array refs, never a HOF lambda — PERFORMANCE.md); the
+    window-min costs one id-keyed exchange with O(w) rolling state.  28-bit
+    hashes (7 hex chars of md5) keep every downstream min/count BIGINT-exact
+    in both engines."""
+    tok = tokens(df, text_col).select(id_col, "ws")
+    pos = tok.select(id_col, F.posexplode("ws").alias("pos", "w0"), F.col("ws"))
+    gram = F.concat_ws(" ", *[F.col("ws")[F.col("pos") + i] for i in range(k)])
+    g = pos.filter(F.col("pos") + k <= F.size("ws")).select(
+        id_col,
+        "pos",
+        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        g.withColumn("fp", F.min("h").over(win))
+        .withColumn("max_pos", F.max("pos").over(Window.partitionBy(id_col)))
+        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------

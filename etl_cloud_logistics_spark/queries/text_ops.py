@@ -1636,3 +1636,102 @@ def cmsketch_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("true_count"), "term")
     )
+
+
+# Winnowing parameters: word-4-gram hashes, window of 5 consecutive grams.
+# The guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03): any shared run of
+# at least w + k - 1 = 8 words between two documents puts at least one
+# identical full window of gram hashes in both, so its minimum is selected
+# on both sides and the pair shares a fingerprint.
+_WINNOW_K = 4
+_WINNOW_W = 5
+# A fingerprint present in more than this many docs is boilerplate (carries
+# no pairing signal) but would make the shared-fingerprint join quadratic in
+# its bucket — the same skew discipline as _JACCARD_MAX_SHINGLE_FREQ, and
+# the oracle mirrors the cap so the result stays bit-exact.
+_WINNOW_MAX_FP_FREQ = 100
+
+
+@register(
+    "winnow_fingerprint_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, i,
+               md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS hx
+        FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ws) - {_WINNOW_K - 1}, 0))) AS i
+        ) t
+    ),
+    g AS (SELECT doc_id, i, {hex_prefix_bigint('hx', 7)} AS h FROM g0),
+    w AS (
+        SELECT doc_id, i,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+               max(i) OVER (PARTITION BY doc_id) AS max_i
+        FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= max_i - {_WINNOW_W - 1}),
+    kept AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_WINNOW_MAX_FP_FREQ}),
+    fpk AS (SELECT fps.doc_id, fps.fp FROM fps JOIN kept USING (fp)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY n_shared DESC, doc_a, doc_b) AS rnk
+        FROM pairs
+    )
+    WHERE rnk <= 20
+    """,
+    extra=True,  # X4 fingerprinting: the winnowing sibling of doc_fingerprints
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS algorithm) and the top shared-fingerprint doc pairs: per doc,
+    hash every word 4-gram, slide a window of 5 consecutive gram hashes, and
+    select each full window's MINIMUM hash; the distinct selected values are
+    the doc's fingerprint set.  Guarantee: any shared run of >= w + k - 1 = 8
+    words is detected, while only ~2/(w+1) of gram hashes are retained —
+    the storage/recall trade plagiarism and near-dup triage pipelines use.
+
+    This is VALUE winnowing: the fingerprint is the window-min hash value,
+    not the (value, position) pair of canonical robust winnowing — for pair
+    detection the value set carries the guarantee, needs no position
+    arithmetic (a packed 64-bit (hash, pos) key overflows the exact-double
+    range, so it could not be oracle-compared portably), and dedups harder.
+
+    Distributed shape: gram hashing is a narrow codegen projection over the
+    corpus scan (indexed array refs, never a HOF lambda — see
+    PERFORMANCE.md); the window-min is one doc_id-keyed exchange with O(w)
+    state per row; fingerprints join on an equi-key with the boilerplate
+    cap bounding every bucket, so candidate cost follows shared evidence,
+    not corpus².  28-bit hashes (7 hex chars) keep the min/aggregation
+    BIGINT-exact in both engines via the portable hex-to-int expansion."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+    kept = fps.groupBy("fp").agg(F.count("*").alias("nf")).filter(
+        F.col("nf") <= _WINNOW_MAX_FP_FREQ
+    )
+    fpk = fps.join(kept.select("fp"), "fp")
+    a = fpk.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fpk.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    w_rank = W.orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )

@@ -1130,3 +1130,46 @@ def test_kmv_sketch_accuracy_exhaustive_branch_and_union_merge(spark):
     assert [r["h"] for r in merged.collect()] == [
         r["h"] for r in direct.collect()
     ]
+
+
+def test_winnowing_guarantee_and_selectivity(spark):
+    """Winnowing guarantee (Schleimer et al.): any shared run of
+    >= w + k - 1 words yields a shared fingerprint; disjoint-vocab docs
+    share none; and selection keeps well under the full gram-hash set."""
+    from etl_cloud_logistics_spark.operators.dedup import winnow_fingerprints
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words = w+k-1
+    rows = [
+        (0, f"unique0 zero filler {run} tail0 end0 stop0 words0 pad0"),
+        (1, f"other1 one padding {run} tail1 end1 stop1 words1 pad1"),
+        (2, "nothing shared here at all nine ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=5)
+    by_doc = {
+        r.doc_id: set(r.fs)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fs")).collect()
+    }
+    assert by_doc[0] & by_doc[1], "8-word shared run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    # selectivity: far fewer fingerprints than gram positions (13 grams/doc)
+    assert all(len(v) < 13 for v in by_doc.values())
+
+
+def test_winnowing_shift_invariance_of_shared_run(spark):
+    """The shared run is detected regardless of its offset in each doc —
+    the property position-based schemes (fp_prefix) lack."""
+    from etl_cloud_logistics_spark.operators.dedup import winnow_fingerprints
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, f"{run} completely different trailing content follows here now"),
+        (1, f"leading words that differ a lot from others {run}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=5)
+    by_doc = {
+        r.doc_id: set(r.fs)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fs")).collect()
+    }
+    assert by_doc[0] & by_doc[1]
