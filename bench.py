@@ -182,7 +182,7 @@ def main() -> None:
     # driver-session age; a production cluster submits each query as its
     # own application, so the fresh-session number is the honest one.
     spark.stop()
-    spark = get_spark()
+    spark = get_spark("bench")
     # queries whose DataFrame construction executes the operator (iterative
     # loops with eager checkpoints, k-means/PQ training): warm = rebuild+execute
     eager = {

@@ -57,19 +57,38 @@ def shingles(
     a shingle-keyed aggregation with set semantics (e.g. ``collect_set``):
     partial aggregation dedups map-side, so the pre-shuffle distinct would
     only add a second full pass of the shingle strings over the wire."""
+    sh = _positional_grams(df, id_col, text_col, n).select(id_col, "s")
+    return sh.distinct() if distinct else sh
+
+
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One row per word n-gram OCCURRENCE: (id, pos, s, last_pos), where
+    ``pos`` is the 0-based gram start and ``last_pos = n_words - n`` is the
+    final gram position — carried from the array length at projection time
+    so positional consumers (winnowing) never pay a second partition-wide
+    window just to learn where the document ends.
+
+    Row-level formulation (posexplode + indexed concat) on purpose: it runs
+    inside whole-stage codegen, which measures ~3x faster than building the
+    per-doc array with interpreted higher-order lambdas and exploding it
+    (and indexed array refs in a codegen projection are CSE'd — the HOF
+    lambda re-evaluation trap in PERFORMANCE.md does not apply here)."""
     toks = tokens(df, text_col).select(id_col, "ws")
     pos = toks.select(
         id_col,
         F.posexplode("ws").alias("pos", "w0"),
         F.col("ws"),
     )
-    sh = pos.filter(F.col("pos") + n <= F.size("ws")).select(
+    return pos.filter(F.col("pos") + n <= F.size("ws")).select(
         id_col,
+        "pos",
         F.concat_ws(
             " ", *[F.col("ws")[F.col("pos") + i] for i in range(n)]
         ).alias("s"),
+        (F.size("ws") - n).alias("last_pos"),
     )
-    return sh.distinct() if distinct else sh
 
 
 # ---------------------------------------------------------------------------
@@ -120,26 +139,28 @@ def winnow_fingerprints(
     (hash, pos) key exceeds exact-double range, so a SQL oracle could not
     unpack it losslessly.
 
-    Distributed shape: gram hashing is a narrow codegen projection over the
-    scan (indexed array refs, never a HOF lambda — PERFORMANCE.md); the
-    window-min costs one id-keyed exchange with O(w) rolling state.  28-bit
-    hashes (7 hex chars of md5) keep every downstream min/count BIGINT-exact
-    in both engines."""
-    tok = tokens(df, text_col).select(id_col, "ws")
-    pos = tok.select(id_col, F.posexplode("ws").alias("pos", "w0"), F.col("ws"))
-    gram = F.concat_ws(" ", *[F.col("ws")[F.col("pos") + i] for i in range(k)])
-    g = pos.filter(F.col("pos") + k <= F.size("ws")).select(
+    Distributed shape: gram hashing rides the shared positional-grams
+    codegen projection (indexed array refs, never a HOF lambda —
+    PERFORMANCE.md), and the carried ``last_pos`` column makes the
+    full-window filter a row-local predicate (no second partition-wide
+    window); the window-min costs one id-keyed exchange with O(w) rolling
+    state.  60-bit hashes (15 hex chars of md5, the same width as the
+    KMV/MinHash machinery) keep every downstream min/count BIGINT-exact in
+    both engines while making cross-doc birthday collisions negligible at
+    corpus scale (~10M retained fingerprints collide with p ~ 1e-5 in a
+    2^60 space, vs certainty at 2^28)."""
+    g = _positional_grams(df, id_col, text_col, k).select(
         id_col,
         "pos",
-        F.conv(F.substring(F.md5(gram.cast("binary")), 1, 7), 16, 10)
+        "last_pos",
+        F.conv(F.substring(F.md5(F.col("s").cast("binary")), 1, 15), 16, 10)
         .cast("long")
         .alias("h"),
     )
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
     return (
         g.withColumn("fp", F.min("h").over(win))
-        .withColumn("max_pos", F.max("pos").over(Window.partitionBy(id_col)))
-        .filter(F.col("pos") <= F.col("max_pos") - (w - 1))
+        .filter(F.col("pos") <= F.col("last_pos") - (w - 1))
         .select(id_col, "fp")
         .distinct()
     )

@@ -132,3 +132,52 @@ def mad_outlier_stats(
         )
         .orderBy(group_col)
     )
+
+
+def gopher_repetition_columns(
+    df: DataFrame,
+    text_col: str = "text",
+    n_words_col: str = "_qg_n_words",
+    rep_col: str = "_qg_rep",
+) -> DataFrame:
+    """Stage the MassiveText/Gopher repetition-gate inputs as real columns:
+    whitespace token count (``n_words_col``, int) and repeated-3-gram
+    fraction (``rep_col``, double in [0, 1]).  The SINGLE implementation
+    behind ``doc_quality_battery`` and the curation pipeline's stage-1
+    quality gate — a tweak here moves both in lockstep (they are documented
+    as the same gate, and their DuckDB oracles replay the same arithmetic).
+
+    Staged as columns on purpose: HOF lambdas are interpreted with no
+    common-subexpression elimination, so an inline ``split()[i]`` captured
+    by the gram lambda re-splits the document per gram — O(n_words²) per
+    doc (PERFORMANCE.md, round 6).  Intermediates use collision-proof
+    underscore names and are dropped before return, so an arbitrary caller
+    frame passes through with its own columns intact (output columns are
+    caller-nameable for the same reason)."""
+    ws, grams, total = "_qg_ws", "_qg_grams", "_qg_total"
+    return (
+        df.withColumn(ws, F.split(F.lower(text_col), " "))
+        .withColumn(n_words_col, F.size(ws))
+        .withColumn(
+            grams,
+            F.when(
+                F.col(n_words_col) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.col(n_words_col) - 3),
+                    lambda i: F.concat_ws(
+                        " ", F.col(ws)[i], F.col(ws)[i + 1], F.col(ws)[i + 2]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(total, F.greatest(F.col(n_words_col) - 2, F.lit(0)))
+        .withColumn(
+            rep_col,
+            F.when(
+                F.col(total) > 0,
+                (F.col(total) - F.size(F.array_distinct(grams))).cast("double")
+                / F.col(total),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop(ws, grams, total)
+    )

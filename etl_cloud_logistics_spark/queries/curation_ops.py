@@ -315,42 +315,19 @@ def curation_pipeline(
         neardup_components,
         shingles,
     )
-    # Stage `ws`/`grams`/`rep` as columns before filtering: an inline
-    # `split(...)[i]` inside the (interpreted, CSE-free) transform lambda
-    # re-splits the doc per gram element — O(n_words^2) per doc.  With
-    # attribute references each access is O(1); the helper columns are
-    # dropped so `q` keeps the original docs schema + n_tok.
-    staged = (
-        docs.withColumn("ws", F.split(F.lower("text"), " "))
-        .withColumn("n_words", F.size("ws"))
-        .withColumn(
-            "grams",
-            F.when(
-                F.col("n_words") >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_words") - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        )
-        .withColumn("total", F.greatest(F.col("n_words") - 2, F.lit(0)))
-        .withColumn(
-            "rep",
-            F.when(
-                F.col("total") > 0,
-                (F.col("total") - F.size(F.array_distinct("grams"))).cast("double")
-                / F.col("total"),
-            ).otherwise(F.lit(0.0)),
-        )
-    )
+    from ..operators.quality import gopher_repetition_columns
+
+    # Stage-1 quality gate: THE SAME implementation as doc_quality_battery
+    # (gopher_repetition_columns — staged columns, collision-proof names,
+    # see its docstring for the HOF-lambda re-evaluation trap); the helper
+    # columns are dropped so `q` keeps the caller's docs schema + n_tok.
+    staged = gopher_repetition_columns(docs)
     q = (
         staged.filter(
-            F.col("n_words").between(10, 1000) & (F.col("rep") <= 0.2)
+            F.col("_qg_n_words").between(10, 1000) & (F.col("_qg_rep") <= 0.2)
         )
-        .withColumn("n_tok", F.col("n_words").cast("long"))
-        .drop("ws", "n_words", "grams", "total", "rep")
+        .withColumn("n_tok", F.col("_qg_n_words").cast("long"))
+        .drop("_qg_n_words", "_qg_rep")
     )
     keep = q.groupBy(F.md5(F.lower("text").cast("binary")).alias("h")).agg(
         F.min("doc_id").alias("doc_id")

@@ -647,40 +647,15 @@ def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_pass gate.  Every measure is a narrow single-pass column
     expression — the whole battery runs shuffle-free over the corpus scan,
     so it costs one read at any scale."""
+    from ..operators.quality import gopher_repetition_columns
+
     docs = load_table(spark, sf_dir, "documents")
-    # Stage `ws`/`n_words`/`rep` as real columns instead of inlining the
-    # expression trees: higher-order-function lambdas are interpreted (no
-    # codegen, no common-subexpression elimination), so an inline
-    # `split(...)[i]` re-splits the document once per gram element —
-    # O(n_words^2) splits per doc — and every later reference to `rep`
-    # re-ran the whole gram build.  With attribute references each lambda
-    # access is an O(1) array lookup and CollapseProject keeps the
-    # multi-referenced aliases un-inlined (measured ~100x on this battery
-    # at sf0.1: 26 s -> 0.2 s warm, identical rows).
-    staged = (
-        docs.select("doc_id", "text", F.split(F.lower("text"), " ").alias("ws"))
-        .withColumn("n_words", F.size("ws"))
-        .withColumn(
-            "grams",
-            F.when(
-                F.col("n_words") >= 3,
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n_words") - 3),
-                    lambda i: F.concat_ws(
-                        " ", F.col("ws")[i], F.col("ws")[i + 1], F.col("ws")[i + 2]
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>")),
-        )
-        .withColumn("total", F.greatest(F.col("n_words") - 2, F.lit(0)))
-        .withColumn(
-            "rep",
-            F.when(
-                F.col("total") > 0,
-                (F.col("total") - F.size(F.array_distinct("grams"))).cast("double")
-                / F.col("total"),
-            ).otherwise(F.lit(0.0)),
-        )
+    # The gate inputs come staged as columns from the shared helper (the
+    # curation pipeline's stage-1 gate is the same implementation) — see
+    # gopher_repetition_columns for why staging is load-bearing (the
+    # HOF-lambda re-evaluation trap, PERFORMANCE.md round 6).
+    staged = gopher_repetition_columns(
+        docs.select("doc_id", "text"), n_words_col="n_words", rep_col="rep"
     )
     txt_len = F.length("text")
     digit_ratio = (
@@ -1665,7 +1640,7 @@ _WINNOW_MAX_FP_FREQ = 100
             SELECT unnest(generate_series(1, greatest(len(ws) - {_WINNOW_K - 1}, 0))) AS i
         ) t
     ),
-    g AS (SELECT doc_id, i, {hex_prefix_bigint('hx', 7)} AS h FROM g0),
+    g AS (SELECT doc_id, i, {hex_prefix_bigint('hx', 15)} AS h FROM g0),
     w AS (
         SELECT doc_id, i,
                min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -1710,8 +1685,9 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERFORMANCE.md); the window-min is one doc_id-keyed exchange with O(w)
     state per row; fingerprints join on an equi-key with the boilerplate
     cap bounding every bucket, so candidate cost follows shared evidence,
-    not corpus².  28-bit hashes (7 hex chars) keep the min/aggregation
-    BIGINT-exact in both engines via the portable hex-to-int expansion."""
+    not corpus².  60-bit hashes (15 hex chars) keep the min/aggregation
+    BIGINT-exact in both engines via the portable hex-to-int expansion
+    while making cross-doc birthday collisions negligible at scale."""
     from pyspark.sql.window import Window as W
 
     from ..operators.dedup import winnow_fingerprints
