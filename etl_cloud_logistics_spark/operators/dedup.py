@@ -171,17 +171,16 @@ def winnow_fingerprints(
 # ---------------------------------------------------------------------------
 
 
-def jaccard_pairs(
+def _shared_shingle_counts(
     sh: DataFrame,
     id_col: str = "doc_id",
-    threshold: float = 0.5,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold.
-
-    Join on shared shingles (id_a < id_b), count common, combine with per-doc
-    set sizes.  ``max_shingle_freq`` drops ubiquitous shingles before the
-    join (skew guard at corpus scale)."""
+    """(doc_a, doc_b, n_common, n_a, n_b) for every pair sharing ≥1 shingle
+    — the common evidence-join core of ``jaccard_pairs`` and
+    ``containment_pairs``.  Join on shared shingles (id_a < id_b), count
+    common, combine with per-doc set sizes.  ``max_shingle_freq`` drops
+    ubiquitous shingles before the join (skew guard at corpus scale)."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "s").drop("_df")
@@ -205,12 +204,48 @@ def jaccard_pairs(
     return (
         common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold (symmetric overlap:
+    |A∩B| / |A∪B|)."""
+    return (
+        _shared_shingle_counts(sh, id_col, max_shingle_freq)
         .withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set CONTAINMENT ≥ threshold: |A∩B| /
+    min(|A|, |B|) — the excerpt/quote detector.  A short document embedded
+    verbatim in a long one scores ~1.0 here while its Jaccard is ~|A|/|B|
+    (arbitrarily small), so Jaccard/MinHash dedup never surfaces it; Broder
+    (1997) defines both resemblances for exactly this asymmetry.  Same
+    evidence-bounded shared-shingle join as ``jaccard_pairs`` (never a pair
+    enumeration), same hot-shingle skew cap."""
+    return (
+        _shared_shingle_counts(sh, id_col, max_shingle_freq)
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -1711,3 +1711,50 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "containment_excerpt_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    kept AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_JACCARD_MAX_SHINGLE_FREQ}),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b, c.n_common, sa.n AS n_a, sb.n AS n_b,
+               c.n_common / least(sa.n, sb.n) AS containment
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_common, n_a, n_b, containment
+    FROM ver WHERE containment >= 0.8
+    """,
+    extra=True,  # X2 sibling of neardup_jaccard_pairs (asymmetric overlap)
+)
+def containment_excerpt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excerpt/quote detection (X2): pairs whose shingle-set CONTAINMENT
+    |A∩B| / min(|A|, |B|) is ≥ 0.8 — the asymmetric resemblance of Broder
+    (1997).  A short doc embedded verbatim in a long one scores ~1.0 here
+    while its Jaccard is ~|A|/|B| (arbitrarily small), so this is the
+    curation signal symmetric near-dup passes (MinHash/Jaccard/SimHash)
+    structurally miss: quoted passages, boilerplate-wrapped reposts,
+    documents assembled from other documents.
+
+    Same evidence-bounded shared-shingle join and hot-shingle cap as
+    ``neardup_jaccard_pairs`` (the oracle replays the cap, so the row is
+    bit-exact); the containment ratio is IEEE division of identical integer
+    operands — engine-exact unrounded.  At 100 TB the candidate stage swaps
+    to MinHash-LSH exactly as the Jaccard form does (containment is then
+    estimated per candidate from the same exact intersection counts)."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        shingles(docs), threshold=0.8, max_shingle_freq=_JACCARD_MAX_SHINGLE_FREQ
+    ).select("doc_a", "doc_b", "n_common", "n_a", "n_b", "containment")

@@ -1173,3 +1173,23 @@ def test_winnowing_shift_invariance_of_shared_run(spark):
         for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("fs")).collect()
     }
     assert by_doc[0] & by_doc[1]
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment ~1.0,
+    Jaccard ~|A|/|B| — below any usable symmetric threshold."""
+    from etl_cloud_logistics_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    excerpt = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(30))
+    rows = [(0, excerpt), (1, f"{filler} {excerpt} {filler}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df)
+    cont = {(r.doc_a, r.doc_b): r.containment
+            for r in containment_pairs(sh, threshold=0.8).collect()}
+    assert cont.get((0, 1)) == 1.0  # every excerpt shingle is in the long doc
+    jac = jaccard_pairs(sh, threshold=0.5).collect()
+    assert not jac  # symmetric overlap misses the embedded excerpt
