@@ -325,3 +325,22 @@ def test_bloom_decontam_equals_exact(spark, sf_small):
         ).collect()
     )
     assert saturated == exact
+
+
+def test_gopher_gate_passes_caller_columns_through(spark):
+    """The shared gate helper must not clobber caller columns: staged
+    intermediates use collision-proof underscore names and are dropped, so
+    a frame already carrying ws/rep/total/grams/n_words survives intact."""
+    from etl_cloud_logistics_spark.operators.quality import (
+        gopher_repetition_columns,
+    )
+
+    rows = [(1, "a b c d e f g h i j k l", "keep-ws", 0.9, 7)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, ws string, rep double, total int"
+    )
+    out = gopher_repetition_columns(df)
+    r = out.collect()[0]
+    assert (r.ws, r.rep, r.total) == ("keep-ws", 0.9, 7)
+    assert r._qg_n_words == 12 and r._qg_rep == 0.0
+    assert set(out.columns) == set(df.columns) | {"_qg_n_words", "_qg_rep"}
