@@ -36,8 +36,15 @@ Three measurements per the round-1 review (PERFORMANCE.md):
   curation pipeline that embeds them) EXECUTE during DataFrame
   construction — an action-only number would time reading back a
   checkpoint, not the operator — so for those the timed unit is a full
-  rebuild+execute repeat (codegen/JIT already warm from the run-once
-  pass; the flag "eager" marks them in the output).
+  rebuild+execute repeat (the flag "eager" marks them in the output).
+
+  Since r6 the extension phase runs in a FRESH SparkSession (the run-once
+  pass accumulates GBs of localCheckpoint RDD blocks from the iterative
+  queries; restarting releases them so ext timings aren't paying old
+  block eviction).  The restart also discards JIT/codegen state, so the
+  FIRST of the 3 timed repeats pays fresh-JVM compilation — the median
+  absorbs it, but ext_warm rows are NOT comparable to the r4/r5 rounds
+  that timed inside the warm original session (PERFORMANCE.md, r6).
 """
 
 from __future__ import annotations

@@ -45,7 +45,8 @@ def shingles(
     n: int = 3,
     distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles, one row per (id, shingle).
+    """Word n-gram shingles, one row per (id, shingle) — distinct by
+    default; ``distinct=False`` keeps one row per OCCURRENCE.
 
     Row-level formulation (posexplode + indexed concat) on purpose: it runs
     inside whole-stage codegen, which measures ~3x faster than building the
@@ -180,18 +181,26 @@ def _shared_shingle_counts(
     — the common evidence-join core of ``jaccard_pairs`` and
     ``containment_pairs``.  Join on shared shingles (id_a < id_b), count
     common, combine with per-doc set sizes.  ``max_shingle_freq`` drops
-    ubiquitous shingles before the join (skew guard at corpus scale)."""
+    ubiquitous shingles before the join (skew guard at corpus scale).
+
+    Eager: the shingle stream is staged behind ``localCheckpoint`` — it
+    feeds the frequency-cap join (both sides), the self-join (both sides)
+    and the size aggregation, and a lazy/persisted formulation re-derived
+    the whole tokenize→posexplode→distinct subtree per consumer (the r6
+    plan audit counted 27 exchanges here vs ≤8 for every sibling; caches
+    also outlive the query because this function returns a lazy frame and
+    cannot own the unpersist).  Checkpointing truncates lineage instead:
+    each upstream stage runs exactly once and the blocks are freed with
+    the RDD by the context cleaner, not at session end."""
+    if sh.storageLevel == StorageLevel.NONE:
+        sh = sh.localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         freq = sh.groupBy("s").agg(F.count("*").alias("_df"))
-        sh = sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "s").drop("_df")
-    # the shingle frame feeds the self-join (twice) and the size agg (once);
-    # persist so tokenize/shingle/distinct runs a single time.  If the caller
-    # passed an already-persisted frame, reuse it — the caller then owns the
-    # unpersist (the cache added here otherwise lives until session end,
-    # because this function returns a lazy frame and cannot know when it is
-    # consumed)
-    if sh.storageLevel == StorageLevel.NONE:
-        sh = sh.persist()
+        sh = (
+            sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "s")
+            .drop("_df")
+            .localCheckpoint(eager=True)
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     a = sh.select(F.col(id_col).alias("doc_a"), "s")
     b = sh.select(F.col(id_col).alias("doc_b"), "s")

@@ -150,11 +150,19 @@ def gopher_repetition_columns(
     Staged as columns on purpose: HOF lambdas are interpreted with no
     common-subexpression elimination, so an inline ``split()[i]`` captured
     by the gram lambda re-splits the document per gram — O(n_words²) per
-    doc (PERFORMANCE.md, round 6).  Intermediates use collision-proof
-    underscore names and are dropped before return, so an arbitrary caller
-    frame passes through with its own columns intact (output columns are
-    caller-nameable for the same reason)."""
+    doc (PERFORMANCE.md, round 6).  Intermediates use underscore names and
+    are dropped before return, so an arbitrary caller frame passes through
+    with its own columns intact (output columns are caller-nameable for
+    the same reason).  Name collisions fail LOUDLY: a caller column that
+    matches an intermediate or an output name would be silently
+    overwritten (and, for intermediates, dropped), so it raises instead."""
     ws, grams, total = "_qg_ws", "_qg_grams", "_qg_total"
+    clash = [c for c in (ws, grams, total, n_words_col, rep_col) if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"gopher_repetition_columns would overwrite existing column(s) "
+            f"{clash}; rename them or pass different n_words_col/rep_col"
+        )
     return (
         df.withColumn(ws, F.split(F.lower(text_col), " "))
         .withColumn(n_words_col, F.size(ws))

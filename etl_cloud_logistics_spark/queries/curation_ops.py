@@ -659,15 +659,20 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-           ROUND(MIN(rate), 6) AS rate
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(FLOOR(MIN(rate) * 1000000.0) AS BIGINT) AS rate_micro
     FROM dec GROUP BY source
     """,
-    # r5 driver flagged hash_match=false on this row while local comparison
-    # is tuple-for-tuple bit-exact — the only green candidate emitting a raw
-    # irrational double (rate = sqrt(n_min/n)) AND using DuckDB's
-    # nonstandard '0x' hex cast.  r6 hardening: rate rounds to 6 decimals on
-    # BOTH sides and the hex decode is ANSI arithmetic (hex_prefix_bigint).
+    # r5/r6 driver flagged hash_match=false while local comparison is
+    # tuple-for-tuple bit-exact.  Root cause (r7): the output EDGE, not the
+    # arithmetic — DuckDB's uncast integer SUM is HUGEINT, which lands in
+    # pandas as float64 vs Spark's int64 (type-sensitive hash mismatch),
+    # and `rate` was a rounded double.  Fix: CAST the SUM to BIGINT and
+    # emit the rate as scaled-integer micro-units on both sides — every
+    # hashed output column is now BIGINT or VARCHAR, nothing for a
+    # driver-side type canonicalization to disagree about.  (The IEEE
+    # sqrt(n_min/n) is bit-identical in both engines, so FLOOR(rate*1e6)
+    # is too.)
 )
 def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixing across sources at α=0.5 (operators.curation.
@@ -677,8 +682,10 @@ def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctly rounded in both engines) and replays every md5 keep
     decision numerically — a fixed-length lowercase-hex string compare and
     the numeric compare agree, so the per-source kept counts match
-    exactly.  Eager: the rate computation collects per-source counts when
-    the query is built."""
+    exactly.  Every hashed output column is integer: the rate is emitted
+    as micro-units (FLOOR(rate*1e6), bit-identical IEEE sqrt on both
+    sides), so no double reaches the output.  Eager: the rate computation
+    collects per-source counts when the query is built."""
     from ..operators.curation import mixture_sample, temperature_rates
 
     docs = load_table(spark, sf_dir, "documents")
@@ -697,9 +704,12 @@ def temperature_mixture_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_kept",
-            # 6-decimal round on both sides (oracle: ROUND(MIN(rate), 6)) —
-            # never emit a raw irrational double from a driver row
-            F.round(rate_col[F.col("source")], 6).alias("rate"),
+            # scaled-integer micro-units on both sides (oracle:
+            # CAST(FLOOR(MIN(rate)*1e6) AS BIGINT)) — never emit a raw
+            # double from a driver row; integer hashes can't drift
+            F.floor(rate_col[F.col("source")] * F.lit(1000000.0))
+            .cast("long")
+            .alias("rate_micro"),
         )
     )
 

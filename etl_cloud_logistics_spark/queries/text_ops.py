@@ -1626,6 +1626,13 @@ _WINNOW_W = 5
 # the oracle mirrors the cap so the result stays bit-exact.
 _WINNOW_MAX_FP_FREQ = 100
 
+# Build the k-term gram concat FROM _WINNOW_K so the oracle can never
+# silently desync from the Spark side if k changes (ADVICE r6): for k=4
+# this renders ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+_WINNOW_GRAM_SQL = " || ' ' || ".join(
+    f"ws[i+{j}]" if j else "ws[i]" for j in range(_WINNOW_K)
+)
+
 
 @register(
     "winnow_fingerprint_pairs",
@@ -1635,7 +1642,7 @@ _WINNOW_MAX_FP_FREQ = 100
     ),
     g0 AS (
         SELECT doc_id, i,
-               md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS hx
+               md5({_WINNOW_GRAM_SQL}) AS hx
         FROM tok, LATERAL (
             SELECT unnest(generate_series(1, greatest(len(ws) - {_WINNOW_K - 1}, 0))) AS i
         ) t

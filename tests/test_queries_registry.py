@@ -39,6 +39,40 @@ def test_oracle_parses_and_columns_match(spark, sf_small, duck, name):
     assert sorted(oracle_cols) == sorted(spark_cols), f"{name}: column drift"
 
 
+# The driver hashes values through pandas: DuckDB HUGEINT (any uncast
+# integer SUM) arrives as float64 while Spark's long is int64, so a
+# type-sensitive hash mismatches even when every value agrees — the
+# r5/r6 `temperature_mixture_sources` / `pagerank_copurchase` red rows.
+# Whitelist the types that round-trip losslessly; anything else must be
+# explicitly CAST at the oracle's output edge.
+_HASH_SAFE_DUCK_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+}
+
+
+@pytest.mark.parametrize("name", sorted(n for n, s in REGISTRY.items() if s.oracle))
+def test_oracle_output_types_hash_safe(duck, name):
+    """No implicit HUGEINT/DECIMAL ever reaches a hashed oracle output
+    (r6 verdict item 1c).  DESCRIBE binds without executing, so this is a
+    cheap static gate over every registered oracle, extras included."""
+    spec = REGISTRY[name]
+    desc = duck.execute("DESCRIBE " + spec.oracle).fetchall()
+    offenders = [
+        (col, typ) for col, typ, *_ in desc if typ.upper() not in _HASH_SAFE_DUCK_TYPES
+    ]
+    assert not offenders, (
+        f"{name}: oracle emits hash-fragile DuckDB types {offenders} — "
+        f"CAST at the output edge (uncast integer SUM is HUGEINT → pandas "
+        f"float64 → driver hash mismatch vs Spark's int64)"
+    )
+
+
 @pytest.mark.parametrize(
     "name", sorted(n for n, s in REGISTRY.items() if s.extra and s.oracle)
 )

@@ -2,8 +2,14 @@
 
 Runs every registry query at sf0.01 (override with SPARK_GRAFT_SF_DIR),
 runs its DuckDB oracle twin over the same parquet, and compares
-row-count + column names/types + order-insensitive values (exact —
-stricter than any hash the driver uses).
+row-count + column names/types + order-insensitive values, PLUS a
+TYPE-SENSITIVE canonical hash (r7).  The hash matters: value-exact
+comparison is type-coercing (int64 170 == float64 170.0) but the
+driver's hash is not — DuckDB HUGEINT outputs land in pandas as
+float64 while Spark longs are int64, which is exactly how
+`temperature_mixture_sources` / `pagerank_copurchase` were locally
+"exact" yet driver-red for three rounds.  A query only counts as green
+here when values match AND the typed hashes agree.
 
 Usage:  python tools/verify_local.py [name-substring ...] [--json PATH]
 
@@ -62,6 +68,54 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             except Exception:
                 pass
     return df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+
+
+def _typed_cell(v) -> str:
+    """Render one value with a type tag, so int64 170 != float64 170.0."""
+    import datetime
+    import decimal
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
+        return "null"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"f:{float(v)!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return f"t:{pd.Timestamp(v).tz_localize(None) if getattr(v, 'tzinfo', None) else pd.Timestamp(v)}"
+    if isinstance(v, datetime.date):
+        # Spark DATE → datetime.date objects; DuckDB DATE → datetime64 at
+        # midnight.  The driver treats them as the same logical type, so
+        # unify to the timestamp rendering rather than flag every date col.
+        return f"t:{pd.Timestamp(v)}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if isinstance(v, (list, np.ndarray)):
+        return "l:[" + ",".join(_typed_cell(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def typed_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive, TYPE-SENSITIVE digest of a result frame —
+    the local stand-in for the driver's value hash.  Columns sort by
+    name, every cell carries a type tag, rows sort as rendered tuples."""
+    import hashlib
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(
+        "|".join(_typed_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    h.update(",".join(df.columns).encode())
+    for r in rows:
+        h.update(r.encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
@@ -148,18 +202,35 @@ def main() -> int:
             failed.append(n)
             continue
         problems = compare(n, sdf, ddf)
+        hash_match = (
+            sorted(sdf.columns) == sorted(ddf.columns)
+            and typed_hash(sdf) == typed_hash(ddf)
+        )
         rec.update(
             oracle_rows=len(ddf),
             rows_match=len(sdf) == len(ddf),
             schema_match=sorted(sdf.columns) == sorted(ddf.columns),
             values_match=not problems,
+            hash_match=hash_match,
             secs=round(time.time() - t0, 2),
         )
-        if problems:
+        if problems or not hash_match:
             print(f"FAIL  {n}: rows={len(sdf)}")
             for p in problems[:5]:
                 print(f"      {p}")
-            rec.update(status="mismatch", problems=problems[:5])
+            if not problems:
+                # values coerce equal but the TYPED hash differs — the
+                # exact failure mode the driver sees on HUGEINT/double
+                # output edges; show the per-column dtypes to localize it
+                print(
+                    "      typed-hash mismatch (type drift, values equal): "
+                    f"spark dtypes={dict(sdf.dtypes.astype(str))} "
+                    f"duck dtypes={dict(ddf.dtypes.astype(str))}"
+                )
+            rec.update(
+                status="mismatch" if problems else "hash_mismatch",
+                problems=problems[:5],
+            )
             failed.append(n)
         else:
             print(f"PASS  {n}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
@@ -170,7 +241,10 @@ def main() -> int:
             "sf_dir": SF_DIR,
             "n_queries": len(names),
             "n_passed": len(names) - len(failed),
-            "comparison": "rows + column names + order-insensitive EXACT values",
+            "comparison": (
+                "rows + column names + order-insensitive EXACT values "
+                "+ type-sensitive canonical hash"
+            ),
             "queries": records,
         }
         with open(json_path, "w") as fh:
