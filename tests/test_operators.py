@@ -785,3 +785,54 @@ def test_bloom_filter_rows_is_superset_prefilter(spark):
     assert set(range(500)) <= kept  # no false negatives, ever
     fp = len(kept) - 500
     assert fp / 4500 < 0.05, fp  # ~1% expected at 10 bits/key
+
+
+def test_graph_family_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir on pagerank/pagerank_fixed/bfs_min_hops switches
+    lineage truncation from localCheckpoint to the shared two-slot parquet
+    scheme (operators.checkpointing.RoundCheckpointer — executor-loss-safe
+    on a real cluster); results must be IDENTICAL to the default mode, and
+    the purely-intermediate BFS frontier stream must leave no files
+    behind."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators.graph import (
+        bfs_min_hops,
+        pagerank,
+        pagerank_fixed,
+    )
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    chk = str(tmp_path / "chk")
+
+    fixed_local = {
+        (r.node, r.rank_fp) for r in pagerank_fixed(df, n_iter=5).collect()
+    }
+    fixed_rel = {
+        (r.node, r.rank_fp)
+        for r in pagerank_fixed(df, n_iter=5, checkpoint_dir=chk).collect()
+    }
+    assert fixed_rel == fixed_local  # bit-exact: integer arithmetic
+
+    flt_local = {r.node: r.rank for r in pagerank(df, max_iter=9).collect()}
+    flt_rel = {
+        r.node: r.rank
+        for r in pagerank(df, max_iter=9, checkpoint_dir=chk).collect()
+    }
+    assert set(flt_rel) == set(flt_local)
+    for k in flt_local:
+        assert abs(flt_rel[k] - flt_local[k]) < 1e-12, k
+
+    seeds = spark.createDataFrame([(0,)], "node long")
+    bfs_local = {(r.node, r.hops) for r in bfs_min_hops(df, seeds).collect()}
+    bfs_rel = {
+        (r.node, r.hops)
+        for r in bfs_min_hops(df, seeds, checkpoint_dir=chk).collect()
+    }
+    assert bfs_rel == bfs_local == {(0, 0), (1, 1), (2, 1), (3, 2)}
+    # the frontier stream is intermediate-only: its run dir must be gone
+    leftover = [d for d in os.listdir(chk) if d.startswith("bfs-frontier")]
+    assert not leftover, leftover

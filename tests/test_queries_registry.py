@@ -143,3 +143,76 @@ def test_register_query_views_sql_surface(spark, sf_small):
         "SELECT doc_a FROM neardup_minhash_lsh ORDER BY jaccard DESC, doc_a LIMIT 1"
     ).collect()
     assert len(top) == 1
+
+
+def test_with_recursive_sql_matches_bfs_operator(spark, sf_small):
+    """Spark 4 runs the reachability query's WITH RECURSIVE text directly
+    (the form a migrating-SQL user would paste in); the engine's
+    frontier-dedup BFS operator must return the identical (part, hops)
+    set.  The operator stays the registry's serving path — walk
+    enumeration is a combinatorial bomb at corpus scale — but the SQL
+    surface is pinned here so both entry points keep agreeing."""
+    if tuple(int(x) for x in spark.version.split(".")[:2]) < (4, 0):
+        pytest.skip("recursive CTE needs Spark 4")
+    from etl_cloud_logistics_spark.catalog import register_views
+    from etl_cloud_logistics_spark.queries.relational_ext import _SQL_BFS
+
+    register_views(spark, sf_small)
+    via_sql = {(r.part, r.hops) for r in spark.sql(_SQL_BFS).collect()}
+    via_op = {
+        (r.part, r.hops)
+        for r in REGISTRY["reachable_parts_bfs"].fn(spark, sf_small).collect()
+    }
+    assert via_sql == via_op
+    assert via_sql, "empty reachability set — seed or edge derivation broke"
+
+
+def test_pagerank_fixed_8_iters_orders_like_converged_float(spark, sf_small):
+    """The registry's fixed-point PageRank runs 8 iterations (r7: cut from
+    12 to recover ~2 s); this pins what 8 rounds actually buy ON THE GRAPH
+    THE REGISTRY SERVES: the head of the ranking (top 5) matches the
+    fully-converged float twin exactly, and every ordering disagreement is
+    confined to near-ties — pairs whose converged ranks differ by < 6%
+    relative (power iteration's remaining error after 8 damped rounds is
+    ~0.85^8 ≈ 27% of the initial gap, so near-tie swaps are inherent to
+    ANY truncated iteration count; 12 rounds still swapped pairs within
+    1.5%).  A swap across a larger-than-6% gap would mean 8 iterations
+    lost real rank structure, not tie noise — that's the regression this
+    guards."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.operators.cooccurrence import frequent_item_pairs
+    from etl_cloud_logistics_spark.operators.graph import pagerank, pagerank_fixed
+
+    li = load_table(spark, sf_small, "lineitem")
+    pairs = (
+        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        .select("item_a", "item_b")
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst")))
+    fixed = {
+        r.node: r.rank_fp for r in pagerank_fixed(edges, n_iter=8).collect()
+    }
+    flt = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iter=60, tol=1e-12).collect()
+    }
+    assert set(fixed) == set(flt)
+    # head of the ranking is exact (ties broken by node id on both sides)
+    top_float = sorted(flt, key=lambda v: (-flt[v], v))[:5]
+    top_fixed = sorted(fixed, key=lambda v: (-fixed[v], v))[:5]
+    assert top_fixed == top_float, f"top-5 drifted: {top_fixed} vs {top_float}"
+    # every inversion is a near-tie: relative converged-rank gap < 6%
+    nodes = sorted(fixed)
+    bad = [
+        (a, b, abs(flt[a] - flt[b]) / max(flt[a], flt[b]))
+        for i, a in enumerate(nodes)
+        for b in nodes[i + 1 :]
+        if (flt[a] - flt[b]) * (fixed[a] - fixed[b]) <= 0
+        and abs(flt[a] - flt[b]) / max(flt[a], flt[b]) >= 0.06
+    ]
+    assert not bad, f"inversions across non-tie gaps: {bad[:5]}"
