@@ -3,8 +3,10 @@
 re-expressed as one streaming job family over the events source.
 
 Mapping (SURVEY.md §2.9):
-- ST1 ingestion        → ``read_event_stream`` (file source in tests; the
-  same code takes kafka/rate sources in production — only ``format`` differs)
+- ST1 ingestion        → ``read_event_stream`` (multi-source seam, r7:
+  ``files`` for tests, ``kafka`` + ``decode_event_json`` for production
+  brokers, ``rate`` for self-contained soak runs — all yield EVENT_SCHEMA
+  columns, so every downstream job is source-agnostic)
 - ST2 status lookup    → ``latest_status_stream`` (applyInPandasWithState —
   the DynamoDB ``deliveries_status`` table becomes Spark state-store state)
 - ST4 deviation alerts → ``alert_stream`` (stateless exprs → alert sink via
@@ -35,17 +37,85 @@ from ..catalog import SCHEMAS, ensure_session_confs
 EVENT_SCHEMA = SCHEMAS["events"]
 
 
+def decode_event_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a broker payload column (Kafka/Kinesis deliver bytes) into the
+    canonical event columns.  Pure column expressions — works on batch and
+    streaming frames alike, so the decode contract is pytest-testable
+    without a broker (the same separation the JDBC source keeps between
+    option-plumbing and the untestable network hop).  Malformed payloads
+    decode to all-null rows (from_json's PERMISSIVE default) rather than
+    failing the stream; filter ``event_id IS NOT NULL`` downstream to
+    quarantine them."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), EVENT_SCHEMA).alias("e")
+    ).select("e.*")
+
+
 def read_event_stream(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    source_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    source: str = "files",
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str = "events",
+    rows_per_second: int = 100,
 ) -> DataFrame:
-    """File-source event stream (ST1).  Tests drop chronological parquet
-    chunks into ``source_dir``; production swaps format('kafka')."""
+    """Event stream (ST1) from one of three sources, all yielding the same
+    EVENT_SCHEMA columns so every downstream job is source-agnostic:
+
+    - ``files`` (default): chronological parquet chunks dropped into
+      ``source_dir`` — the test harness's replayable micro-batch source;
+    - ``kafka``: ``format('kafka')`` + JSON payload decode
+      (:func:`decode_event_json`) — the production broker path.  Needs the
+      spark-sql-kafka connector on the classpath and a reachable
+      bootstrap server; neither exists in the test sandbox, so only the
+      decode half is differential-tested (like sources/jdbc.py);
+    - ``rate``: Spark's built-in rate source mapped to deterministic
+      synthetic events — a self-contained soak/throughput source that
+      runs anywhere, used to exercise the multi-source seam in CI."""
     ensure_session_confs(spark)
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    if source == "files":
+        if source_dir is None:
+            raise ValueError("source='files' requires source_dir")
+        return (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+    if source == "kafka":
+        if kafka_bootstrap is None:
+            raise ValueError(
+                "source='kafka' requires kafka_bootstrap "
+                "(host:port of the broker bootstrap servers)"
+            )
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", kafka_topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        return decode_event_json(raw)
+    if source == "rate":
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+        # deterministic event synthesis from the monotone rate counter —
+        # same distribution family as sources/generator.py's batch events
+        return raw.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 50).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("ping"), F.lit("move"), F.lit("scan"), F.lit("drop")),
+                (F.col("value") % 4 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.pmod(F.hash(F.col("value")), F.lit(5000)) / 100.0).alias("value"),
+            F.to_json(F.struct(F.col("value").alias("seq"))).alias("props"),
+        )
+    raise ValueError(f"unknown source {source!r}: use 'files', 'kafka' or 'rate'")
 
 
 def windowed_counts(
