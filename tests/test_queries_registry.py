@@ -86,13 +86,20 @@ def test_extra_query_values_match_oracle(spark, sf_small, duck, name):
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from tools.verify_local import compare
+    from tools.verify_local import compare, typed_hash
 
     spec = REGISTRY[name]
     sdf = spec.fn(spark, sf_small).toPandas()
     ddf = duck.execute(spec.oracle).df()
     problems = compare(name, sdf, ddf)
     assert not problems, f"{name}: {problems[:3]}"
+    # r7: extras obey the same TYPE-SENSITIVE hash discipline as driver
+    # rows — value-equal-but-type-drifted outputs (HUGEINT→float64 vs
+    # int64) must fail here, not on promotion into the driver window
+    assert typed_hash(sdf) == typed_hash(ddf), (
+        f"{name}: typed-hash mismatch (type drift, values equal): "
+        f"spark={dict(sdf.dtypes.astype(str))} duck={dict(ddf.dtypes.astype(str))}"
+    )
 
 
 def test_sql_api_over_registered_views(spark, sf_small):
