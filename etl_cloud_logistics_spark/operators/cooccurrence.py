@@ -27,16 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def frequent_item_pairs(
+def _mine_pairs(
     baskets: DataFrame,
     basket_col: str,
     item_col: str,
     minsup: int,
-) -> DataFrame:
-    """Unordered item pairs (item_a < item_b) co-occurring in ≥ ``minsup``
-    distinct baskets, with per-item supports, directional confidence
-    P(b|a), and lift.  Input rows may repeat (a basket listing an item
-    twice counts once)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared mining core: (li, item_cnt, pairs) where ``pairs`` is the
+    ≥ minsup co-occurrence counts.  Eager: ``li`` checkpoints on build."""
     # the distinct'd (basket, item) projection feeds THREE consumers (item
     # supports, the pair self-join twice, the basket total); an eager
     # localCheckpoint materializes it once instead of re-running the
@@ -62,6 +60,37 @@ def frequent_item_pairs(
         .agg(F.count(F.lit(1)).alias("pair_orders"))
         .filter(F.col("pair_orders") >= minsup)
     )
+    return li, item_cnt, pairs
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    minsup: int,
+) -> DataFrame:
+    """(item_a, item_b, pair_orders) only — the graph-construction cut of
+    the miner (r7).  The full ``frequent_item_pairs`` adds per-item
+    supports, confidence and lift through two key joins plus a
+    basket-count aggregate; consumers that only need the EDGE LIST
+    (PageRank, BFS reachability) were paying those association-rule
+    statistics for columns Catalyst cannot prune away (inner joins change
+    cardinality, so the optimizer must keep them).  Same pair set by
+    construction."""
+    return _mine_pairs(baskets, basket_col, item_col, minsup)[2]
+
+
+def frequent_item_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    minsup: int,
+) -> DataFrame:
+    """Unordered item pairs (item_a < item_b) co-occurring in ≥ ``minsup``
+    distinct baskets, with per-item supports, directional confidence
+    P(b|a), and lift.  Input rows may repeat (a basket listing an item
+    twice counts once)."""
+    li, item_cnt, pairs = _mine_pairs(baskets, basket_col, item_col, minsup)
     n_baskets = li.select("basket").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )

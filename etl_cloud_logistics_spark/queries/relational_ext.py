@@ -937,15 +937,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unrolled iterations in the DuckDB oracle reproduce every rank
     bit-for-bit — the float twin (``operators.graph.pagerank``) keeps the
     convergence-probed production form and its numpy differential test."""
-    from ..operators.cooccurrence import frequent_item_pairs
+    from ..operators.cooccurrence import frequent_pairs
     from ..operators.graph import pagerank_fixed
 
     li = load_table(spark, sf_dir, "lineitem")
-    # checkpoint the mined pairs BEFORE the two-direction union — otherwise
-    # the whole mining subtree sits in both union branches and runs twice
-    # (caught in review, round 4)
+    # pairs-only mining cut (r7): the graph needs the edge list, not the
+    # association-rule statistics.  Checkpoint the mined pairs BEFORE the
+    # two-direction union — otherwise the whole mining subtree sits in
+    # both union branches and runs twice (caught in review, round 4)
     pairs = (
-        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        frequent_pairs(li, "l_orderkey", "l_partkey", minsup=3)
         .select("item_a", "item_b")
         .localCheckpoint(eager=True)
     )
@@ -1003,14 +1004,15 @@ def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WITH RECURSIVE, bounded by spark.sql.cteRecursionLevelLimit), but at
     100 TB walk enumeration is a combinatorial bomb, so the operator form
     is what the registry serves."""
-    from ..operators.cooccurrence import frequent_item_pairs
+    from ..operators.cooccurrence import frequent_pairs
     from ..operators.graph import bfs_min_hops
 
     li = load_table(spark, sf_dir, "lineitem")
-    # checkpoint mined pairs before the two-direction union (same reason
-    # as pagerank_copurchase: the union would run the mining twice)
+    # pairs-only mining cut (r7) + checkpoint before the two-direction
+    # union (same reason as pagerank_copurchase: the union would run the
+    # mining twice)
     pairs = (
-        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        frequent_pairs(li, "l_orderkey", "l_partkey", minsup=3)
         .select("item_a", "item_b")
         .localCheckpoint(eager=True)
     )

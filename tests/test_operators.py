@@ -836,3 +836,28 @@ def test_graph_family_reliable_checkpoint(spark, tmp_path):
     # the frontier stream is intermediate-only: its run dir must be gone
     leftover = [d for d in os.listdir(chk) if d.startswith("bfs-frontier")]
     assert not leftover, leftover
+
+
+def test_frequent_pairs_matches_full_miner(spark):
+    """The pairs-only mining cut (r7: what the graph rows consume) returns
+    exactly the full miner's (item_a, item_b, pair_orders) projection."""
+    from etl_cloud_logistics_spark.operators.cooccurrence import (
+        frequent_item_pairs,
+        frequent_pairs,
+    )
+
+    rows = [
+        (b, it)
+        for b in range(12)
+        for it in ([1, 2, 3] if b % 2 == 0 else [2, 3, 4, b + 10])
+    ]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    full = {
+        (r.item_a, r.item_b, r.pair_orders)
+        for r in frequent_item_pairs(df, "basket", "item", minsup=3).collect()
+    }
+    cut = {
+        (r.item_a, r.item_b, r.pair_orders)
+        for r in frequent_pairs(df, "basket", "item", minsup=3).collect()
+    }
+    assert cut == full and cut

@@ -189,12 +189,12 @@ def test_pagerank_fixed_8_iters_orders_like_converged_float(spark, sf_small):
     from pyspark.sql import functions as F
 
     from etl_cloud_logistics_spark.catalog import load_table
-    from etl_cloud_logistics_spark.operators.cooccurrence import frequent_item_pairs
+    from etl_cloud_logistics_spark.operators.cooccurrence import frequent_pairs
     from etl_cloud_logistics_spark.operators.graph import pagerank, pagerank_fixed
 
     li = load_table(spark, sf_small, "lineitem")
     pairs = (
-        frequent_item_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        frequent_pairs(li, "l_orderkey", "l_partkey", minsup=3)
         .select("item_a", "item_b")
         .localCheckpoint(eager=True)
     )
