@@ -294,6 +294,7 @@ def curation_pipeline(
     candidates: str = "exact",
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Pipeline implementation over an arbitrary documents frame (doc_id,
     text, lang, source) with a parameterized near-dup CANDIDATE stage:
@@ -308,7 +309,12 @@ def curation_pipeline(
       of shared shingles, so the only super-linear stage of the exact form
       becomes ~linear (measured by tools/scaling_probe.py --pipeline).
       With no cap and the same threshold the two settings agree whenever
-      LSH recall is 1.0 (pytest-pinned on the sf corpus)."""
+      LSH recall is 1.0 (pytest-pinned on the sf corpus).
+
+    ``checkpoint_dir`` (r7) forwards to the connected-components stage —
+    on a real cluster the label-propagation rounds should use the
+    reliable two-slot parquet scheme (operators/checkpointing.py) so a
+    lost executor doesn't fail the longest stage of the pipeline."""
     from ..operators.dedup import (
         jaccard_pairs,
         minhash_lsh_neardup,
@@ -374,7 +380,7 @@ def curation_pipeline(
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    comp = neardup_components(pairs, nodes)
+    comp = neardup_components(pairs, nodes, checkpoint_dir=checkpoint_dir)
     # comp is eagerly checkpointed inside neardup_components, so nothing
     # downstream depends on sh/pairs any more — release those caches here
     # rather than leaking them for the session's life (registry-wide sweeps
