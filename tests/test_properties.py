@@ -169,3 +169,40 @@ def test_stratified_sample_exact_properties(spark, rows, n):
     assert set(got) <= set(rows)
     again = [(r.doc_id, r.lang) for r in stratified_sample_exact(df, ["lang"], "doc_id", n).collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_typed_hash_properties():
+    """The driver-hash stand-in (tools/verify_local.typed_hash) must be
+    row-order-insensitive and column-order-insensitive but TYPE-sensitive
+    — int64 170 != float64 170.0 is precisely the HUGEINT failure mode it
+    exists to catch — while canonicalizing the sign of zero (legal IEEE
+    split, not type drift)."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.verify_local import typed_hash
+
+    a = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    # row permutation
+    assert typed_hash(a) == typed_hash(a.iloc[[2, 0, 1]].reset_index(drop=True))
+    # column order
+    assert typed_hash(a) == typed_hash(a[["y", "x"]])
+    # type sensitivity: same values, int vs float dtype
+    f = a.copy()
+    f["x"] = f["x"].astype(float)
+    assert typed_hash(a) != typed_hash(f)
+    # value sensitivity
+    b = a.copy()
+    b.loc[0, "x"] = 99
+    assert typed_hash(a) != typed_hash(b)
+    # sign-of-zero canonicalization (both float dtype)
+    z1 = pd.DataFrame({"x": [0.0]})
+    z2 = pd.DataFrame({"x": [-0.0]})
+    assert typed_hash(z1) == typed_hash(z2)
+    # null vs value
+    n1 = pd.DataFrame({"x": [None]}, dtype="object")
+    n2 = pd.DataFrame({"x": ["null"]}, dtype="object")
+    assert typed_hash(n1) != typed_hash(n2)

@@ -82,7 +82,11 @@ def _typed_cell(v) -> str:
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, (float, np.floating)):
-        return f"f:{float(v)!r}"
+        # -0.0 == 0.0 in every engine's comparison semantics but reprs
+        # differ; canonicalize so a sign-of-zero split between engines
+        # (legal under IEEE for e.g. rounding of negative tiny values)
+        # doesn't raise a false type-drift alarm
+        return f"f:{float(v) + 0.0!r}"
     if isinstance(v, decimal.Decimal):
         return f"d:{v}"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
