@@ -364,3 +364,21 @@ def test_curation_pipeline_reliable_checkpoint_identical(spark, sf_small, tmp_pa
         )
     )
     assert rel == base and base
+
+
+def test_gopher_gate_collision_fails_loudly(spark):
+    """A caller column matching an intermediate or output name would be
+    silently overwritten then dropped; the helper must refuse instead
+    (ADVICE r6)."""
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.operators.quality import (
+        gopher_repetition_columns,
+    )
+
+    df = spark.createDataFrame([(1, "a b c", 9)], "doc_id long, text string, _qg_ws long")
+    with _pytest.raises(ValueError, match="_qg_ws"):
+        gopher_repetition_columns(df)
+    df2 = spark.createDataFrame([(1, "a b c", 9)], "doc_id long, text string, n_words long")
+    with _pytest.raises(ValueError, match="n_words"):
+        gopher_repetition_columns(df2, n_words_col="n_words")

@@ -225,3 +225,17 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_small):
     part = load_table(spark, sf_small, "part").filter(F.col("p_size") == 1)
     li = load_table(spark, sf_small, "lineitem")
     assert n_filtered == li.join(part, li.l_partkey == part.p_partkey).count()
+
+
+def test_shared_shingle_pair_plans_stay_collapsed(spark, sf_small):
+    """The shared-shingle pair queries must keep the r7 checkpointed
+    layout: the tokenize→posexplode→distinct subtree is staged behind
+    localCheckpoint, so every consumer reads RDD-scan leaves and the plan
+    carries a handful of exchanges.  Before the fix the persisted
+    formulation re-displayed (and the cap join re-derived) that subtree
+    per consumer — 27 exchanges vs 3 for these two rows in
+    EXPLAIN_AUDIT_r06 vs _r07."""
+    for name in ("neardup_jaccard_pairs", "containment_excerpt_pairs"):
+        plan = plan_of(spark, sf_small, name)
+        n_exch = plan.count("Exchange")
+        assert n_exch <= 8, f"{name}: {n_exch} exchanges\n{plan[:1500]}"
