@@ -42,6 +42,7 @@ class RoundCheckpointer:
 
     def __init__(self, checkpoint_dir: str | None = None, prefix: str = "rounds"):
         self.calls = 0
+        self._static_names: list[str] = []
         self.run_dir = (
             None
             if checkpoint_dir is None
@@ -70,16 +71,29 @@ class RoundCheckpointer:
         if self.run_dir is None:
             return df.localCheckpoint(eager=True)
         path = os.path.join(self.run_dir, f"static-{name}")
+        self._static_names.append(name)
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
 
     def cleanup_stale(self) -> None:
-        """Remove the alternate slot (intermediate rounds only) so shared
-        checkpoint dirs don't accumulate stale files across invocations."""
-        if self.run_dir is not None and self.calls >= 2:
+        """Remove everything the caller's RETURNED frame does not read —
+        the alternate round slot AND every static slot — so shared
+        checkpoint dirs don't accumulate stale files across invocations.
+        Statics are loop-internal by contract (edge lists, out-degrees the
+        rounds join against); the final result is always a materialized
+        round slot, so once the loop ends the statics are pure garbage —
+        do NOT call this if you return a frame produced by static()."""
+        if self.run_dir is None:
+            return
+        if self.calls >= 2:
             stale = self._slot(self.calls)
             if os.path.isdir(stale):
                 shutil.rmtree(stale, ignore_errors=True)
+        for name in self._static_names:
+            path = os.path.join(self.run_dir, f"static-{name}")
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+        self._static_names.clear()
 
     def cleanup_all(self) -> None:
         """Remove the whole per-invocation directory — only valid when NO

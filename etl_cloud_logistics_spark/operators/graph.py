@@ -160,6 +160,11 @@ def pagerank_fixed(
         e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     )
     n_dangling = dangling.count()
+    if n_dangling:
+        # hoist the SET too, not just the count: the per-round dang
+        # aggregate semi-joins against it, and a lazy frame would re-run
+        # the distinct + anti-join inside every round (review, r7)
+        dangling = chk.static(dangling.select("node"), "dangling")
     base = (100 - damping_pct) * scale // (100 * n)
     ranks = chk(nodes.withColumn("r", F.lit(scale // n).cast("long")))
     for it in range(n_iter):

@@ -157,11 +157,20 @@ def gopher_repetition_columns(
     matches an intermediate or an output name would be silently
     overwritten (and, for intermediates, dropped), so it raises instead."""
     ws, grams, total = "_qg_ws", "_qg_grams", "_qg_total"
-    clash = [c for c in (ws, grams, total, n_words_col, rep_col) if c in df.columns]
+    names = (ws, grams, total, n_words_col, rep_col)
+    clash = [c for c in names if c in df.columns]
     if clash:
         raise ValueError(
             f"gopher_repetition_columns would overwrite existing column(s) "
             f"{clash}; rename them or pass different n_words_col/rep_col"
+        )
+    if len(set(names)) != len(names):
+        # e.g. n_words_col == rep_col: the later withColumn would silently
+        # replace the earlier output — the same failure mode as a caller
+        # collision, so the same loud refusal
+        raise ValueError(
+            f"gopher_repetition_columns output/intermediate names collide "
+            f"with each other: {sorted(n for n in names if names.count(n) > 1)}"
         )
     return (
         df.withColumn(ws, F.split(F.lower(text_col), " "))

@@ -861,3 +861,26 @@ def test_frequent_pairs_matches_full_miner(spark):
         for r in frequent_pairs(df, "basket", "item", minsup=3).collect()
     }
     assert cut == full and cut
+
+
+def test_reliable_checkpoint_leaves_only_the_result_slot(spark, tmp_path):
+    """cleanup_stale must remove the static slots too (review, r7): after a
+    reliable-mode pagerank_fixed the run dir holds exactly the one round
+    slot the returned frame reads — no stranded edge-list copies — and the
+    returned frame still collects correctly after cleanup."""
+    import os
+
+    from etl_cloud_logistics_spark.operators.graph import pagerank_fixed
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]  # node 3 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    chk = str(tmp_path / "chk")
+    out = pagerank_fixed(df, n_iter=4, checkpoint_dir=chk)
+    rows = {(r.node, r.rank_fp) for r in out.collect()}
+    assert len(rows) == 4
+    (run_dir,) = os.listdir(chk)
+    slots = sorted(os.listdir(os.path.join(chk, run_dir)))
+    assert len(slots) == 1 and slots[0].startswith("slot-"), slots
+    # dangling-graph equivalence: reliable mode == localCheckpoint mode
+    base = {(r.node, r.rank_fp) for r in pagerank_fixed(df, n_iter=4).collect()}
+    assert rows == base

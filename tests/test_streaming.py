@@ -1062,24 +1062,36 @@ def test_rate_source_events_drive_streaming_jobs(spark, tmp_path_factory):
         run_stream_to_memory,
     )
 
+    import time as _time
+
     stream = read_event_stream(spark, source="rate", rows_per_second=500)
     assert stream.isStreaming
     ckpt = str(tmp_path_factory.mktemp("rate-ckpt"))
+    # availableNow over a rate source yields an EMPTY batch (the offset
+    # capture sees ~0 elapsed clock), which made the first version of this
+    # test vacuous (review, r7) — run a real micro-batch trigger and poll
+    # until alerts actually accumulate, then assert on them
     q = (
         alert_stream(stream)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("rate_alerts")
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
-    q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM rate_alerts").collect()
+    rows = []
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        rows = spark.sql("SELECT * FROM rate_alerts").collect()
+        if len(rows) >= 20:
+            break
+        _time.sleep(1)
     q.stop()
     assert {c for c in ("alert_id", "user_id", "ts", "value", "severity")} <= set(
         spark.table("rate_alerts").columns
     )
+    assert len(rows) >= 20, f"rate stream produced only {len(rows)} alerts"
     for r in rows:
         assert r.value > 35.0
         assert r.user_id == r.alert_id % 50
