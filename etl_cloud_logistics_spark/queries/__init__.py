@@ -16,11 +16,19 @@ the driver, where they would push covering queries past the checked window.
 Window fallback policy (r7): if a driver row reports ``hash_match: false``
 while ``tools/verify_local.py`` (which now replays the driver's
 type-sensitive hash) is green, do NOT carry it a second round — mark it
-``extra=True`` and promote one of the designated integer-output,
-oracle-bearing extras with green local history in its place:
-``dsir_gumbel_topk`` (queries/curation_ops.py), ``cmsketch_word_counts``
-(queries/text_ops.py), ``kmv_customer_overlap``
-(queries/relational_ext.py).
+``extra=True`` and promote an oracle-bearing extra with green local
+history in its place.
+
+Window rotation (r8, VERDICT r7 #2): long-green redundant rows rotate out
+so the external gate verifies previously CI-only operators — demoted
+``q03_status_counts``/``q05_customer_workload`` (their §2 IDs stay covered
+by q01/q06-q10)/``dsir_importance_weights``/``zscore_outlier_gate``/
+``tumbling_hourly_counts``/``heavy_hitter_words``; promoted
+``dsir_gumbel_topk``/``mad_outlier_gate``/``rolling_zscore_anomalies``/
+``kmv_customer_overlap``/``cmsketch_word_counts``/
+``winnow_fingerprint_pairs``.  Demoted rows remain CI-exact-gated, and
+``bench.py`` still times the full core-12 (the BASELINE.md unit) by
+including q01..q12 regardless of the extra flag.
 
 Determinism rules (so the driver's order-insensitive value-hash agrees):
 - no wall-clock: the reference's ``CURRENT_DATE``-relative predicates become

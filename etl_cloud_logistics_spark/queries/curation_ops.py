@@ -460,6 +460,10 @@ _DSIR_CTES = f"""
     """,
     # r4: rotated INTO the driver window (the round's flagship data-selection
     # operator; previously CI-exact-gated as an extra)
+    extra=True,  # r8 window rotation: the DSIR component's driver row is now
+    # dsir_gumbel_topk (its selection half, sharing these scoring CTEs), so
+    # the external gate sees the previously CI-only half; this half was
+    # driver-green r4-r7 and stays CI-exact-gated.
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weighting for data selection (Xie et al. 2023,
@@ -569,8 +573,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE rnk <= 100
     """,
-    extra=True,  # X6 data-selection extra (r4): the RESAMPLING half of DSIR,
-    # CI-exact-gated; shares the scoring CTEs with dsir_importance_weights
+    # r8: promoted to the driver window (VERDICT r7 #2) — CI-exact-gated
+    # since r4; takes the DSIR slot from dsir_importance_weights (demoted to
+    # extra), so the external gate now verifies the Gumbel-top-k selection
+    # half too.  Shares the scoring CTEs with dsir_importance_weights.
 )
 def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RESAMPLING step of DSIR: draw 100 documents WITHOUT replacement

@@ -40,7 +40,8 @@ _DIM = 64
                COUNT(*) AS n
         FROM pairs GROUP BY i, j
     )
-    SELECT i AS dim_i, j AS dim_j, (sxy - sx * sy / n) / n AS cov
+    SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+           (sxy - sx * sy / n) / n AS cov
     FROM agg
     """,
 )

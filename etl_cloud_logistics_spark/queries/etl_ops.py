@@ -171,6 +171,10 @@ def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l, st
     GROUP BY st.n, st.mean, st.std
     """,
+    extra=True,  # r8 window rotation: A9/F21's driver coverage moves to the
+    # promoted siblings mad_outlier_gate (robust form) and
+    # rolling_zscore_anomalies (time-series form); this mean/std gate was
+    # driver-green r3-r7 and stays CI-exact-gated.
 )
 def zscore_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-score outlier gate (A9/F21, ref etl_pipeline.py:313-322): global
@@ -705,8 +709,9 @@ def group_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority, d.n_rows, d.med, d.mad
     ORDER BY o.o_orderpriority
     """,
-    extra=True,  # A9 robust sibling; the mean/std gate holds the driver row
-    # (zscore_outlier_gate)
+    # r8: promoted to the driver window (VERDICT r7 #2) — A9's robust
+    # sibling, CI-exact-gated since r4; takes the outlier-gate slot from
+    # zscore_outlier_gate (demoted to extra).
 )
 def mad_outlier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier gate (A9's breakdown-resistant sibling): per-priority

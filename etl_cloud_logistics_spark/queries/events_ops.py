@@ -69,6 +69,9 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r3 rotation (VERDICT r2 item 6): standalone takes the ST6 driver row
     # this round; its former carrier windowed_counts moves to extra so the
     # merged battery is proven against the driver oracle via its parts
+    extra=True,  # r8 window rotation: ST6's remaining driver carrier is
+    # session_stats_per_user (also F6); this row was driver-green r3-r7 and
+    # stays CI-exact-gated.
 )
 def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time aggregation (ST6) — the batch twin of the
@@ -645,8 +648,9 @@ def resample_hourly_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     WHERE base_var > 0 AND abs(z) > 3
     """,
-    extra=True,  # A9's time-series sibling; the static-population driver row
-    # is zscore_outlier_gate
+    # r8: promoted to the driver window (VERDICT r7 #2) — A9/F21's
+    # time-series form, CI-exact-gated since r6; shares the promoted
+    # outlier-gate coverage with mad_outlier_gate.
 )
 def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-baseline anomaly detection (A9/F21's TIME-SERIES form): each

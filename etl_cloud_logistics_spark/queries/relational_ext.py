@@ -288,7 +288,7 @@ def approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ntile(4) OVER w AS INT) AS quartile,
            percent_rank() OVER w AS pct_rank,
            cume_dist() OVER w AS cum_dist,
-           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           CAST(dense_rank() OVER w AS INT) AS drank,
            first_value(c_custkey) OVER w AS poorest_key,
            CAST(c_acctbal - lag(c_acctbal, 1, c_acctbal) OVER w AS DOUBLE) AS gap_to_prev
     FROM customer
@@ -1138,8 +1138,9 @@ def _kmv_oracle() -> str:
 @register(
     "kmv_customer_overlap",
     oracle=_kmv_oracle(),
-    extra=True,  # sketch family's driver rows: heavy_hitter_words (MG),
-    # q04 (exact countDistinct); HLL variant approx_distinct_users_hll
+    # r8: promoted to the driver window (VERDICT r7 #2) — the sketch
+    # family's set-operation member, CI-exact-gated since r6; q04 keeps the
+    # exact countDistinct driver row, HLL variant stays an extra.
 )
 def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap via K-minimum-values sketches (`operators.kmv`,

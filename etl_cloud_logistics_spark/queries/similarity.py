@@ -47,7 +47,8 @@ _COS_TERMS = """
     scored AS (
         SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms
     )
-    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -82,7 +83,8 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms
     )
-    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -196,7 +198,8 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT query_id, neighbor_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim FROM terms
     )
-    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, rank
+    SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim,
+           CAST(rank AS INT) AS rank
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -346,7 +349,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rnk <= 15
     )
     SELECT doc_id, CAST(r_text AS INT) AS r_text, CAST(r_vec AS INT) AS r_vec,
-           rrf, fused_rank
+           rrf, CAST(fused_rank AS INT) AS fused_rank
     FROM (
         SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
                round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.r_text), 0)
@@ -488,7 +491,7 @@ def srp_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, group_id, MAX(cos_sim) AS maxsim
         FROM chunk_scores GROUP BY query_id, group_id
     )
-    SELECT query_id, group_id, maxsim, rank
+    SELECT query_id, group_id, maxsim, CAST(rank AS INT) AS rank
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY maxsim DESC, group_id) AS rank

@@ -525,7 +525,7 @@ def string_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok WHERE length(w) >= 4
         GROUP BY lang, w
     )
-    SELECT lang, w AS term, tf, rnk
+    SELECT lang, w AS term, tf, CAST(rnk AS INT) AS rnk
     FROM (
         SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tf DESC, w) AS rnk
         FROM stats
@@ -709,7 +709,7 @@ def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (SELECT doc_id, SUM(term_score) AS s, COUNT(*) AS n_terms_hit
             FROM scored GROUP BY doc_id)
     SELECT doc_id, CAST(n_terms_hit AS INT) AS n_terms_hit,
-           round(CAST(s AS DOUBLE), 4) AS score, rnk
+           round(CAST(s AS DOUBLE), 4) AS score, CAST(rnk AS INT) AS rnk
     FROM (
         SELECT *, row_number() OVER (
             ORDER BY round(CAST(s AS DOUBLE), 4) DESC, doc_id) AS rnk
@@ -1076,6 +1076,12 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM w WHERE word <> ''
     GROUP BY word HAVING COUNT(*) >= 500
     """,
+    extra=True,  # r8 window rotation: the sketch family's driver coverage
+    # moves to the promoted cmsketch_word_counts (point frequency) and
+    # kmv_customer_overlap (set ops); X4 stays driver-covered by
+    # doc_quality_battery/bm25/duplicated_span_fraction/inverted_index/
+    # word_vote + promoted winnow_fingerprint_pairs.  Driver-green r4-r7,
+    # stays CI-exact-gated.
 )
 def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent words via the Misra-Gries candidate → exact-verify pipeline
@@ -1109,7 +1115,7 @@ def heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((start - 1) / 384 AS BIGINT) AS chunk_id,
            lang,
            substring(text, start, 512) AS chunk_text,
-           len(substring(text, start, 512)) AS n_chars
+           CAST(len(substring(text, start, 512)) AS INT) AS n_chars
     FROM starts
     """,
 )
@@ -1576,7 +1582,9 @@ _CM_ORACLE = f"""
 @register(
     "cmsketch_word_counts",
     oracle=_CM_ORACLE,
-    extra=True,  # sketch family's driver row is heavy_hitter_words (MG)
+    # r8: promoted to the driver window (VERDICT r7 #2) — the sketch
+    # family's point-frequency member, CI-exact-gated since r6; takes a
+    # sketch slot from heavy_hitter_words (demoted to extra).
 )
 def cmsketch_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch point-frequency estimates for the corpus's 30 most
@@ -1670,7 +1678,9 @@ _WINNOW_GRAM_SQL = " || ' ' || ".join(
     )
     WHERE rnk <= 20
     """,
-    extra=True,  # X4 fingerprinting: the winnowing sibling of doc_fingerprints
+    # r8: promoted to the driver window (VERDICT r7 #2) — MOSS winnowing
+    # fingerprint pairs, CI-exact-gated since r6; widens X4's externally
+    # verified surface alongside the demotion of heavy_hitter_words.
 )
 def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03

@@ -206,3 +206,18 @@ def test_typed_hash_properties():
     n1 = pd.DataFrame({"x": [None]}, dtype="object")
     n2 = pd.DataFrame({"x": ["null"]}, dtype="object")
     assert typed_hash(n1) != typed_hash(n2)
+    # integer WIDTH sensitivity (r8 ADVICE): int32 vs int64 same values —
+    # the DuckDB INTEGER vs Spark BIGINT drift a width-less tag missed
+    w32 = pd.DataFrame({"x": pd.array([1, 2, 3], dtype="int32")})
+    w64 = pd.DataFrame({"x": pd.array([1, 2, 3], dtype="int64")})
+    assert typed_hash(w32) != typed_hash(w64)
+    # same width on both sides still agrees
+    assert typed_hash(w64) == typed_hash(pd.DataFrame({"x": [1, 2, 3]}))
+    # separator-collision resistance (r8 ADVICE): a '|' or newline inside a
+    # string cell must not let two different frames render identically
+    s1 = pd.DataFrame({"a": ["x|s:y"], "b": ["z"]})
+    s2 = pd.DataFrame({"a": ["x"], "b": ["s:y|z"]})
+    assert typed_hash(s1) != typed_hash(s2)
+    t1 = pd.DataFrame({"a": ["p\nq"]})  # one cell with an embedded newline
+    t2 = pd.DataFrame({"a": ["p", "q"]})  # two rows — must not collide
+    assert typed_hash(t1) != typed_hash(t2)

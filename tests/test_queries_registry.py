@@ -45,6 +45,11 @@ def test_oracle_parses_and_columns_match(spark, sf_small, duck, name):
 # r5/r6 `temperature_mixture_sources` / `pagerank_copurchase` red rows.
 # Whitelist the types that round-trip losslessly; anything else must be
 # explicitly CAST at the oracle's output edge.
+# INTEGER stays whitelisted (r8 ADVICE review) only because the typed hash
+# is now WIDTH-sensitive (i32 vs i64 tags): an oracle INTEGER column whose
+# Spark twin is long fails the dynamic hash gates below / in
+# tools/verify_local.py, so the static DESCRIBE gate no longer silently
+# blesses a cross-width drift.
 _HASH_SAFE_DUCK_TYPES = {
     "BIGINT",
     "INTEGER",

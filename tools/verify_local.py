@@ -70,8 +70,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
 
 
-def _typed_cell(v) -> str:
-    """Render one value with a type tag, so int64 170 != float64 170.0."""
+def _typed_cell(v, int_tag: str = "i") -> str:
+    """Render one value with a type tag, so int64 170 != float64 170.0.
+
+    ``int_tag`` carries the COLUMN's integer width ("i32"/"i64", from the
+    pandas dtype) — r8 ADVICE fix: a bare "i:" tag collapsed all integer
+    widths, so a DuckDB INTEGER (int32) vs Spark BIGINT (int64) drift
+    hashed green locally while a width-sensitive driver hash could still
+    flag it.  Cells inside object-dtype columns (lists, mixed) keep the
+    width-less tag, symmetrically on both sides."""
     import datetime
     import decimal
 
@@ -80,7 +87,7 @@ def _typed_cell(v) -> str:
     if isinstance(v, (bool, np.bool_)):
         return f"b:{bool(v)}"
     if isinstance(v, (int, np.integer)):
-        return f"i:{int(v)}"
+        return f"{int_tag}:{int(v)}"
     if isinstance(v, (float, np.floating)):
         # -0.0 == 0.0 in every engine's comparison semantics but reprs
         # differ; canonicalize so a sign-of-zero split between engines
@@ -103,15 +110,30 @@ def _typed_cell(v) -> str:
     return f"s:{v}"
 
 
+def _esc(cell: str) -> str:
+    """Escape the join separators inside one rendered cell (r8 ADVICE fix):
+    unescaped '|' or '\\n' inside string contents could make two genuinely
+    different frames render to the same joined byte stream (false PASS)."""
+    return cell.replace("\\", "\\\\").replace("|", "\\p").replace("\n", "\\n")
+
+
 def typed_hash(df: pd.DataFrame) -> str:
     """Order-insensitive, TYPE-SENSITIVE digest of a result frame —
     the local stand-in for the driver's value hash.  Columns sort by
-    name, every cell carries a type tag, rows sort as rendered tuples."""
+    name, every cell carries a type tag (integer cells a WIDTH-bearing
+    one derived from the column dtype, e.g. ``i32:``/``i64:``), cell
+    renders are separator-escaped, rows sort as rendered tuples."""
     import hashlib
 
     df = df.reindex(sorted(df.columns), axis=1)
+    tags = [
+        f"{df[c].dtype.kind}{df[c].dtype.itemsize * 8}"
+        if df[c].dtype.kind in "iu"
+        else "i"
+        for c in df.columns
+    ]
     rows = sorted(
-        "|".join(_typed_cell(v) for v in row)
+        "|".join(_esc(_typed_cell(v, t)) for v, t in zip(row, tags))
         for row in df.itertuples(index=False, name=None)
     )
     h = hashlib.sha256()
