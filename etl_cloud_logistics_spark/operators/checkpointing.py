@@ -35,10 +35,12 @@ class RoundCheckpointer:
     """Callable that truncates a DataFrame's lineage once per round.
 
     ``chk = RoundCheckpointer(checkpoint_dir, prefix="pagerank")`` then
-    ``frame = chk(frame)`` inside the loop; call ``chk.cleanup_stale()``
-    after the loop to drop the slot that only backed intermediate rounds
-    (the final result's slot is kept — the returned DataFrame lazily
-    reads it for the life of the result)."""
+    ``frame = chk(frame)`` inside the loop; call
+    ``chk.cleanup_stale(returning=frame)`` after the loop to drop the
+    slots that only backed intermediate rounds (the final result's slot is
+    kept — the returned DataFrame lazily reads it for the life of the
+    result; the ``returning`` argument lets the guard prove that frame's
+    slot is not among the deleted)."""
 
     def __init__(self, checkpoint_dir: str | None = None, prefix: str = "rounds"):
         self.calls = 0
@@ -61,7 +63,9 @@ class RoundCheckpointer:
         path = self._slot(self.calls)
         self.calls += 1
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        out._rc_slot_kind = "round"  # see cleanup_stale's misuse guard
+        return out
 
     def static(self, df: DataFrame, name: str) -> DataFrame:
         """Truncate a LOOP-INVARIANT frame (edge lists, out-degrees): one
@@ -73,18 +77,45 @@ class RoundCheckpointer:
         path = os.path.join(self.run_dir, f"static-{name}")
         self._static_names.append(name)
         df.write.mode("overwrite").parquet(path)
-        return df.sparkSession.read.parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        out._rc_slot_kind = "static"
+        return out
 
-    def cleanup_stale(self) -> None:
+    def cleanup_stale(self, returning: DataFrame | None = None) -> None:
         """Remove everything the caller's RETURNED frame does not read —
         the alternate round slot AND every static slot — so shared
         checkpoint dirs don't accumulate stale files across invocations.
         Statics are loop-internal by contract (edge lists, out-degrees the
         rounds join against); the final result is always a materialized
-        round slot, so once the loop ends the statics are pure garbage —
-        do NOT call this if you return a frame produced by static()."""
+        round slot, so once the loop ends the statics are pure garbage.
+
+        Misuse guard (r8, verdict item 5 — previously contract-by-docstring):
+        in reliable mode, when static slots exist the caller MUST pass
+        ``returning=<the checkpointed frame it is about to return>`` so
+        this method can prove it is not deleting that frame's backing
+        parquet — a frame produced by ``static()`` raises instead of being
+        silently broken, and omitting ``returning`` raises rather than
+        trusting the comment.  Pass the frame as returned by ``chk(df)``
+        (before any further ``.select``/``.filter``, which produce new
+        DataFrame objects without the slot marker)."""
         if self.run_dir is None:
             return
+        if self._static_names:
+            if returning is None:
+                raise ValueError(
+                    "cleanup_stale: static slots exist "
+                    f"({self._static_names}); pass returning=<the round-"
+                    "slot frame you are about to return> so deleting its "
+                    "backing files is provably impossible"
+                )
+            if getattr(returning, "_rc_slot_kind", None) != "round":
+                raise ValueError(
+                    "cleanup_stale would delete the parquet backing the "
+                    "frame you are returning (it is not a round-slot frame "
+                    "from chk(df)); return a round-checkpointed frame, or "
+                    "use cleanup_all() only once nothing reads this "
+                    "checkpointer's files"
+                )
         if self.calls >= 2:
             stale = self._slot(self.calls)
             if os.path.isdir(stale):

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .checkpointing import RoundCheckpointer
 
@@ -86,7 +87,7 @@ def bfs_min_hops(
             break
         visited = chk_v(visited.union(nxt))
         frontier = nxt.select("node")
-    chk_v.cleanup_stale()
+    chk_v.cleanup_stale(returning=visited)
     chk_f.cleanup_all()  # purely intermediate: nothing reads frontiers now
     return visited
 
@@ -148,7 +149,15 @@ def pagerank_fixed(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank_fp", F.lit(0).cast("long"))
+        # empty graph: in reliable mode `nodes` is backed by a static slot
+        # under a possibly-shared checkpoint_dir — returning it would leak
+        # the run dir forever (r8 ADVICE fix).  Hand back an unbacked empty
+        # literal frame and remove the whole per-invocation dir first.
+        schema = T.StructType(
+            nodes.schema.fields + [T.StructField("rank_fp", T.LongType())]
+        )
+        chk.cleanup_all()
+        return edges.sparkSession.createDataFrame([], schema)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     e_od = chk.static(
         e.join(out_deg, "src")
@@ -201,7 +210,7 @@ def pagerank_fixed(
         if it % 2 == 1 or it == n_iter - 1:
             new = chk(new)
         ranks = new
-    chk.cleanup_stale()
+    chk.cleanup_stale(returning=ranks)
     return ranks.select("node", F.col("r").alias("rank_fp"))
 
 
@@ -233,7 +242,13 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        # same leak guard as pagerank_fixed: never return a static-backed
+        # frame from the empty path (r8 ADVICE fix)
+        schema = T.StructType(
+            nodes.schema.fields + [T.StructField("rank", T.DoubleType())]
+        )
+        chk.cleanup_all()
+        return edges.sparkSession.createDataFrame([], schema)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
     ranks = chk(nodes.withColumn("rank", F.lit(1.0 / n)))
@@ -285,5 +300,5 @@ def pagerank(
                 ranks = new_ranks
                 break
         ranks = new_ranks
-    chk.cleanup_stale()
+    chk.cleanup_stale(returning=ranks)
     return ranks

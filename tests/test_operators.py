@@ -884,3 +884,55 @@ def test_reliable_checkpoint_leaves_only_the_result_slot(spark, tmp_path):
     # dangling-graph equivalence: reliable mode == localCheckpoint mode
     base = {(r.node, r.rank_fp) for r in pagerank_fixed(df, n_iter=4).collect()}
     assert rows == base
+
+
+def test_cleanup_stale_static_misuse_raises(spark, tmp_path):
+    """The r7 contract-by-docstring ("do NOT call cleanup_stale if you
+    return a frame produced by static()") is now enforced (r8, verdict
+    item 5): deleting parquet that backs a live static-slot frame raises
+    instead of silently corrupting the caller's result, and omitting the
+    ``returning`` proof while statics exist raises too."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_cloud_logistics_spark.operators.checkpointing import RoundCheckpointer
+
+    chk = RoundCheckpointer(str(tmp_path / "chk"), prefix="guard")
+    df = spark.range(5).toDF("node")
+    st = chk.static(df, "edges")
+    r1 = chk(df.withColumn("lbl", df["node"] * 2))
+    # misuse 1: returning a static-backed frame
+    with _pytest.raises(ValueError, match="delete the parquet backing"):
+        chk.cleanup_stale(returning=st)
+    # misuse 2: statics exist but no proof-of-returning passed
+    with _pytest.raises(ValueError, match="static slots exist"):
+        chk.cleanup_stale()
+    # the static frame is still readable — nothing was deleted by the raises
+    assert st.count() == 5
+    # correct use: pass the round frame; statics are cleaned, result lives
+    chk.cleanup_stale(returning=r1)
+    assert r1.count() == 5
+    run_dir = chk.run_dir
+    leftovers = sorted(os.listdir(run_dir))
+    assert all(not p.startswith("static-") for p in leftovers), leftovers
+
+
+def test_pagerank_empty_graph_leaves_no_checkpoint_litter(spark, tmp_path):
+    """Empty-graph early exit in reliable mode (r8 ADVICE fix): both
+    pagerank variants must return an unbacked empty frame and remove their
+    per-invocation run dir, not leak static slots under a shared
+    checkpoint_dir forever."""
+    import os
+
+    from etl_cloud_logistics_spark.operators.graph import pagerank, pagerank_fixed
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    chk = tmp_path / "chk"
+    out_fp = pagerank_fixed(empty, n_iter=3, checkpoint_dir=str(chk))
+    assert out_fp.columns == ["node", "rank_fp"] and out_fp.count() == 0
+    out_fl = pagerank(empty, max_iter=3, checkpoint_dir=str(chk))
+    assert out_fl.columns == ["node", "rank"] and out_fl.count() == 0
+    assert not os.path.isdir(chk) or os.listdir(chk) == [], (
+        "empty-graph path leaked checkpoint dirs: " + str(os.listdir(chk))
+    )
