@@ -42,10 +42,14 @@ def decode_event_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     canonical event columns.  Pure column expressions — works on batch and
     streaming frames alike, so the decode contract is pytest-testable
     without a broker (the same separation the JDBC source keeps between
-    option-plumbing and the untestable network hop).  Malformed payloads
-    decode to all-null rows (from_json's PERMISSIVE default) rather than
-    failing the stream; filter ``event_id IS NOT NULL`` downstream to
-    quarantine them."""
+    option-plumbing and the untestable network hop).  Failure semantics
+    (from_json's PERMISSIVE default, r8 docstring correction): only
+    UNPARSEABLE JSON nulls the whole struct → an all-null row; a payload
+    that parses but has a missing or wrong-typed field nulls just that
+    field, yielding a partial row.  A downstream ``event_id IS NOT NULL``
+    filter therefore quarantines both fully-malformed payloads AND
+    otherwise-well-formed events that merely lack ``event_id`` — choose a
+    stricter per-field policy if partial rows should survive."""
     return raw.select(
         F.from_json(F.col(value_col).cast("string"), EVENT_SCHEMA).alias("e")
     ).select("e.*")
