@@ -20,6 +20,10 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            build at N distinct keys; default 1e6 3e6 1e7)
        python tools/scaling_probe.py --graph [K ...]    (frontier BFS +
            fixed-point PageRank over K× disjoint graph replicas)
+       python tools/scaling_probe.py --powerlaw [E ...] (pagerank/BFS/
+           components on synthesized Zipf-endpoint graphs at E edges,
+           BOTH checkpoint modes, wall + measured shuffle;
+           default 1e5 1e6 1e7)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -299,6 +303,140 @@ def graph_probe(ks: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def powerlaw_probe(es: list[int]) -> None:
+    """Graph family under REAL graph load (r8, VERDICT r7 item 1): the
+    registry's co-purchase graph mines to 2 frequent pairs at sf0.1, so
+    the iterative operators had only ever run at Spark's scheduling floor.
+    This probe synthesizes power-law edge lists at 1e5..1e7 edges —
+    deterministically, no RNG: both endpoints of edge i are
+    ``floor(exp(u * ln N))`` with u an md5-derived uniform of i, giving
+    endpoint probability p(id) ∝ 1/id (Zipf) — heavy hubs, the skew shape
+    real co-occurrence/link graphs have — with N = E/10 nodes.
+
+    For each size it runs fixed-point PageRank (8 rounds, the registry
+    configuration), hub-seeded frontier BFS, and connected-components
+    label propagation, in BOTH lineage-truncation modes (localCheckpoint
+    and reliable two-slot parquet), recording wall seconds and ACTUAL
+    shuffle bytes from Spark's SQL metrics store.  The 100 TB evidence
+    sought: per-round PageRank shuffle grows ~O(E) (column pr_MB/rnd),
+    BFS shuffle is frontier/edge-bounded, not walk-enumeration-bounded,
+    and no super-linear wall blowup appears across 1e5 -> 1e7."""
+    import math
+
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.operators.dedup import (  # noqa: PLC0415
+        neardup_components,
+    )
+    from etl_cloud_logistics_spark.operators.graph import (  # noqa: PLC0415
+        bfs_min_hops,
+        pagerank_fixed,
+    )
+
+    spark = get_spark("scaling-probe-powerlaw")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    def powerlaw_edges(n_edges: int):
+        n_nodes = max(n_edges // 10, 1000)
+        ln_n = math.log(n_nodes)
+
+        def zipf(tag: str):
+            h = F.substring(
+                F.md5(F.concat(F.lit(tag), F.col("i").cast("string"))), 1, 8
+            )
+            u = (F.conv(h, 16, 10).cast("double") + 0.5) / 4294967296.0
+            return F.floor(F.exp(u * F.lit(ln_n))).cast("long")
+
+        return (
+            spark.range(n_edges)
+            .toDF("i")
+            .select(zipf("s:").alias("src"), zipf("d:").alias("dst"))
+            .filter("src <> dst")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+
+    import shutil
+    import tempfile
+
+    N_ITER = 8  # the registry row's configuration
+    MAX_HOPS = 4  # hub-seeded: the giant component is within ~3 hops
+
+    def run_all(edges, seeds, chk_dir):
+        rows = {}
+        for op, fn in (
+            (
+                "pagerank",
+                lambda: pagerank_fixed(
+                    edges, n_iter=N_ITER, checkpoint_dir=chk_dir
+                ).write.mode("overwrite").format("noop").save(),
+            ),
+            (
+                "bfs",
+                lambda: bfs_min_hops(
+                    edges, seeds, max_hops=MAX_HOPS, checkpoint_dir=chk_dir
+                ).write.mode("overwrite").format("noop").save(),
+            ),
+            (
+                "components",
+                lambda: neardup_components(
+                    edges.select(
+                        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+                    ),
+                    edges.select(F.col("src").alias("doc_id"))
+                    .unionByName(edges.select(F.col("dst").alias("doc_id")))
+                    .distinct(),
+                    checkpoint_dir=chk_dir,
+                ).write.mode("overwrite").format("noop").save(),
+            ),
+        ):
+            before = exec_ids()
+            t0 = time.perf_counter()
+            fn()
+            wall = time.perf_counter() - t0
+            m = _execution_metrics(store, exec_ids() - before)
+            rows[op] = (wall, m.get("shuffle bytes written", 0.0) / 2**20)
+            spark.catalog.clearCache()
+        return rows
+
+    # warm the plan shapes once at the smallest size
+    warm = powerlaw_edges(10_000)
+    seeds_w = warm.agg(F.min("src").alias("node"))
+    run_all(warm, seeds_w, None)
+
+    print(
+        "power-law graph probe (endpoints ~ Zipf via md5-uniforms, "
+        f"N = E/10, pagerank {N_ITER} rounds, bfs max_hops={MAX_HOPS})"
+    )
+    print(
+        f"{'E':>9} {'mode':>8} {'pr_sec':>7} {'pr_MB':>8} {'pr_MB/rnd':>9} "
+        f"{'bfs_sec':>8} {'bfs_MB':>8} {'cc_sec':>7} {'cc_MB':>8}"
+    )
+    for e in es:
+        edges = powerlaw_edges(e)
+        n_edges = edges.count()
+        seeds = edges.agg(F.min("src").alias("node"))
+        for mode in ("local", "reliable"):
+            chk = None if mode == "local" else tempfile.mkdtemp(prefix="plchk-")
+            try:
+                r = run_all(edges, seeds, chk)
+            finally:
+                if chk is not None:
+                    shutil.rmtree(chk, ignore_errors=True)
+            print(
+                f"{n_edges:>9} {mode:>8} "
+                f"{r['pagerank'][0]:>7.2f} {r['pagerank'][1]:>8.1f} "
+                f"{r['pagerank'][1] / N_ITER:>9.1f} "
+                f"{r['bfs'][0]:>8.2f} {r['bfs'][1]:>8.1f} "
+                f"{r['components'][0]:>7.2f} {r['components'][1]:>8.1f}"
+            )
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -312,6 +450,11 @@ def main() -> None:
         return
     if args and args[0] == "--graph":
         graph_probe([int(a) for a in args[1:]] or [1, 5, 10])
+        return
+    if args and args[0] == "--powerlaw":
+        powerlaw_probe(
+            [int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000]
+        )
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
