@@ -45,6 +45,7 @@ class RoundCheckpointer:
     def __init__(self, checkpoint_dir: str | None = None, prefix: str = "rounds"):
         self.calls = 0
         self._static_names: list[str] = []
+        self._persisted_statics: list[DataFrame] = []
         self.run_dir = (
             None
             if checkpoint_dir is None
@@ -68,12 +69,27 @@ class RoundCheckpointer:
         return out
 
     def static(self, df: DataFrame, name: str) -> DataFrame:
-        """Truncate a LOOP-INVARIANT frame (edge lists, out-degrees): one
-        dedicated slot per name, written once, never alternated — every
-        round reads it, so in reliable mode it must survive executor loss
-        exactly like the per-round labels do."""
+        """Materialize a LOOP-INVARIANT frame (edge lists, out-degrees):
+        one dedicated slot per name, written once, never alternated —
+        every round reads it, so in reliable mode it must survive executor
+        loss exactly like the per-round labels do.
+
+        Local mode uses eager ``persist`` rather than ``localCheckpoint``
+        (r8, power-law probe finding): the cached PLAN keeps its Catalyst
+        ``outputPartitioning``, so a caller that stages the static with
+        ``repartition(<join key>)`` makes every round's join against it
+        exchange-free on the static side — ``localCheckpoint`` converts to
+        an RDD scan and DROPS that knowledge, which re-shuffled the O(|E|)
+        edge list every PageRank/BFS round (measured 587 MB/round at 1e7
+        edges).  Statics are loop-invariant and shallow, so the lineage
+        truncation localCheckpoint buys is worthless here; the persisted
+        blocks are unpersisted by ``cleanup_stale``/``cleanup_all``."""
         if self.run_dir is None:
-            return df.localCheckpoint(eager=True)
+            out = df.persist()
+            out.count()  # eager, like the checkpoint path
+            self._persisted_statics.append(out)
+            out._rc_slot_kind = "static"
+            return out
         path = os.path.join(self.run_dir, f"static-{name}")
         self._static_names.append(name)
         df.write.mode("overwrite").parquet(path)
@@ -97,8 +113,14 @@ class RoundCheckpointer:
         silently broken, and omitting ``returning`` raises rather than
         trusting the comment.  Pass the frame as returned by ``chk(df)``
         (before any further ``.select``/``.filter``, which produce new
-        DataFrame objects without the slot marker)."""
+        DataFrame objects without the slot marker).
+
+        Local mode only unpersists the static blocks — safe even if a
+        static frame escaped (a persisted frame recomputes from its
+        lineage); only the reliable mode's file deletion is destructive
+        enough to need the proof-of-returning guard."""
         if self.run_dir is None:
+            self._unpersist_statics()
             return
         if self._static_names:
             if returning is None:
@@ -126,9 +148,16 @@ class RoundCheckpointer:
                 shutil.rmtree(path, ignore_errors=True)
         self._static_names.clear()
 
+    def _unpersist_statics(self) -> None:
+        for df in self._persisted_statics:
+            df.unpersist()
+        self._persisted_statics.clear()
+
     def cleanup_all(self) -> None:
         """Remove the whole per-invocation directory — only valid when NO
         live DataFrame reads any of its slots (e.g. a purely-intermediate
-        stream like BFS's per-level frontier after the loop ends)."""
+        stream like BFS's per-level frontier after the loop ends).  In
+        local mode, unpersists any static blocks instead."""
+        self._unpersist_statics()
         if self.run_dir is not None and os.path.isdir(self.run_dir):
             shutil.rmtree(self.run_dir, ignore_errors=True)

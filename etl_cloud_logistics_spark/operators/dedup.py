@@ -586,6 +586,10 @@ def neardup_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        # distinct() partitions by (src, dst); re-key by the propagation
+        # join key so the cached plan carries hashpartitioning(src) and
+        # rounds stop re-exchanging O(|E|) (r8 power-law probe finding)
+        .repartition("src")
         .persist()
     )
     checkpoint = RoundCheckpointer(checkpoint_dir, prefix="components")

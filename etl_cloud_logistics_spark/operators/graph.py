@@ -64,9 +64,14 @@ def bfs_min_hops(
     each gets its own alternating slot pair."""
     chk_v = RoundCheckpointer(checkpoint_dir, prefix="bfs-visited")
     chk_f = RoundCheckpointer(checkpoint_dir, prefix="bfs-frontier")
+    # distinct() leaves the edge list partitioned by (src, dst); re-key it
+    # by the per-level join key so localCheckpoint pins a reusable
+    # partitioning and levels stop re-shuffling O(|E|) (r8 probe finding —
+    # 1.8 GB of BFS shuffle at 1e7 edges, mostly the edge side)
     e = chk_v.static(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct(),
+        .distinct()
+        .repartition("src"),
         "edges",
     )
     visited = chk_v(
@@ -159,9 +164,20 @@ def pagerank_fixed(
         chk.cleanup_all()
         return edges.sparkSession.createDataFrame([], schema)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # hash-partition the joined edge list by its join key BEFORE the static
+    # checkpoint (r8, power-law probe finding): localCheckpoint preserves
+    # outputPartitioning, so every round's ranks⋈edges join reuses it and
+    # only the O(|V|) ranks side + the message aggregation shuffle per
+    # round — without this the O(|E|) edge list re-shuffled EVERY round
+    # (measured 587 MB/round at 1e7 edges vs ~160 MB of edge data).
+    # Reliable mode reads the static back from plain parquet, which drops
+    # the partitioning — rounds re-exchange the edges there; a real
+    # cluster deployment would write the static as a bucketed table to
+    # keep both executor-loss safety and the pinned partitioning.
     e_od = chk.static(
         e.join(out_deg, "src")
-        .select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od"),
+        .select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od")
+        .repartition("e_src"),
         "edges-od",
     )
     # nodes with no out-edges — static, so detected once before the loop
@@ -250,7 +266,13 @@ def pagerank(
         chk.cleanup_all()
         return edges.sparkSession.createDataFrame([], schema)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    # pinned edge partitioning, same rationale as pagerank_fixed (r8):
+    # localCheckpoint preserves it, so rounds stop re-shuffling O(|E|)
+    e2 = chk.static(
+        e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        .repartition("e_src"),
+        "edges-keyed",
+    )
     ranks = chk(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
     probe_every = 4  # convergence probes are extra jobs; amortize them
