@@ -68,26 +68,31 @@ class RoundCheckpointer:
         out._rc_slot_kind = "round"  # see cleanup_stale's misuse guard
         return out
 
-    def static(self, df: DataFrame, name: str) -> DataFrame:
+    def static(self, df: DataFrame, name: str, pin: bool = False) -> DataFrame:
         """Materialize a LOOP-INVARIANT frame (edge lists, out-degrees):
         one dedicated slot per name, written once, never alternated —
         every round reads it, so in reliable mode it must survive executor
         loss exactly like the per-round labels do.
 
-        Local mode uses eager ``persist`` rather than ``localCheckpoint``
-        (r8, power-law probe finding): the cached PLAN keeps its Catalyst
-        ``outputPartitioning``, so a caller that stages the static with
-        ``repartition(<join key>)`` makes every round's join against it
-        exchange-free on the static side — ``localCheckpoint`` converts to
-        an RDD scan and DROPS that knowledge, which re-shuffled the O(|E|)
-        edge list every PageRank/BFS round (measured 587 MB/round at 1e7
-        edges).  Statics are loop-invariant and shallow, so the lineage
-        truncation localCheckpoint buys is worthless here; the persisted
-        blocks are unpersisted by ``cleanup_stale``/``cleanup_all``."""
+        ``pin=True`` (local mode) materializes via eager ``persist``
+        rather than ``localCheckpoint`` (r8, power-law probe finding): the
+        cached PLAN keeps its Catalyst ``outputPartitioning``, so a caller
+        that stages the static with ``repartition(<join key>)`` makes
+        every round's join against it exchange-free on the static side —
+        ``localCheckpoint`` converts to an RDD scan and DROPS that
+        knowledge, which re-shuffled the O(|E|) edge list every
+        PageRank/BFS round (measured 587 MB/round at 1e7 edges).  Pinning
+        is opt-in because the columnar cache round-trip costs measurably
+        more per round than an RDD scan on floor-sized graphs (+15%
+        per invocation on the registry graph) — callers gate it on size.
+        Pinned blocks are unpersisted by ``cleanup_stale``/``cleanup_all``."""
         if self.run_dir is None:
-            out = df.persist()
-            out.count()  # eager, like the checkpoint path
-            self._persisted_statics.append(out)
+            if pin:
+                out = df.persist()
+                out.count()  # eager, like the checkpoint path
+                self._persisted_statics.append(out)
+            else:
+                out = df.localCheckpoint(eager=True)
             out._rc_slot_kind = "static"
             return out
         path = os.path.join(self.run_dir, f"static-{name}")

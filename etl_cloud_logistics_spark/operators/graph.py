@@ -32,6 +32,13 @@ from .checkpointing import RoundCheckpointer
 
 PR_SCALE = 10**15  # fixed-point unit for pagerank_fixed (1.0 == 10^15)
 
+# Pin the static edge list's partitioning to the per-round join key only
+# past this node count (r8): below it, broadcast joins are free and the
+# pinned 32-partition shuffle join is a pure scheduling tax (+20% measured
+# on the registry graph); above it, the pin is what keeps per-round
+# shuffle at O(|V|) instead of re-exchanging O(|E|) every round.
+PIN_PARTITIONING_MIN_NODES = 50_000
+
 
 def bfs_min_hops(
     edges: DataFrame,
@@ -64,16 +71,20 @@ def bfs_min_hops(
     each gets its own alternating slot pair."""
     chk_v = RoundCheckpointer(checkpoint_dir, prefix="bfs-visited")
     chk_f = RoundCheckpointer(checkpoint_dir, prefix="bfs-frontier")
-    # distinct() leaves the edge list partitioned by (src, dst); re-key it
-    # by the per-level join key so localCheckpoint pins a reusable
-    # partitioning and levels stop re-shuffling O(|E|) (r8 probe finding —
-    # 1.8 GB of BFS shuffle at 1e7 edges, mostly the edge side)
     e = chk_v.static(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .repartition("src"),
+        .distinct(),
         "edges",
     )
+    # distinct() leaves the edge list partitioned by (src, dst); on big
+    # graphs re-key it by the per-level join key so the persisted plan
+    # pins a reusable partitioning and levels stop re-shuffling O(|E|)
+    # (r8 probe finding — 1.8 GB of BFS shuffle at 1e7 edges, mostly the
+    # edge side; gated like pagerank so floor-sized graphs keep broadcast
+    # joins, and local-mode-only because the reliable static round-trips
+    # through parquet, which drops partitioning regardless)
+    if chk_v.run_dir is None and e.count() >= 10 * PIN_PARTITIONING_MIN_NODES:
+        e = chk_v.static(e.repartition("src"), "edges-keyed", pin=True)
     visited = chk_v(
         seeds.select("node").distinct().withColumn("hops", F.lit(0))
     )
@@ -165,21 +176,26 @@ def pagerank_fixed(
         return edges.sparkSession.createDataFrame([], schema)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # hash-partition the joined edge list by its join key BEFORE the static
-    # checkpoint (r8, power-law probe finding): localCheckpoint preserves
-    # outputPartitioning, so every round's ranks⋈edges join reuses it and
-    # only the O(|V|) ranks side + the message aggregation shuffle per
+    # checkpoint (r8, power-law probe finding): the persisted plan keeps
+    # its outputPartitioning, so every round's ranks⋈edges join reuses it
+    # and only the O(|V|) ranks side + the message aggregation shuffle per
     # round — without this the O(|E|) edge list re-shuffled EVERY round
     # (measured 587 MB/round at 1e7 edges vs ~160 MB of edge data).
-    # Reliable mode reads the static back from plain parquet, which drops
-    # the partitioning — rounds re-exchange the edges there; a real
-    # cluster deployment would write the static as a bucketed table to
-    # keep both executor-loss safety and the pinned partitioning.
-    e_od = chk.static(
-        e.join(out_deg, "src")
-        .select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od")
-        .repartition("e_src"),
-        "edges-od",
+    # SIZE-GATED: on floor-sized graphs the pinned partitioning makes the
+    # planner keep a 32-partition shuffle join where broadcast was free —
+    # measured +20% per invocation on the registry's 2-pair graph — so the
+    # pin applies only past the scale where it starts paying (n is already
+    # counted).  Reliable mode reads the static back from plain parquet,
+    # which drops the partitioning — rounds re-exchange the edges there; a
+    # real cluster deployment would write the static as a bucketed table
+    # to keep both executor-loss safety and the pinned partitioning.
+    e_od_frame = e.join(out_deg, "src").select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od"
     )
+    pin = n >= PIN_PARTITIONING_MIN_NODES
+    if pin:
+        e_od_frame = e_od_frame.repartition("e_src")
+    e_od = chk.static(e_od_frame, "edges-od", pin=pin)
     # nodes with no out-edges — static, so detected once before the loop
     dangling = nodes.join(
         e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
@@ -266,13 +282,12 @@ def pagerank(
         chk.cleanup_all()
         return edges.sparkSession.createDataFrame([], schema)
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # pinned edge partitioning, same rationale as pagerank_fixed (r8):
-    # localCheckpoint preserves it, so rounds stop re-shuffling O(|E|)
-    e2 = chk.static(
-        e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
-        .repartition("e_src"),
-        "edges-keyed",
-    )
+    # pinned edge partitioning, same size gate and rationale as
+    # pagerank_fixed (r8): rounds stop re-shuffling O(|E|) on big graphs,
+    # floor-sized graphs keep their free broadcast joins
+    e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    if n >= PIN_PARTITIONING_MIN_NODES:
+        e2 = chk.static(e2.repartition("e_src"), "edges-keyed", pin=True)
     ranks = chk(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
     probe_every = 4  # convergence probes are extra jobs; amortize them
