@@ -68,27 +68,41 @@ class RoundCheckpointer:
         out._rc_slot_kind = "round"  # see cleanup_stale's misuse guard
         return out
 
-    def static(self, df: DataFrame, name: str, pin: bool = False) -> DataFrame:
+    def static(
+        self, df: DataFrame, name: str, pin_key: str | None = None
+    ) -> DataFrame:
         """Materialize a LOOP-INVARIANT frame (edge lists, out-degrees):
         one dedicated slot per name, written once, never alternated —
         every round reads it, so in reliable mode it must survive executor
         loss exactly like the per-round labels do.
 
-        ``pin=True`` (local mode) materializes via eager ``persist``
-        rather than ``localCheckpoint`` (r8, power-law probe finding): the
-        cached PLAN keeps its Catalyst ``outputPartitioning``, so a caller
-        that stages the static with ``repartition(<join key>)`` makes
-        every round's join against it exchange-free on the static side —
-        ``localCheckpoint`` converts to an RDD scan and DROPS that
-        knowledge, which re-shuffled the O(|E|) edge list every
-        PageRank/BFS round (measured 587 MB/round at 1e7 edges).  Pinning
-        is opt-in because the columnar cache round-trip costs measurably
-        more per round than an RDD scan on floor-sized graphs (+15%
-        per invocation on the registry graph) — callers gate it on size.
-        Pinned blocks are unpersisted by ``cleanup_stale``/``cleanup_all``."""
+        ``pin_key`` (r8, power-law probe finding) pins the static's
+        partitioning to the given join key so every round's join against
+        it is exchange-free on the static side:
+
+        - local mode: ``repartition(pin_key)`` + eager ``persist`` — the
+          cached PLAN keeps its Catalyst ``outputPartitioning``, which
+          ``localCheckpoint`` (an RDD scan) DROPS; the unpinned form
+          re-shuffled the O(|E|) edge list every PageRank/BFS round
+          (measured 587 MB/round at 1e7 edges).
+        - reliable mode IGNORES ``pin_key`` — measured, not assumed: the
+          parquet read-back carries accurate size statistics, so AQE
+          already broadcasts the small (ranks/frontier) side of every
+          round's join and the edge static never re-exchanges (265
+          MB/round PageRank at 1e7 edges, vs 587 for the stat-less local
+          RDD scan).  Layering a keyed persist over the parquet slot was
+          tried and ADDED 118 MB/round of pure re-key cost while saving
+          nothing.  The pin exists precisely because localCheckpoint has
+          neither statistics nor partitioning; parquet has statistics.
+
+        Pinning is opt-in because the columnar cache round-trip costs
+        measurably more per round than an RDD scan on floor-sized graphs
+        (+15% per invocation on the registry graph) — callers gate it on
+        size.  Pinned blocks are unpersisted by
+        ``cleanup_stale``/``cleanup_all``."""
         if self.run_dir is None:
-            if pin:
-                out = df.persist()
+            if pin_key is not None:
+                out = df.repartition(pin_key).persist()
                 out.count()  # eager, like the checkpoint path
                 self._persisted_statics.append(out)
             else:
@@ -147,6 +161,7 @@ class RoundCheckpointer:
             stale = self._slot(self.calls)
             if os.path.isdir(stale):
                 shutil.rmtree(stale, ignore_errors=True)
+        self._unpersist_statics()  # pinned caches layered over the slots
         for name in self._static_names:
             path = os.path.join(self.run_dir, f"static-{name}")
             if os.path.isdir(path):

@@ -77,14 +77,15 @@ def bfs_min_hops(
         "edges",
     )
     # distinct() leaves the edge list partitioned by (src, dst); on big
-    # graphs re-key it by the per-level join key so the persisted plan
-    # pins a reusable partitioning and levels stop re-shuffling O(|E|)
-    # (r8 probe finding — 1.8 GB of BFS shuffle at 1e7 edges, mostly the
-    # edge side; gated like pagerank so floor-sized graphs keep broadcast
-    # joins, and local-mode-only because the reliable static round-trips
-    # through parquet, which drops partitioning regardless)
+    # graphs re-key it by the per-level join key so the pinned static
+    # makes every level's join exchange-free on the edge side (r8 probe
+    # finding — 1.8 GB of BFS shuffle at 1e7 edges, mostly the edge side;
+    # gated like pagerank so floor-sized graphs keep broadcast joins, and
+    # local-mode-only: the reliable slot's parquet statistics already let
+    # AQE broadcast the frontier side, so the pin would only add cost
+    # there — see RoundCheckpointer.static).
     if chk_v.run_dir is None and e.count() >= 10 * PIN_PARTITIONING_MIN_NODES:
-        e = chk_v.static(e.repartition("src"), "edges-keyed", pin=True)
+        e = chk_v.static(e, "edges-keyed", pin_key="src")
     visited = chk_v(
         seeds.select("node").distinct().withColumn("hops", F.lit(0))
     )
@@ -192,10 +193,8 @@ def pagerank_fixed(
     e_od_frame = e.join(out_deg, "src").select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od"
     )
-    pin = n >= PIN_PARTITIONING_MIN_NODES
-    if pin:
-        e_od_frame = e_od_frame.repartition("e_src")
-    e_od = chk.static(e_od_frame, "edges-od", pin=pin)
+    pin_key = "e_src" if n >= PIN_PARTITIONING_MIN_NODES else None
+    e_od = chk.static(e_od_frame, "edges-od", pin_key=pin_key)
     # nodes with no out-edges — static, so detected once before the loop
     dangling = nodes.join(
         e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
@@ -287,7 +286,7 @@ def pagerank(
     # floor-sized graphs keep their free broadcast joins
     e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
     if n >= PIN_PARTITIONING_MIN_NODES:
-        e2 = chk.static(e2.repartition("e_src"), "edges-keyed", pin=True)
+        e2 = chk.static(e2, "edges-keyed", pin_key="e_src")
     ranks = chk(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n
     probe_every = 4  # convergence probes are extra jobs; amortize them
