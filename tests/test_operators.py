@@ -936,3 +936,32 @@ def test_pagerank_empty_graph_leaves_no_checkpoint_litter(spark, tmp_path):
     assert not os.path.isdir(chk) or os.listdir(chk) == [], (
         "empty-graph path leaked checkpoint dirs: " + str(os.listdir(chk))
     )
+
+
+def test_partitioning_pin_is_semantics_preserving_at_gate(spark, monkeypatch):
+    """The r8 size gate (PIN_PARTITIONING_MIN_NODES) switches pagerank's
+    edge static between localCheckpoint and a keyed persisted cache purely
+    for plan shape; fixed-point arithmetic must make the RESULT identical
+    on both sides of the gate.  Run one mid-sized random-ish graph with
+    the gate forced each way and require tuple-for-tuple equality — the
+    invariant that makes the gate a pure performance knob."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators import graph as G
+
+    # ~3k nodes / ~20k edges: big enough that the pinned path exercises a
+    # real multi-partition cache, small enough for CI
+    e = (
+        spark.range(20_000)
+        .select(
+            (F.pmod(F.hash(F.col("id")), F.lit(3000))).alias("src"),
+            (F.pmod(F.hash(F.col("id") + 7), F.lit(3000))).alias("dst"),
+        )
+        .filter("src <> dst")
+        .localCheckpoint(eager=True)
+    )
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES", 10**9)  # force OFF
+    unpinned = {(r.node, r.rank_fp) for r in G.pagerank_fixed(e, n_iter=4).collect()}
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES", 1)  # force ON
+    pinned = {(r.node, r.rank_fp) for r in G.pagerank_fixed(e, n_iter=4).collect()}
+    assert pinned == unpinned and len(pinned) > 2500
