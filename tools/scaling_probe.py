@@ -20,6 +20,8 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            build at N distinct keys; default 1e6 3e6 1e7)
        python tools/scaling_probe.py --graph [K ...]    (frontier BFS +
            fixed-point PageRank over K× disjoint graph replicas)
+       python tools/scaling_probe.py --winnow [K ...]   (winnowing
+           fingerprints + capped pair join over K× replicas)
        python tools/scaling_probe.py --powerlaw [E ...] (pagerank/BFS/
            components on synthesized Zipf-endpoint graphs at E edges,
            BOTH checkpoint modes, wall + measured shuffle;
@@ -437,6 +439,50 @@ def powerlaw_probe(es: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def winnow_probe(ks: list[int]) -> None:
+    """Scaling slope of the winnowing fingerprint kit (promoted to the
+    driver window in r8, never scale-probed before): word-4-gram hashing +
+    window-5 min selection per doc, then the capped shared-fingerprint
+    pair join, over K× word-suffix replicas of the sf corpus.  The suffix
+    tagging is a vocabulary bijection, so every replica selects the SAME
+    fingerprint positions as the base corpus (identical per-doc work) with
+    disjoint fingerprint values across replicas — shared-fp pairs must
+    scale exactly K×, and near-linear wall is the evidence the pair stage
+    follows shared evidence, not corpus²."""
+    from pyspark.sql import functions as F2
+
+    from etl_cloud_logistics_spark.operators.dedup import winnow_fingerprints
+
+    spark = get_spark("scaling-probe-winnow")
+
+    def pair_count(corpus) -> tuple[int, int]:
+        fps = winnow_fingerprints(corpus, k=4, w=5)
+        kept = fps.groupBy("fp").agg(F2.count("*").alias("nf")).filter("nf <= 8")
+        fpk = fps.join(kept.select("fp"), "fp")
+        a = fpk.select(F2.col("doc_id").alias("doc_a"), "fp")
+        b = fpk.select(F2.col("doc_id").alias("doc_b"), "fp")
+        pairs = (
+            a.join(b, "fp")
+            .filter(F2.col("doc_a") < F2.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F2.count("*").alias("n_shared"))
+        )
+        return pairs.count()
+
+    warm = replicated_documents_full(spark, 1)
+    pair_count(warm)  # compile the plan shapes once
+    print(f"winnowing probe over {SF_DIR} (word-suffix replicas, cap 8)")
+    print(f"{'K':>3} {'docs':>7} {'wall_sec':>9} {'pairs':>8}")
+    for k in ks:
+        corpus = replicated_documents_full(spark, k)
+        n_docs = corpus.count()
+        t0 = time.perf_counter()
+        n_pairs = pair_count(corpus)
+        wall = time.perf_counter() - t0
+        print(f"{k:>3} {n_docs:>7} {wall:>9.2f} {n_pairs:>8}")
+        spark.catalog.clearCache()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -450,6 +496,9 @@ def main() -> None:
         return
     if args and args[0] == "--graph":
         graph_probe([int(a) for a in args[1:]] or [1, 5, 10])
+        return
+    if args and args[0] == "--winnow":
+        winnow_probe([int(a) for a in args[1:]] or [1, 5, 10])
         return
     if args and args[0] == "--powerlaw":
         powerlaw_probe(
