@@ -85,20 +85,25 @@ class RoundCheckpointer:
           ``localCheckpoint`` (an RDD scan) DROPS; the unpinned form
           re-shuffled the O(|E|) edge list every PageRank/BFS round
           (measured 587 MB/round at 1e7 edges).
-        - reliable mode IGNORES ``pin_key`` — measured, not assumed: the
-          parquet read-back carries accurate size statistics, so AQE
-          already broadcasts the small (ranks/frontier) side of every
-          round's join and the edge static never re-exchanges (265
-          MB/round PageRank at 1e7 edges, vs 587 for the stat-less local
-          RDD scan).  Layering a keyed persist over the parquet slot was
-          tried and ADDED 118 MB/round of pure re-key cost while saving
-          nothing.  The pin exists precisely because localCheckpoint has
-          neither statistics nor partitioning; parquet has statistics.
+        - reliable mode: the frame is always written to parquet (the
+          durable record); with ``pin_key`` the read-back is additionally
+          re-keyed once and persisted, so rounds reuse the cached
+          partitioning and a lost executor recomputes lost blocks from
+          the parquet.  Callers must gate this on a HIGHER threshold than
+          local mode — measured, not assumed: the parquet read-back
+          carries accurate size statistics, so while the other
+          (ranks/frontier) side fits AQE's broadcast threshold the edge
+          static never re-exchanges anyway (265 MB/round PageRank at 1e7
+          edges / 1e6 nodes) and the pin only ADDS its re-key cost
+          (+118 MB/round, measured and rejected at that scale); once the
+          other side outgrows broadcastability the un-pinned join
+          re-exchanges O(|E|) per round (1410 MB/round at 3e7 edges /
+          3e6 nodes) and the pin is what removes it.
 
         Pinning is opt-in because the columnar cache round-trip costs
         measurably more per round than an RDD scan on floor-sized graphs
         (+15% per invocation on the registry graph) — callers gate it on
-        size.  Pinned blocks are unpersisted by
+        size per mode.  Pinned blocks are unpersisted by
         ``cleanup_stale``/``cleanup_all``."""
         if self.run_dir is None:
             if pin_key is not None:
@@ -113,6 +118,10 @@ class RoundCheckpointer:
         self._static_names.append(name)
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
+        if pin_key is not None:
+            out = out.repartition(pin_key).persist()
+            out.count()
+            self._persisted_statics.append(out)
         out._rc_slot_kind = "static"
         return out
 

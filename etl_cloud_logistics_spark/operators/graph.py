@@ -38,6 +38,14 @@ PR_SCALE = 10**15  # fixed-point unit for pagerank_fixed (1.0 == 10^15)
 # on the registry graph); above it, the pin is what keeps per-round
 # shuffle at O(|V|) instead of re-exchanging O(|E|) every round.
 PIN_PARTITIONING_MIN_NODES = 50_000
+# Reliable mode's threshold is higher: the parquet statics carry size
+# statistics, so AQE broadcasts the ranks side for free until it outgrows
+# the broadcast threshold (~a few million nodes) — pinning earlier only
+# adds re-key cost (measured at 1e6 nodes), pinning past it removes an
+# O(|E|)-per-round re-exchange (measured at 3e6 nodes: 1410 MB/round
+# un-pinned).  Sized to the default 10 MB autoBroadcastJoinThreshold over
+# ~16-byte (node, rank) rows with margin.
+PIN_PARTITIONING_MIN_NODES_RELIABLE = 2_000_000
 
 
 def bfs_min_hops(
@@ -193,7 +201,12 @@ def pagerank_fixed(
     e_od_frame = e.join(out_deg, "src").select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od"
     )
-    pin_key = "e_src" if n >= PIN_PARTITIONING_MIN_NODES else None
+    pin_min = (
+        PIN_PARTITIONING_MIN_NODES
+        if chk.run_dir is None
+        else PIN_PARTITIONING_MIN_NODES_RELIABLE
+    )
+    pin_key = "e_src" if n >= pin_min else None
     e_od = chk.static(e_od_frame, "edges-od", pin_key=pin_key)
     # nodes with no out-edges — static, so detected once before the loop
     dangling = nodes.join(
@@ -285,7 +298,11 @@ def pagerank(
     # pagerank_fixed (r8): rounds stop re-shuffling O(|E|) on big graphs,
     # floor-sized graphs keep their free broadcast joins
     e2 = e.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
-    if n >= PIN_PARTITIONING_MIN_NODES:
+    if n >= (
+        PIN_PARTITIONING_MIN_NODES
+        if chk.run_dir is None
+        else PIN_PARTITIONING_MIN_NODES_RELIABLE
+    ):
         e2 = chk.static(e2, "edges-keyed", pin_key="e_src")
     ranks = chk(nodes.withColumn("rank", F.lit(1.0 / n)))
     base = (1.0 - damping) / n

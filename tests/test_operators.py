@@ -965,3 +965,40 @@ def test_partitioning_pin_is_semantics_preserving_at_gate(spark, monkeypatch):
     monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES", 1)  # force ON
     pinned = {(r.node, r.rank_fp) for r in G.pagerank_fixed(e, n_iter=4).collect()}
     assert pinned == unpinned and len(pinned) > 2500
+
+
+def test_partitioning_pin_reliable_mode_semantics(spark, monkeypatch, tmp_path):
+    """Same invariant for the reliable-mode pin (r8: parquet slot + keyed
+    persisted read-back past PIN_PARTITIONING_MIN_NODES_RELIABLE): forcing
+    the reliable threshold each way must not change fixed-point results,
+    and the run dir still ends holding only the result's round slot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators import graph as G
+
+    e = (
+        spark.range(8_000)
+        .select(
+            (F.pmod(F.hash(F.col("id")), F.lit(1200))).alias("src"),
+            (F.pmod(F.hash(F.col("id") + 3), F.lit(1200))).alias("dst"),
+        )
+        .filter("src <> dst")
+        .localCheckpoint(eager=True)
+    )
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES_RELIABLE", 10**9)
+    base = {
+        (r.node, r.rank_fp)
+        for r in G.pagerank_fixed(
+            e, n_iter=3, checkpoint_dir=str(tmp_path / "a")
+        ).collect()
+    }
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES_RELIABLE", 1)
+    chk_b = tmp_path / "b"
+    out = G.pagerank_fixed(e, n_iter=3, checkpoint_dir=str(chk_b))
+    pinned = {(r.node, r.rank_fp) for r in out.collect()}
+    assert pinned == base and len(pinned) > 1000
+    (run_dir,) = os.listdir(chk_b)
+    slots = sorted(os.listdir(os.path.join(chk_b, run_dir)))
+    assert slots and all(p.startswith("slot-") for p in slots), slots
