@@ -126,11 +126,24 @@ def main() -> None:
     spark.catalog.clearCache()  # drop warm-up persists before timing
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     # bootstrap_sec (r8, verdict #3): everything before the first timed
-    # query — idle wait, session start, JIT/codegen warm-up passes.  The r7
-    # driver cold-anomaly question (core12_sec 11.2 vs 6.7 s) was impossible
-    # to attribute because bootstrap and first-query cost were entangled in
-    # whichever row ran first; now the artifact separates them.
+    # query EXCEPT the idle wait — session start, JIT/codegen warm-up
+    # passes (idle wait is subtracted here and reported separately as
+    # idle_waited_sec).  The r7 driver cold-anomaly question (core12_sec
+    # 11.2 vs 6.7 s) was impossible to attribute because bootstrap and
+    # first-query cost were entangled in whichever row ran first; now the
+    # artifact separates them.
     bootstrap_sec = round(time.perf_counter() - t_proc0 - waited, 3)
+
+    # Per-PHASE load stamps (r9, verdict #1): the r8 driver artifact's warm
+    # and concurrent numbers sat above the local idle band with zero plan
+    # changes — almost certainly co-tenant load mid-run, but loadavg was
+    # stamped only at process start/end, so a contaminated PHASE could not
+    # be told apart from a regression.  Stamp load1 at the entry of every
+    # timed phase so the artifact itself says which phase (if any) ran hot.
+    phase_loads: dict[str, float] = {}
+
+    def stamp(phase: str) -> None:
+        phase_loads[phase] = round(os.getloadavg()[0], 2)
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
@@ -161,6 +174,7 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    stamp("run_once")
     times: dict[str, float] = {}
     for name in suite:
         times[name] = round(statistics.median(run_once(name) for _ in range(3)), 3)
@@ -171,6 +185,7 @@ def main() -> None:
     core = [n for n in times if n.startswith("q")]
     core_dfs = {n: suite[n].fn(spark, sf_dir) for n in core}
     reset_memory()
+    stamp("warm")
     warm: dict[str, float] = {}
     for name in core:
         runs = []
@@ -185,12 +200,21 @@ def main() -> None:
         core_dfs[name].write.mode("overwrite").format("noop").save()
 
     reset_memory()
+    stamp("concurrent")
+    # the concurrent number is THE graded headline; record each pass's own
+    # wall time AND the load1 sampled right before it, so a single
+    # co-tenant-loaded pass is visibly the outlier instead of silently
+    # shaping the median (r9, verdict #1)
     conc_runs = []
+    conc_passes: list[dict[str, float]] = []
     for _ in range(3):
+        pass_load = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=len(core)) as ex:
             list(ex.map(run_action, core))
-        conc_runs.append(time.perf_counter() - t0)
+        sec = time.perf_counter() - t0
+        conc_runs.append(sec)
+        conc_passes.append({"sec": round(sec, 3), "load1": pass_load})
 
     # warm medians for the heavy extension rows (see module docstring)
     ext_heavy = [
@@ -231,6 +255,7 @@ def main() -> None:
         "knn_pq_rerank",
         "reachable_parts_bfs",
     }
+    stamp("ext")
     ext_warm: dict[str, float] = {}
     for name in ext_heavy:
         reset_memory()
@@ -265,6 +290,8 @@ def main() -> None:
         "core12_warm_sec": round(sum(warm.values()), 3),
         "core12_warm_queries": warm,
         "core12_concurrent_sec": round(statistics.median(conc_runs), 3),
+        "core12_concurrent_passes": conc_passes,
+        "phase_loads": phase_loads,
         "ext_warm_queries": ext_warm,
         "ext_warm_eager": sorted(eager & set(ext_warm)),
         "n_queries": len(times),

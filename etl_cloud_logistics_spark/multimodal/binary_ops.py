@@ -135,7 +135,14 @@ def decode_image_features(binary_df: DataFrame, use_real_codec: bool = False) ->
     The stub derives width/height deterministically from the byte length so
     the pipeline (batching, schema, downstream aggs) is fully exercisable
     and oracle-checkable; aspect_ratio is left unrounded here (rounding
-    policy belongs to the query layer)."""
+    policy belongs to the query layer).
+
+    With ``use_real_codec=True``, PNG/JPEG dimensions are HEADER-TRUSTED,
+    not decode-verified (r9 ADVICE note): the stdlib parse reads the
+    IHDR/SOF fields and never touches pixel data, so a truncated or
+    pixel-corrupt file with a plausible header still reports its claimed
+    dims — do not treat the output as an integrity check; a full PIL
+    decode (absent in this container) is what would reject such files."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

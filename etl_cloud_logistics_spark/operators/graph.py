@@ -79,11 +79,9 @@ def bfs_min_hops(
     each gets its own alternating slot pair."""
     chk_v = RoundCheckpointer(checkpoint_dir, prefix="bfs-visited")
     chk_f = RoundCheckpointer(checkpoint_dir, prefix="bfs-frontier")
-    e = chk_v.static(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct(),
-        "edges",
-    )
+    edges_frame = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
     # distinct() leaves the edge list partitioned by (src, dst); on big
     # graphs re-key it by the per-level join key so the pinned static
     # makes every level's join exchange-free on the edge side (r8 probe
@@ -91,9 +89,20 @@ def bfs_min_hops(
     # gated like pagerank so floor-sized graphs keep broadcast joins, and
     # local-mode-only: the reliable slot's parquet statistics already let
     # AQE broadcast the frontier side, so the pin would only add cost
-    # there — see RoundCheckpointer.static).
-    if chk_v.run_dir is None and e.count() >= 10 * PIN_PARTITIONING_MIN_NODES:
-        e = chk_v.static(e, "edges-keyed", pin_key="src")
+    # there — see RoundCheckpointer.static).  The gate's edge count is
+    # folded into the materialization (r8 verdict nit: a dedicated
+    # e.count() was an extra O(|E|) scan per invocation): persist once,
+    # count — which both materializes the cache and answers the gate —
+    # then build the static FROM the cache, so no job scans the source a
+    # second time just to decide the pin.
+    if chk_v.run_dir is None:
+        pre = edges_frame.persist()
+        n_e = pre.count()
+        pin = "src" if n_e >= 10 * PIN_PARTITIONING_MIN_NODES else None
+        e = chk_v.static(pre, "edges", pin_key=pin)
+        pre.unpersist()
+    else:
+        e = chk_v.static(edges_frame, "edges")
     visited = chk_v(
         seeds.select("node").distinct().withColumn("hops", F.lit(0))
     )
@@ -190,14 +199,18 @@ def pagerank_fixed(
     # and only the O(|V|) ranks side + the message aggregation shuffle per
     # round — without this the O(|E|) edge list re-shuffled EVERY round
     # (measured 587 MB/round at 1e7 edges vs ~160 MB of edge data).
-    # SIZE-GATED: on floor-sized graphs the pinned partitioning makes the
-    # planner keep a 32-partition shuffle join where broadcast was free —
-    # measured +20% per invocation on the registry's 2-pair graph — so the
-    # pin applies only past the scale where it starts paying (n is already
-    # counted).  Reliable mode reads the static back from plain parquet,
-    # which drops the partitioning — rounds re-exchange the edges there; a
-    # real cluster deployment would write the static as a bucketed table
-    # to keep both executor-loss safety and the pinned partitioning.
+    # SIZE-GATED PER MODE: on floor-sized graphs the pinned partitioning
+    # makes the planner keep a 32-partition shuffle join where broadcast
+    # was free — measured +20% per invocation on the registry's 2-pair
+    # graph — so the pin applies only past the scale where it starts paying
+    # (n is already counted).  Reliable mode pins too, behind its own
+    # HIGHER threshold (PIN_PARTITIONING_MIN_NODES_RELIABLE): the parquet
+    # slot stays the durable record and the read-back is re-keyed +
+    # persisted once (RoundCheckpointer.static), so a lost executor
+    # recomputes pinned blocks from the parquet; below that threshold the
+    # parquet statistics let AQE broadcast the ranks side for free and the
+    # pin would only add its re-key cost (measured and rejected at 1e7
+    # edges / 1e6 nodes; measured winning at 3e7: 1410 -> 1122 MB/round).
     e_od_frame = e.join(out_deg, "src").select(
         F.col("src").alias("e_src"), F.col("dst").alias("e_dst"), "od"
     )
