@@ -548,6 +548,7 @@ def neardup_components(
     id_col: str = "doc_id",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative min-label
     propagation: every doc's label converges to the smallest doc_id reachable
@@ -581,7 +582,37 @@ def neardup_components(
     returned DataFrame lazily reads this invocation's final slot — the
     files stay on disk for the life of the result; the stale intermediate
     slot is cleaned up before returning.
+
+    ``algorithm`` selects the iteration scheme (r9):
+
+    - ``"label"`` (default): the delta min-label propagation above —
+      rounds = O(diameter), the right shape for near-dup cluster graphs
+      (dense, diameter ~2-3 in practice) where it converges in 2-4
+      cheap rounds;
+    - ``"star"``: alternating large-star/small-star
+      (``operators.graph.connected_components_star``) — rounds =
+      O(log n) regardless of diameter, the big-graph path for
+      chain-shaped or unknown-topology inputs where label propagation's
+      round count (and its loud ``max_iter`` failure) would explode.
+      Equal output by construction (component = min reachable id either
+      way; pytest-pinned on paths/rings/random graphs).
     """
+    if algorithm == "star":
+        from .graph import connected_components_star  # noqa: PLC0415
+
+        labeled = connected_components_star(
+            pairs, "doc_a", "doc_b", max_iter=max(max_iter, 50),
+            checkpoint_dir=checkpoint_dir,
+        )
+        # isolated ids never appear in the pair list: label them as their
+        # own singleton components, like the label-prop path does
+        return all_ids.select(F.col(id_col)).join(
+            labeled.select(F.col("node").alias(id_col), "component"),
+            id_col,
+            "left",
+        ).select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

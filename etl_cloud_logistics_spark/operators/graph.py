@@ -1,5 +1,7 @@
-"""PageRank over an edge list — iterative graph analytics beyond the
-connected-components canonicalizer (operators/dedup.py): rank the
+"""Iterative graph analytics over an edge list: PageRank (float and
+bit-exact fixed-point), frontier BFS, and the O(log n)-round alternating
+large-star/small-star connected components (the high-diameter complement
+to operators/dedup.py's label-propagation canonicalizer) — rank the
 co-purchase graph's influential parts, the near-dup graph's hub documents,
 the event-transition graph's sink states.
 
@@ -27,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from .checkpointing import RoundCheckpointer
 
@@ -368,3 +371,139 @@ def pagerank(
         ranks = new_ranks
     chk.cleanup_stale(returning=ranks)
     return ranks
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — the HIGH-DIAMETER / big-graph path.  Min-label propagation
+    (``operators.dedup.neardup_components``) runs rounds = O(diameter):
+    fine for near-dup cluster graphs (dense, diameter ~2-3), pathological
+    on chain-shaped graphs (a 10^5-node path needs 10^5 rounds).  The
+    star operations contract every component to a star rooted at its
+    minimum id in O(log n) rounds regardless of diameter, because each
+    round rewires nodes to their neighborhood minima — path length halves
+    (or better) every alternation instead of shrinking by one.
+
+    Per round, on the canonical edge set E (a < b per edge):
+
+    - LARGE-STAR: symmetrize; for each node u with m(u) = min(N(u) ∪ {u}),
+      connect every STRICTLY LARGER neighbor to m(u): {(v, m(u)) : v ∈
+      N(u), v > u}.  One hash-partitioned window (min over partition u —
+      no join needed: the per-group min is the only group datum) plus a
+      distinct.
+    - SMALL-STAR: key each edge by its larger endpoint b with m(b) =
+      min(N(b)); connect the smaller neighbors and b itself to m(b):
+      {(v, m(b)) : v ∈ N(b) ∪ {b}, v ≠ m(b)}.  Same window + distinct
+      shape, keyed by b.
+
+    Convergence is detected with GraphFrames' monotone signature: P(u) =
+    min(N(u) ∪ {u}) is non-increasing per node under both operations
+    (small-star retains (u, P(u)) verbatim; large-star connects u to
+    m(P(u)) ≤ P(u)), so S = Σ_u P(u) is non-increasing and S unchanged
+    over a full round means NO node's parent moved — which forces P to be
+    component-constant (an edge (x, y) with P(x) < P(y) would have
+    small-star(x) emit (P(y), P(x)) that round, decreasing S) and
+    self-fixed at each component's minimum id.  The sum is accumulated as
+    DECIMAL(38,0), exact for any id width, and costs one O(V)-row
+    aggregate per round off the already-shuffled large-star window.
+
+    Shuffle shape at scale: every exchange is hash-partitioned on a node
+    id over the CURRENT edge set, which only ever shrinks (stars collapse
+    parallel structure); no all-pairs stage, no driver-side graph state —
+    the per-round aggregate returns one row.  Numeric node ids required
+    (the signature sums them); the engine's doc/node ids are integral
+    throughout.
+
+    Returns (node, component) for every node appearing in ``edges``;
+    isolated ids never enter an edge list, so callers wanting them join
+    against their id universe (``neardup_components(algorithm="star")``
+    does).  Raises after ``max_iter`` non-converged rounds — with O(log n)
+    convergence the default 50 covers any physically storable graph.
+    """
+    for c in (src_col, dst_col):
+        if not isinstance(
+            edges.schema[c].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+        ):
+            raise TypeError(
+                "connected_components_star needs integral node ids (the "
+                f"convergence signature sums them); got {edges.schema[c]} — "
+                "use neardup_components' label propagation for opaque ids"
+            )
+    chk = RoundCheckpointer(checkpoint_dir, prefix="cc-star")
+    e = chk(
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter("x <> y")
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    w_u = Window.partitionBy("u")
+    w_b = Window.partitionBy("b")
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        # one exchange by u serves both the emission and the signature
+        stars = sym.withColumn(
+            "m", F.least(F.min("v").over(w_u), F.col("u"))
+        ).persist()
+        sig = (
+            stars.select("u", "m")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("m").cast("decimal(38,0)")).alias("s"),
+            )
+            .first()
+        )
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            stars.unpersist()
+            converged = True
+            break
+        prev_sig = sig
+        # large-star: (v, m(u)) for v > u; m(u) ≤ u < v, so the output is
+        # already in canonical (small, large) orientation
+        ls = (
+            stars.filter("v > u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # small-star: m(b) = min(N(b)) over the smaller-endpoint neighbors
+        ss_base = ls.withColumn("m", F.min("a").over(w_b))
+        e = chk(
+            ss_base.filter("a <> m")
+            .select(F.col("m").alias("a"), F.col("a").alias("b"))
+            .union(ss_base.select(F.col("m").alias("a"), "b"))
+            .distinct()
+        )
+        stars.unpersist()
+    if not converged:
+        chk.cleanup_all()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds — not expected for any O(log n)-round run; raise "
+            "max_iter only after checking the input for pathology"
+        )
+    # final labels straight off the converged star set: every non-root
+    # appears exactly once as the larger endpoint of (root, v); roots are
+    # the nodes never appearing as b
+    labels = chk(
+        e.select(F.col("b").alias("node"), F.col("a").alias("component")).union(
+            e.select(F.col("a").alias("node"))
+            .distinct()
+            .join(e.select(F.col("b").alias("node")), "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+    )
+    chk.cleanup_stale(returning=labels)
+    return labels

@@ -1272,3 +1272,90 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont.get((0, 1)) == 1.0  # every excerpt shingle is in the long doc
     jac = jaccard_pairs(sh, threshold=0.5).collect()
     assert not jac  # symmetric overlap misses the embedded excerpt
+
+
+def test_cc_star_matches_label_propagation_random(spark):
+    """Equal-output pin for the r9 star path: alternating large-star/
+    small-star and min-label propagation must agree on every node's
+    component (= min reachable id) over random graphs of varying density,
+    including duplicate, reversed, and self-loop edges."""
+    import random
+
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    for seed, n_nodes, n_edges in ((3, 60, 25), (4, 80, 120), (5, 40, 300)):
+        rng = random.Random(seed)
+        raw = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        raw += [(b, a) for a, b in raw[: n_edges // 4]]  # reversed dups
+        raw += [(7, 7)]  # self-loop must be ignored
+        pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+        ids = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        lab = {
+            r["doc_id"]: r["component"]
+            for r in neardup_components(pairs, ids).collect()
+        }
+        star = {
+            r["doc_id"]: r["component"]
+            for r in neardup_components(pairs, ids, algorithm="star").collect()
+        }
+        assert lab == star, (seed, {k: (lab[k], star[k]) for k in lab if lab[k] != star[k]})
+
+
+def test_cc_star_log_rounds_on_long_path(spark):
+    """The reason the star path exists: a 512-node path needs 511 label-
+    propagation rounds but only O(log n) star rounds.  max_iter=16 would
+    raise if convergence were diameter-bound — passing pins the log-round
+    behavior, not just the answer."""
+    from etl_cloud_logistics_spark.operators.graph import connected_components_star
+    from pyspark.sql import functions as F
+
+    n = 512
+    e = spark.range(n - 1).select(
+        (F.col("id") + 1).alias("src"), F.col("id").alias("dst")
+    )
+    out = connected_components_star(e, max_iter=16).collect()
+    assert len(out) == n
+    assert {r["component"] for r in out} == {0}
+
+
+def test_cc_star_isolated_ids_and_reliable_mode(spark, tmp_path):
+    """algorithm='star' keeps neardup_components' contract: isolated ids
+    label themselves; a checkpoint_dir switches to the two-slot parquet
+    scheme with identical output and no leaked stale slots beyond the one
+    backing the returned frame."""
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    local = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, nodes, algorithm="star").collect()
+    }
+    assert local == want
+    reliable = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(
+            pairs, nodes, algorithm="star", checkpoint_dir=str(tmp_path / "chk")
+        ).collect()
+    }
+    assert reliable == want
+
+
+def test_cc_star_rejects_non_integral_ids(spark):
+    """The convergence signature sums node ids; opaque ids must be routed
+    to label propagation, loudly."""
+    import pytest
+
+    from etl_cloud_logistics_spark.operators.graph import connected_components_star
+
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components_star(e)
