@@ -629,7 +629,8 @@ def neardup_components(
     )
     frontier = labels  # round 0: every initial label still needs propagating
     converged = False
-    for _ in range(max_iter):
+    rounds = 0
+    for rounds in range(max_iter):
         # propagate only labels that improved last round — min over the
         # frontier neighbors; earlier labels already reached these nodes
         neighbor_min = (
@@ -652,6 +653,8 @@ def neardup_components(
             break
     edges.unpersist()
     checkpoint.cleanup_stale()
+    # probe introspection (tools/scaling_probe.py --diameter); not API
+    neardup_components.last_rounds = rounds
     if not converged:
         # labels still moved on the last round: a component with diameter >
         # max_iter would be silently split into bogus sub-components, and the

@@ -448,7 +448,8 @@ def connected_components_star(
     w_b = Window.partitionBy("b")
     prev_sig = None
     converged = False
-    for _ in range(max_iter):
+    rounds = 0
+    for rounds in range(max_iter):
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
@@ -487,6 +488,9 @@ def connected_components_star(
             .distinct()
         )
         stars.unpersist()
+    # probe introspection: round count of the last completed invocation
+    # (tools/scaling_probe.py --diameter reads it; not part of the API)
+    connected_components_star.last_rounds = rounds
     if not converged:
         chk.cleanup_all()
         raise RuntimeError(

@@ -23,9 +23,12 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --winnow [K ...]   (winnowing
            fingerprints + capped pair join over K× replicas)
        python tools/scaling_probe.py --powerlaw [E ...] (pagerank/BFS/
-           components on synthesized Zipf-endpoint graphs at E edges,
-           BOTH checkpoint modes, wall + measured shuffle;
-           default 1e5 1e6 1e7)
+           components label-prop AND star on synthesized Zipf-endpoint
+           graphs at E edges, BOTH checkpoint modes, wall + measured
+           shuffle; default 1e5 1e6 1e7)
+       python tools/scaling_probe.py --diameter [N ...] (path/grid graphs
+           at N nodes: label propagation's O(diameter) pathology vs the
+           star algorithm's O(log n) rounds; default 1e4 1e5 1e6)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -395,6 +398,23 @@ def powerlaw_probe(es: list[int]) -> None:
                     checkpoint_dir=chk_dir,
                 ).write.mode("overwrite").format("noop").save(),
             ),
+            (
+                # r9: the star variant on the same graph — the verdict-#3
+                # question is whether it cuts components' per-round
+                # shuffle (the family's heaviest row) on hub-skew graphs
+                # too, not just on the high-diameter shapes it exists for
+                "components_star",
+                lambda: neardup_components(
+                    edges.select(
+                        F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+                    ),
+                    edges.select(F.col("src").alias("doc_id"))
+                    .unionByName(edges.select(F.col("dst").alias("doc_id")))
+                    .distinct(),
+                    checkpoint_dir=chk_dir,
+                    algorithm="star",
+                ).write.mode("overwrite").format("noop").save(),
+            ),
         ):
             before = exec_ids()
             t0 = time.perf_counter()
@@ -416,7 +436,8 @@ def powerlaw_probe(es: list[int]) -> None:
     )
     print(
         f"{'E':>9} {'mode':>8} {'pr_sec':>7} {'pr_MB':>8} {'pr_MB/rnd':>9} "
-        f"{'bfs_sec':>8} {'bfs_MB':>8} {'cc_sec':>7} {'cc_MB':>8}"
+        f"{'bfs_sec':>8} {'bfs_MB':>8} {'cc_sec':>7} {'cc_MB':>8} "
+        f"{'ccs_sec':>7} {'ccs_MB':>8}"
     )
     for e in es:
         edges = powerlaw_edges(e)
@@ -434,9 +455,125 @@ def powerlaw_probe(es: list[int]) -> None:
                 f"{r['pagerank'][0]:>7.2f} {r['pagerank'][1]:>8.1f} "
                 f"{r['pagerank'][1] / N_ITER:>9.1f} "
                 f"{r['bfs'][0]:>8.2f} {r['bfs'][1]:>8.1f} "
-                f"{r['components'][0]:>7.2f} {r['components'][1]:>8.1f}"
+                f"{r['components'][0]:>7.2f} {r['components'][1]:>8.1f} "
+                f"{r['components_star'][0]:>7.2f} {r['components_star'][1]:>8.1f}"
             )
         spark.catalog.clearCache()
+
+
+def diameter_probe(ns: list[int]) -> None:
+    """High-diameter regime for the connected-components family (r9,
+    VERDICT r8 item 2): the power-law probe covers hub-skew graphs whose
+    diameter is small, but label propagation runs rounds = O(diameter), so
+    chain-shaped inputs are its pathology — a 10^5-node path needs 10^5
+    rounds and would never finish.  Synthesize the two canonical shapes at
+    each node count: a PATH (diameter n-1, the worst case) and a square
+    GRID (diameter 2(sqrt(n)-1) — the 2-D long-range shape).  For each,
+    run BOTH algorithms:
+
+    - label propagation (``neardup_components``) with a 30-round budget —
+      expected DNF (loud RuntimeError) on every tier; recording that IS
+      the evidence the default needs the star fallback outside its
+      dense-cluster home turf;
+    - alternating star (``algorithm='star'``) — expected ~2·log2(n)
+      rounds, wall + shuffle + rounds recorded, labels verified == {0}.
+    """
+    import math
+
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.operators.dedup import (  # noqa: PLC0415
+        neardup_components,
+    )
+    from etl_cloud_logistics_spark.operators.graph import (  # noqa: PLC0415
+        connected_components_star,
+    )
+
+    spark = get_spark("scaling-probe-diameter")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    def path_edges(n: int):
+        return (
+            spark.range(n - 1)
+            .select((F.col("id") + 1).alias("doc_a"), F.col("id").alias("doc_b"))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+
+    def grid_edges(n: int):
+        side = int(math.isqrt(n))
+        cells = spark.range(side * side).select(
+            F.col("id").alias("v"),
+            (F.col("id") % side).alias("c"),
+            (F.col("id") / side).cast("long").alias("r"),
+        )
+        right = cells.filter(F.col("c") < side - 1).select(
+            F.col("v").alias("doc_a"), (F.col("v") + 1).alias("doc_b")
+        )
+        down = cells.filter(F.col("r") < side - 1).select(
+            F.col("v").alias("doc_a"), (F.col("v") + side).alias("doc_b")
+        )
+        return (
+            right.unionByName(down)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+
+    def ids_of(pairs):
+        return (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+
+    # warm the plan shapes once
+    warm = path_edges(2_000)
+    neardup_components(warm, ids_of(warm), algorithm="star").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    try:
+        neardup_components(warm, ids_of(warm), max_iter=30)
+    except RuntimeError:
+        pass
+    spark.catalog.clearCache()
+
+    print(
+        "high-diameter CC probe (path: diameter n-1; grid: 2(sqrt(n)-1); "
+        "label budget 30 rounds)"
+    )
+    print(
+        f"{'shape':>5} {'nodes':>8} {'label':>9} {'star_sec':>8} "
+        f"{'star_MB':>8} {'star_rounds':>11} {'components':>10}"
+    )
+    for n in ns:
+        for shape, build in (("path", path_edges), ("grid", grid_edges)):
+            pairs = build(n)
+            ids = ids_of(pairs).localCheckpoint(eager=True)
+            try:
+                neardup_components(pairs, ids, max_iter=30).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                label = f"{neardup_components.last_rounds + 1}rnd"
+            except RuntimeError:
+                label = "DNF>30"
+            spark.catalog.clearCache()
+            before = exec_ids()
+            t0 = time.perf_counter()
+            comp = neardup_components(pairs, ids, algorithm="star")
+            n_comp = comp.select("component").distinct().count()
+            wall = time.perf_counter() - t0
+            m = _execution_metrics(store, exec_ids() - before)
+            rounds = connected_components_star.last_rounds
+            print(
+                f"{shape:>5} {ids.count():>8} {label:>9} {wall:>8.2f} "
+                f"{m.get('shuffle bytes written', 0.0) / 2**20:>8.1f} "
+                f"{rounds:>11} {n_comp:>10}"
+            )
+            spark.catalog.clearCache()
 
 
 def winnow_probe(ks: list[int]) -> None:
@@ -503,6 +640,11 @@ def main() -> None:
     if args and args[0] == "--powerlaw":
         powerlaw_probe(
             [int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000]
+        )
+        return
+    if args and args[0] == "--diameter":
+        diameter_probe(
+            [int(float(a)) for a in args[1:]] or [10_000, 100_000, 1_000_000]
         )
         return
     ks = [int(a) for a in args] or [1, 5, 10]
