@@ -30,6 +30,19 @@ by q01/q06-q10)/``dsir_importance_weights``/``zscore_outlier_gate``/
 ``bench.py`` still times the full core-12 (the BASELINE.md unit) by
 including q01..q12 regardless of the extra flag.
 
+Window rotation r9 (VERDICT r8 #4), same policy: promoted six rows with
+ZERO prior driver history — ``asof_last_signup`` (J10 as-of half),
+``simhash_near_pairs`` (X2 SimHash), ``unigram_lm_typicality`` +
+``ccnet_perplexity_buckets`` (X4 statistical-LM filters),
+``tpch_q17_small_quantity_revenue`` + ``tpch_q22_dormant_high_balance``
+(classic correlated-subquery / NOT-EXISTS shapes); demoted six rows with
+4-7 green driver rounds each whose §2 coverage another driver row keeps —
+``decontam_ngram_overlap`` (bloom prefilter is bit-identical incl. exact
+verify), ``star_join_operations`` (J5 via fact_build_month),
+``order_window_overlaps`` (J10 range half), ``srp_lsh_neardup_pairs``,
+``inverted_index_postings``, ``word_vote_lang_classifier`` (X2/X4 keep
+multiple driver rows).
+
 Determinism rules (so the driver's order-insensitive value-hash agrees):
 - no wall-clock: the reference's ``CURRENT_DATE``-relative predicates become
   fixed literal cutoffs (SURVEY.md §7 principle);

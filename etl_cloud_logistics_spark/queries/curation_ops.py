@@ -42,6 +42,9 @@ _BENCH_PRED = "doc_id % 25 = 0"
 
 @register(
     "decontam_ngram_overlap",
+    extra=True,  # r9 window rotation: demoted after 6 green driver rounds —
+    # decontam_bloom_prefilter (bit-identical answer incl. the exact verify)
+    # keeps the family's external slot; stays CI-exact-gated
     oracle=f"""
     WITH {_GRAMS4_CTE},
     tr AS (SELECT doc_id, s FROM g4 WHERE NOT ({_BENCH_PRED})),

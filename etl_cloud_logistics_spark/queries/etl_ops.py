@@ -124,7 +124,9 @@ def anti_join_new_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "asof_last_signup",
-    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
+    # r9 window rotation: promoted back INTO the driver window — J10's
+    # as-of half takes over the external slot from order_window_overlaps
+    # (range half, 5 green driver rounds, stays CI-exact-gated)
     oracle="""
     SELECT e.event_id, e.user_id, e.ts,
            s.event_id AS asof_event_id, s.value AS asof_value

@@ -481,6 +481,8 @@ def unpivot_order_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "star_join_operations",
+    extra=True,  # r9 window rotation: demoted after 7 green driver rounds —
+    # J5's driver coverage stays with fact_build_month; CI-exact-gated
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation, c.c_mktsegment AS segment,
            p.p_brand AS brand, s.s_name AS supplier_name,
@@ -724,6 +726,8 @@ def incremental_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_window_overlaps",
+    extra=True,  # r9 window rotation: demoted after 5 green driver rounds —
+    # J10's external slot moves to asof_last_signup; CI-exact-gated
     oracle="""
     WITH o AS (
         SELECT o_custkey, o_orderkey,

@@ -412,6 +412,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "srp_lsh_neardup_pairs",
+    extra=True,  # r9 window rotation: demoted after 4 green driver rounds —
+    # X2's external slot rotates to simhash_near_pairs; CI-exact-gated
     oracle=f"""
     WITH planes AS (
         SELECT t, b, d,

@@ -215,7 +215,8 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
-    extra=True,  # rotated out round 3 for incremental_report_refresh; X2 driver
+    # r9 window rotation: promoted INTO the driver window (zero prior
+    # driver history; X2's SimHash half gets external verification)
     # rows: neardup_minhash_lsh + neardup_embedding_cosine + components
 )
 def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -802,7 +803,9 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     GROUP BY doc_id
     """,
-    extra=True,  # X4 statistical-LM filter extra; CI-exact-gated like the
+    # r9 window rotation: promoted INTO the driver window (zero prior
+    # driver history; the X4 statistical-LM filter family's first
+    # external check)
     # rest of the text battery (driver X4 row: doc_metrics)
 )
 def unigram_lm_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,7 +981,8 @@ def passage_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'tail' END AS bucket
     FROM ranked
     """,
-    extra=True,  # X4/X6 stratification extra (r4), CI-exact-gated
+    # r9 window rotation: promoted INTO the driver window (zero prior
+    # driver history; CCNet-style perplexity bucketing external check)
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity stratification (Wenzek et al. 2020): rank
@@ -1260,6 +1264,9 @@ def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "inverted_index_postings",
+    extra=True,  # r9 window rotation: demoted after 4 green driver rounds —
+    # X4 keeps driver rows doc_quality_battery/bm25/duplicated_span/
+    # cmsketch + the newly promoted LM pair; CI-exact-gated
     oracle="""
     WITH occ AS (
         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -1318,6 +1325,8 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "word_vote_lang_classifier",
+    extra=True,  # r9 window rotation: demoted after 4 green driver rounds —
+    # see inverted_index_postings note; CI-exact-gated
     oracle="""
     WITH occ AS (
         SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term

@@ -194,7 +194,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     WHERE p.p_brand = 'Brand#4'
       AND l.l_quantity < pq.qty_threshold
     """,
-    extra=True,  # engine-breadth demo: the correlated-scalar-subquery shape
+    # r9 window rotation: promoted INTO the driver window (zero prior
+    # driver history; correlated-scalar-subquery shape external check)
 )
 def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): the classic CORRELATED
@@ -254,7 +255,8 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     GROUP BY c.c_nationkey
     ORDER BY c.c_nationkey
     """,
-    extra=True,  # engine-breadth demo: global-aggregate predicate + NOT EXISTS
+    # r9 window rotation: promoted INTO the driver window (zero prior
+    # driver history; global-agg predicate + NOT EXISTS external check)
 )
 def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global-relations check, adapted): customers whose balance
