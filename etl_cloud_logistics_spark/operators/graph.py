@@ -29,7 +29,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from .checkpointing import RoundCheckpointer
 
@@ -393,14 +392,17 @@ def connected_components_star(
 
     Per round, on the canonical edge set E (a < b per edge):
 
-    - LARGE-STAR: symmetrize; for each node u with m(u) = min(N(u) ∪ {u}),
-      connect every STRICTLY LARGER neighbor to m(u): {(v, m(u)) : v ∈
-      N(u), v > u}.  One hash-partitioned window (min over partition u —
-      no join needed: the per-group min is the only group datum) plus a
-      distinct.
+    - LARGE-STAR: for each node u with m(u) = min(N(u) ∪ {u}) over the
+      SYMMETRIZED neighborhood, connect every STRICTLY LARGER neighbor to
+      m(u): {(v, m(u)) : v ∈ N(u), v > u}.  The emission rows are exactly
+      the canonical edges themselves (v > u ⟺ the (a, b) orientation), so
+      this is one groupBy-min over the symmetrized list (map-side combine
+      shrinks the exchange toward O(V)) joined back onto E by its small
+      endpoint, plus a distinct — never a partition-wide window sort, and
+      nothing 2E-row is persisted.
     - SMALL-STAR: key each edge by its larger endpoint b with m(b) =
       min(N(b)); connect the smaller neighbors and b itself to m(b):
-      {(v, m(b)) : v ∈ N(b) ∪ {b}, v ≠ m(b)}.  Same window + distinct
+      {(v, m(b)) : v ∈ N(b) ∪ {b}, v ≠ m(b)}.  Same groupBy-min + join
       shape, keyed by b.
 
     Convergence is detected with GraphFrames' monotone signature: P(u) =
@@ -411,8 +413,8 @@ def connected_components_star(
     component-constant (an edge (x, y) with P(x) < P(y) would have
     small-star(x) emit (P(y), P(x)) that round, decreasing S) and
     self-fixed at each component's minimum id.  The sum is accumulated as
-    DECIMAL(38,0), exact for any id width, and costs one O(V)-row
-    aggregate per round off the already-shuffled large-star window.
+    DECIMAL(38,0), exact for any id width, and comes free off the
+    large-star's per-node min frame (one O(V)-row aggregate per round).
 
     Shuffle shape at scale: every exchange is hash-partitioned on a node
     id over the CURRENT edge set, which only ever shrinks (stars collapse
@@ -444,8 +446,6 @@ def connected_components_star(
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
         .distinct()
     )
-    w_u = Window.partitionBy("u")
-    w_b = Window.partitionBy("b")
     prev_sig = None
     converged = False
     rounds = 0
@@ -453,41 +453,45 @@ def connected_components_star(
         sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        # one exchange by u serves both the emission and the signature
-        stars = sym.withColumn(
-            "m", F.least(F.min("v").over(w_u), F.col("u"))
-        ).persist()
-        sig = (
-            stars.select("u", "m")
-            .distinct()
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("m").cast("decimal(38,0)")).alias("s"),
-            )
-            .first()
+        # per-node parent P(u) = min(N(u) ∪ {u}): O(V) rows after the
+        # map-side-combined groupBy; persisted because both the signature
+        # aggregate and the large-star join read it this round
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+            .persist()
         )
+        sig = mins.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("m").cast("decimal(38,0)")).alias("s"),
+        ).first()
         sig = (sig["n"], sig["s"])
         if sig == prev_sig:
-            stars.unpersist()
+            mins.unpersist()
             converged = True
             break
         prev_sig = sig
-        # large-star: (v, m(u)) for v > u; m(u) ≤ u < v, so the output is
-        # already in canonical (small, large) orientation
+        # large-star: the v > u emission rows are exactly the canonical
+        # edges (u = a, v = b), so join E by its small endpoint; the new
+        # edge (b, m(a)) is already canonical because m(a) ≤ a < b
         ls = (
-            stars.filter("v > u")
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            e.join(mins, e["a"] == mins["u"])
+            .select(F.col("m").alias("a"), "b")
             .distinct()
         )
-        # small-star: m(b) = min(N(b)) over the smaller-endpoint neighbors
-        ss_base = ls.withColumn("m", F.min("a").over(w_b))
+        # small-star: m(b) = min(N(b)) over the smaller-endpoint neighbors;
+        # emit (v, m(b)) for every v ∈ N(b) except m(b) itself, plus
+        # (b, m(b)) — all canonical since m(b) < v ≤ b
+        minsb = ls.groupBy("b").agg(F.min("a").alias("mb"))
         e = chk(
-            ss_base.filter("a <> m")
-            .select(F.col("m").alias("a"), F.col("a").alias("b"))
-            .union(ss_base.select(F.col("m").alias("a"), "b"))
+            ls.join(minsb, "b")
+            .filter(F.col("a") != F.col("mb"))
+            .select(F.col("mb").alias("a"), F.col("a").alias("b"))
+            .union(minsb.select(F.col("mb").alias("a"), "b"))
             .distinct()
         )
-        stars.unpersist()
+        mins.unpersist()
     # probe introspection: round count of the last completed invocation
     # (tools/scaling_probe.py --diameter reads it; not part of the API)
     connected_components_star.last_rounds = rounds

@@ -221,3 +221,43 @@ def test_typed_hash_properties():
     t1 = pd.DataFrame({"a": ["p\nq"]})  # one cell with an embedded newline
     t2 = pd.DataFrame({"a": ["p", "q"]})  # two rows — must not collide
     assert typed_hash(t1) != typed_hash(t2)
+
+
+def test_temporal_kind_check_catches_date_timestamp_drift(spark):
+    """The DATE/TIMESTAMP blind spot, pinned (r9, VERDICT r8 #7).
+
+    Documented insensitivity: after pandas conversion, a DATE and a
+    midnight TIMESTAMP render identically (DuckDB DATE arrives as
+    datetime64; the typed hash's ``t:`` tag unifies deliberately), so
+    NO pandas-level hash — ours or the driver's — can be relied on to see
+    a DATE-vs-TIMESTAMP drift.  The guard that makes the unification safe
+    is source-level: ``temporal_mismatches`` compares Spark's analyzed
+    schema against the DuckDB cursor's declared result types and must go
+    red on exactly this drift while staying green on aligned types."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.verify_local import temporal_mismatches, typed_hash
+
+    con = duckdb.connect()
+    # deliberate drift: Spark emits DATE, oracle emits TIMESTAMP
+    sdf_frame = spark.sql("SELECT DATE '2024-01-02' AS d")
+    cur = con.execute("SELECT TIMESTAMP '2024-01-02 00:00:00' AS d")
+    desc = cur.description
+    # 1) the hashes unify — the documented blind spot this test pins
+    assert typed_hash(sdf_frame.toPandas()) == typed_hash(cur.df())
+    # 2) the source-level check catches it
+    probs = temporal_mismatches(sdf_frame.schema, desc)
+    assert probs and "temporal kind drift" in probs[0], probs
+    # 3) aligned types stay green (DATE==DATE, TIMESTAMP==TIMESTAMP,
+    #    non-temporal columns ignored)
+    ok_frame = spark.sql(
+        "SELECT DATE '2024-01-02' AS d, TIMESTAMP '2024-01-02 03:00:00' AS t, 1 AS k"
+    )
+    ok_desc = con.execute(
+        "SELECT DATE '2024-01-02' AS d, TIMESTAMP '2024-01-02 03:00:00' AS t, 1 AS k"
+    ).description
+    assert temporal_mismatches(ok_frame.schema, ok_desc) == []

@@ -100,8 +100,13 @@ def _typed_cell(v, int_tag: str = "i") -> str:
         return f"t:{pd.Timestamp(v).tz_localize(None) if getattr(v, 'tzinfo', None) else pd.Timestamp(v)}"
     if isinstance(v, datetime.date):
         # Spark DATE → datetime.date objects; DuckDB DATE → datetime64 at
-        # midnight.  The driver treats them as the same logical type, so
-        # unify to the timestamp rendering rather than flag every date col.
+        # midnight — the DATE identity is GONE from the pandas frame on the
+        # DuckDB side, so a cell tag cannot distinguish DATE from midnight
+        # TIMESTAMP symmetrically; unify to the timestamp rendering.  The
+        # DATE/TIMESTAMP drift this could hide is instead caught at the
+        # SOURCE level: main() compares Spark's schema temporal kinds
+        # against DuckDB's declared result types for every oracle (r9,
+        # VERDICT r8 #7) — stricter than any pandas-level hash could be.
         return f"t:{pd.Timestamp(v)}"
     if isinstance(v, bytes):
         return f"x:{v.hex()}"
@@ -142,6 +147,43 @@ def typed_hash(df: pd.DataFrame) -> str:
         h.update(r.encode())
         h.update(b"\n")
     return h.hexdigest()
+
+
+def temporal_kind_spark(dt) -> str | None:
+    """'DATE' / 'TS' / None for a Spark data type — the logical temporal
+    kind the pandas conversion erases on the DuckDB side."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "TS"
+    return None
+
+
+def temporal_kind_duck(type_name: str) -> str | None:
+    tn = str(type_name).upper()
+    return "DATE" if tn == "DATE" else ("TS" if "TIME" in tn else None)
+
+
+def temporal_mismatches(spark_schema, duck_description) -> list[str]:
+    """DATE-vs-TIMESTAMP cross-typings between the Spark result schema and
+    DuckDB's declared result types (r9, VERDICT r8 #7).  Both engines'
+    pandas frames render a DATE and a midnight TIMESTAMP identically, so
+    neither exact-value comparison nor any pandas-level hash can see this
+    drift — it must be checked where the type still exists: Spark's
+    analyzed schema vs the oracle cursor's description."""
+    duck_kinds = {col[0]: temporal_kind_duck(col[1]) for col in duck_description}
+    out = []
+    for f in spark_schema.fields:
+        sk = temporal_kind_spark(f.dataType)
+        dk = duck_kinds.get(f.name)
+        if (sk or dk) and sk != dk:
+            out.append(
+                f"temporal kind drift on col {f.name}: spark={sk or f.dataType.simpleString()} "
+                f"duck={dk or 'non-temporal'}"
+            )
+    return out
 
 
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
@@ -207,7 +249,8 @@ def main() -> int:
         records[n] = rec
         t0 = time.time()
         try:
-            sdf = spec.fn(spark, SF_DIR).toPandas()
+            frame = spec.fn(spark, SF_DIR)
+            sdf = frame.toPandas()
         except Exception:
             print(f"FAIL  {n}: spark raised\n{traceback.format_exc()}")
             rec.update(status="spark_error", err=traceback.format_exc(limit=1))
@@ -221,13 +264,17 @@ def main() -> int:
             rec.update(status="rows_only", secs=round(time.time() - t0, 2))
             continue
         try:
-            ddf = con.execute(spec.oracle).df()
+            cur = con.execute(spec.oracle)
+            duck_desc = cur.description
+            ddf = cur.df()
         except Exception:
             print(f"FAIL  {n}: oracle raised\n{traceback.format_exc()}")
             rec.update(status="oracle_error", err=traceback.format_exc(limit=1))
             failed.append(n)
             continue
-        problems = compare(n, sdf, ddf)
+        problems = temporal_mismatches(frame.schema, duck_desc)
+        rec["temporal_types_match"] = not problems
+        problems += compare(n, sdf, ddf)
         hash_match = (
             sorted(sdf.columns) == sorted(ddf.columns)
             and typed_hash(sdf) == typed_hash(ddf)
