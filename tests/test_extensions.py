@@ -1359,3 +1359,19 @@ def test_cc_star_rejects_non_integral_ids(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(TypeError, match="integral node ids"):
         connected_components_star(e)
+
+
+def test_cc_star_empty_pairs_labels_everyone_singleton(spark):
+    """No duplicate pairs at all (a clean corpus): every id must label
+    itself, in both algorithms, without the star loop's empty edge set
+    tripping the convergence signature (count=0, sum=NULL on round one)."""
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    for algo in ("label", "star"):
+        out = {
+            r["doc_id"]: r["component"]
+            for r in neardup_components(pairs, ids, algorithm=algo).collect()
+        }
+        assert out == {i: i for i in range(5)}, (algo, out)
