@@ -474,16 +474,24 @@ def connected_components_star(
         prev_sig = sig
         # large-star: the v > u emission rows are exactly the canonical
         # edges (u = a, v = b), so join E by its small endpoint; the new
-        # edge (b, m(a)) is already canonical because m(a) ≤ a < b
-        ls = (
+        # edge (b, m(a)) is already canonical because m(a) ≤ a < b.
+        # Materialized through the checkpointer: the small-star below
+        # reads it from three subplans (the minsb aggregate and both
+        # union branches), and neither exchange reuse nor a lazy persist
+        # dedupes the join across them reliably under AQE — unmaterialized,
+        # the large-star join re-executed per consumer (measured +1.7 GB
+        # shuffle at the 1e6-node path tier).
+        ls = chk(
             e.join(mins, e["a"] == mins["u"])
             .select(F.col("m").alias("a"), "b")
             .distinct()
         )
         # small-star: m(b) = min(N(b)) over the smaller-endpoint neighbors;
         # emit (v, m(b)) for every v ∈ N(b) except m(b) itself, plus
-        # (b, m(b)) — all canonical since m(b) < v ≤ b
-        minsb = ls.groupBy("b").agg(F.min("a").alias("mb"))
+        # (b, m(b)) — all canonical since m(b) < v ≤ b.  minsb is O(V)
+        # and read by both union branches; the cheap persist stops its
+        # groupBy exchange running once per consumer.
+        minsb = ls.groupBy("b").agg(F.min("a").alias("mb")).persist()
         e = chk(
             ls.join(minsb, "b")
             .filter(F.col("a") != F.col("mb"))
@@ -491,6 +499,7 @@ def connected_components_star(
             .union(minsb.select(F.col("mb").alias("a"), "b"))
             .distinct()
         )
+        minsb.unpersist()
         mins.unpersist()
     # probe introspection: round count of the last completed invocation
     # (tools/scaling_probe.py --diameter reads it; not part of the API)
