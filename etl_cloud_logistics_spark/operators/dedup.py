@@ -26,6 +26,13 @@ from pyspark.sql.window import Window
 
 from .checkpointing import RoundCheckpointer
 
+# neardup_components(algorithm="auto"): label-propagation rounds before the
+# star fallback kicks in.  Dense near-dup clusters converge in 2-4 rounds
+# and hub-skew graphs in 4-5 (GRAPH_PROBE_r09), so 8 gives the fast path
+# ample margin while bounding the waste on a pathological chain to 8 cheap
+# shrinking-frontier rounds.
+AUTO_LABEL_ROUNDS = 8
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -595,7 +602,18 @@ def neardup_components(
       chain-shaped or unknown-topology inputs where label propagation's
       round count (and its loud ``max_iter`` failure) would explode.
       Equal output by construction (component = min reachable id either
-      way; pytest-pinned on paths/rings/random graphs).
+      way; pytest-pinned on paths/rings/random graphs);
+    - ``"auto"``: label propagation for up to
+      min(``max_iter``, ``AUTO_LABEL_ROUNDS``) rounds — the fast path on
+      the dense shallow graphs this operator usually serves — then, if
+      labels still move, CONTRACT the graph by the partial labels (each
+      pair becomes (lbl(a), lbl(b)); the label rounds already collapsed
+      every short-diameter cluster, so the contracted graph holds only
+      the long-chain remainder) and finish with the star algorithm.
+      Correct on any topology with no loud-failure mode: partial labels
+      are always ids reachable from their node, so contraction preserves
+      connectivity and the component minimum — equal output
+      pytest-pinned against both pure algorithms.
     """
     if algorithm == "star":
         from .graph import connected_components_star  # noqa: PLC0415
@@ -611,8 +629,13 @@ def neardup_components(
             id_col,
             "left",
         ).select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
-    if algorithm != "label":
-        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
+    if algorithm not in ("label", "auto"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: use 'label', 'star' or 'auto'"
+        )
+    label_rounds = (
+        max_iter if algorithm == "label" else min(max_iter, AUTO_LABEL_ROUNDS)
+    )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -630,7 +653,7 @@ def neardup_components(
     frontier = labels  # round 0: every initial label still needs propagating
     converged = False
     rounds = 0
-    for rounds in range(max_iter):
+    for rounds in range(label_rounds):
         # propagate only labels that improved last round — min over the
         # frontier neighbors; earlier labels already reached these nodes
         neighbor_min = (
@@ -655,6 +678,45 @@ def neardup_components(
     checkpoint.cleanup_stale()
     # probe introspection (tools/scaling_probe.py --diameter); not API
     neardup_components.last_rounds = rounds
+    neardup_components.last_algorithm = "label"
+    if not converged and algorithm == "auto":
+        # auto fallback: every cluster with diameter <= label_rounds is
+        # already collapsed to one label, so contracting each pair to its
+        # endpoints' labels leaves only the long-chain remainder — finish
+        # that with the O(log n)-round star algorithm and compose.  lbl(x)
+        # is always an id REACHABLE from x (induction over rounds), so the
+        # contracted graph's connectivity is exactly the original's
+        # quotient and its component minima are the original minima.
+        from .graph import connected_components_star  # noqa: PLC0415
+
+        neardup_components.last_algorithm = "label+star"
+        contracted = (
+            pairs.select("doc_a", "doc_b")
+            .join(
+                labels.select(F.col("node").alias("doc_a"), F.col("lbl").alias("ca")),
+                "doc_a",
+            )
+            .join(
+                labels.select(F.col("node").alias("doc_b"), F.col("lbl").alias("cb")),
+                "doc_b",
+            )
+            .select("ca", "cb")
+        )
+        star_labels = connected_components_star(
+            contracted, "ca", "cb", max_iter=max(max_iter, 50),
+            checkpoint_dir=checkpoint_dir,
+        )
+        # labels whose whole cluster already collapsed contract to pure
+        # self-loops, which the star drops — they keep their lbl
+        return (
+            labels.join(
+                star_labels.withColumnRenamed("node", "lbl"), "lbl", "left"
+            )
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce("component", F.col("lbl")).alias("component"),
+            )
+        )
     if not converged:
         # labels still moved on the last round: a component with diameter >
         # max_iter would be silently split into bogus sub-components, and the

@@ -1375,3 +1375,56 @@ def test_cc_star_empty_pairs_labels_everyone_singleton(spark):
             for r in neardup_components(pairs, ids, algorithm=algo).collect()
         }
         assert out == {i: i for i in range(5)}, (algo, out)
+
+
+def test_cc_auto_uses_label_fast_path_on_shallow_graphs(spark):
+    """algorithm='auto' on a dense shallow graph must converge inside the
+    label-propagation budget and never touch the star fallback."""
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,), (11,), (99,)], "doc_id long"
+    )
+    out = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, nodes, algorithm="auto").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+    assert neardup_components.last_algorithm == "label"
+
+
+def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
+    """algorithm='auto' on a mixed graph (shallow clusters + a 300-node
+    chain): the label budget cannot finish the chain, so auto must contract
+    by the partial labels and delegate to the star — same answer as both
+    pure algorithms, no RuntimeError anywhere."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    n = 300
+    chain = [(1000 + i + 1, 1000 + i) for i in range(n - 1)]
+    clusters = [(1, 2), (2, 3), (50, 51)]
+    pairs = spark.createDataFrame(chain + clusters, "doc_a long, doc_b long")
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .unionByName(spark.createDataFrame([(7777,)], "doc_id long"))
+    )
+    auto = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, nodes, algorithm="auto").collect()
+    }
+    assert neardup_components.last_algorithm == "label+star"
+    want = {1: 1, 2: 1, 3: 1, 50: 50, 51: 50, 7777: 7777}
+    want.update({1000 + i: 1000 for i in range(n)})
+    assert auto == want
+    star = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, nodes, algorithm="star").collect()
+    }
+    assert auto == star

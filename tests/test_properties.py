@@ -261,3 +261,40 @@ def test_temporal_kind_check_catches_date_timestamp_drift(spark):
         "SELECT DATE '2024-01-02' AS d, TIMESTAMP '2024-01-02 03:00:00' AS t, 1 AS k"
     ).description
     assert temporal_mismatches(ok_frame.schema, ok_desc) == []
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    ),
+    extra_ids=st.sets(st.integers(0, 40), max_size=6),
+)
+def test_cc_star_equals_label_propagation_property(spark, edges, extra_ids):
+    """Property pin for the r9 star path: on ANY random multigraph (dups,
+    reversals, self-loops, isolated ids included), alternating-star and
+    min-label-propagation components must be identical maps — both define
+    component(x) = min id reachable from x."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+
+    ids = sorted({a for a, _ in edges} | {b for _, b in edges} | extra_ids)
+    if not ids:
+        return
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(ids[0], ids[0])],
+        "doc_a long, doc_b long",
+    )
+    id_df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    lab = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, id_df, max_iter=80).collect()
+    }
+    star = {
+        r["doc_id"]: r["component"]
+        for r in neardup_components(pairs, id_df, algorithm="star").collect()
+    }
+    assert lab == star
