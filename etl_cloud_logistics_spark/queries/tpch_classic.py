@@ -5,12 +5,27 @@ analytics workload expects an engine to run well, registered as
 locally-verified extras so the engine's breadth is demonstrated without
 displacing reference-surface driver rows:
 
-- Q1 pricing summary: the canonical wide-aggregate scan (map-side combine
-  collapses everything; output is 4 rows);
-- Q3 shipping priority: selective fact⋈fact join + top-k (adapted: order
-  priority stands in for the missing o_shippriority column);
-- Q5 local supplier volume: the 6-table snowflake join where customer and
-  supplier must share a nation — dims broadcast, one fact shuffle.
+16 of the 22 spec queries run here (some adapted where the testdata lacks
+a spec column — each docstring states its adaptation):
+
+- Q1 pricing summary (wide aggregate), Q6 forecast revenue (pushdown
+  probe), Q14 promo effect / Q19 discounted revenue (conditional +
+  disjunctive single-join aggregates);
+- Q3 shipping priority, Q10 returned items, Q18 large-volume customer
+  (fact⋈fact join + top-k reports);
+- Q5 local supplier volume, Q7 volume shipping, Q8 market share (the
+  snowflake joins, up to 8 tables);
+- Q4 order priority (correlated EXISTS), Q13 customer distribution
+  (filter-in-left-join + re-aggregate), Q15 top supplier (agg view +
+  scalar MAX), Q17 small-quantity revenue (correlated scalar subquery),
+  Q21 waiting suppliers (EXISTS + NOT EXISTS double correlation),
+  Q22 dormant high balance (NOT EXISTS + uncorrelated scalar AVG).
+
+The remaining six are schema-infeasible in this testdata, not skipped for
+difficulty: Q2/Q9/Q11/Q16/Q20 need the partsupp table (absent), Q12 needs
+l_shipmode (absent); nothing in their plan shapes is missing from the
+set above (semi/anti correlation: Q4/Q21/Q22; agg-view scalar: Q15/Q17;
+snowflake: Q5/Q7/Q8).
 
 Decimal-exact sums (functions.sum_exact) keep every float aggregate
 order-independent so the DuckDB oracles match bit-for-bit.
@@ -548,4 +563,458 @@ def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame
             sum_exact("c_acctbal").alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    extra=True,  # locally verified; rotation candidate (pure pushdown probe)
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): one scan, three range
+    predicates, one ungrouped sum.  The benchmark's predicate-pushdown
+    probe: every filter is a parquet-pushable range on a scan column, so
+    at 100 TB the scan reads only row groups whose min/max statistics
+    overlap [1996-01-01,1997) x [0.05,0.07] x [0,24) and only the four
+    referenced columns — no shuffle at all (ungrouped partial sums merge
+    in one 1-row reduce).  ``n_lines`` pins the surviving-row set so the
+    oracle differential cannot pass on a compensating-value accident."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        sum_exact(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol_dec) AS DOUBLE) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(YEAR(l.l_shipdate) AS INTEGER) AS l_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6)) AS vol_dec
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    extra=True,  # locally verified; rotation candidate (cross-dim
+    # disjunction over a 2-fact join)
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year — lineitem x orders is the only fact-sized join; both
+    nation hops and supplier/customer are broadcast dims.  The nation-pair
+    disjunction references BOTH dimension legs, so it cannot collapse to a
+    single-leg pushdown — but each leg's implied superset
+    (n_name IN (N1, N2)) CAN be applied before the join, shrinking the
+    supplier/customer legs ~2/25 before any fact row is touched.  The
+    supersets are spelled explicitly rather than left to the optimizer
+    (this Spark's constraint propagation does also derive them — both
+    forms show in PushedFilters — but an explicit filter doesn't depend
+    on `spark.sql.constraintPropagation.enabled` staying on); the full
+    pair filter still runs post-join, so semantics are unchanged.  At
+    100 TB: one orderkey hash exchange of the doubly-pre-filtered fact,
+    then a 12-row aggregate."""
+    pair = ("NATION_1", "NATION_2")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    n1 = nat.select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .select("c_custkey", "cust_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_12' THEN vol_dec
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(SUM(vol_dec) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM (SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(38,6)) AS vol_dec,
+                 n1.n_name AS supp_nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+          JOIN region r   ON r.r_regionkey = n2.n_regionkey
+          WHERE r.r_name = 'ASIA'
+            AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01') all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    extra=True,  # locally verified; rotation candidate (8-table snowflake
+    # + conditional-share ratio)
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of ECONOMY-part
+    revenue sold into ASIA per order-year — the deepest snowflake in the
+    suite (8 tables).  Spark-first: every non-fact leg (part filtered to
+    one type, supplier+nation, customer+nation+region filtered to one
+    region) broadcasts; lineitem x orders is the only exchange.  The share
+    is a conditional aggregate over ONE pass — no self-join of
+    numerator/denominator legs.  At 100 TB: two fact scans (pruned to 5
+    and 3 columns), one orderkey hash join, 2-row output.
+
+    Determinism: numerator and denominator are decimal-exact sums emitted
+    as double; the share is then a single IEEE division of bit-identical
+    operands, so no rounding repair is needed.  ``n_lines`` pins the
+    surviving-row set."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nat.select(F.col("n_nationkey").alias("nk2"), "n_regionkey").join(
+                    F.broadcast(region.select("r_regionkey")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    zero_dec = F.lit(0).cast("decimal(38,6)")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_12", vol_dec).otherwise(
+                        zero_dec
+                    )
+                ).cast("double")
+                / F.sum(vol_dec).cast("double")
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    extra=True,  # locally verified; rotation candidate (the returned-item
+    # top-k report; distinct from q10_customer_ranking's window shape)
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): revenue lost to returns per
+    customer over one quarter, top 20.  Distinct from the reference's
+    q10_customer_ranking (a rank window): this is the group-then-top-k
+    report shape.  Spark-first: the quarter filter prunes orders BEFORE
+    the fact join (pushed to the orders scan), the returnflag filter
+    prunes lineitem at its scan, customer/nation broadcast, and the top-20
+    is TakeOrderedAndProject — no global sort materializes.  At 100 TB:
+    one orderkey hash exchange between two pre-pruned facts, one custkey
+    aggregate, then a 20-row driver fetch.
+
+    Determinism: revenue is decimal-exact; LIMIT ties break on the unique
+    c_custkey."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    extra=True,  # locally verified; rotation candidate (predicate INSIDE
+    # the left-join condition + double re-aggregation — no driver row has
+    # the join-condition-filter shape)
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): histogram of how
+    many non-urgent orders each customer placed, INCLUDING zero-order
+    customers.  The priority exclusion is adapted from Q13's o_comment
+    NOT LIKE filter (the testdata has no comment column); the shape it
+    exercises survives intact: the predicate must live in the LEFT JOIN
+    CONDITION, not the WHERE clause — a WHERE would silently delete the
+    zero-order customers that the outer join exists to keep (the classic
+    outer-join-filter trap).
+
+    Spark-first: COUNT(o_orderkey) over the left join counts only matched
+    rows (nulls don't count), then the second aggregate histograms the
+    counts.  At 100 TB: one custkey hash exchange (orders pre-filtered at
+    the scan), one map-side-combining re-aggregate whose key space is
+    ~100 distinct counts."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                           AS DECIMAL(38,6))
+                                 ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    extra=True,  # locally verified; rotation candidate (conditional-share
+    # ratio over a single broadcast join)
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percentage of one month's revenue
+    from PROMO-type parts (testdata p_type is the bare family name, so
+    the LIKE 'PROMO%' of spec TPC-H is equality here).  Spark-first: the
+    month filter prunes the fact scan; part broadcasts pruned to 2
+    columns; numerator and denominator are one conditional-aggregate pass
+    — never two scans.  At 100 TB: zero non-broadcast shuffles (ungrouped
+    aggregate merges partials in a 1-row reduce).
+
+    Determinism: both sums decimal-exact; 100.0 * num / den is evaluated
+    left-associatively in both engines on bit-identical operands."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    zero_dec = F.lit(0).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol_dec).otherwise(zero_dec)
+                ).cast("double")
+                / F.sum(vol_dec).cast("double")
+            ).alias("promo_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    extra=True,  # locally verified; rotation candidate (cross-table
+    # disjunctive predicate — the Q19 shape)
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to the testdata's columns:
+    brand/size/quantity triples stand in for the spec's
+    brand/container/quantity + shipmode residuals).  The shape that
+    matters survives: a DISJUNCTION whose every branch references BOTH
+    join sides, so no branch can be pushed through the join whole.
+
+    Spark-first: each side's IMPLIED superset is extracted by hand and
+    applied before the join — part to (brand IN (1,2,3) AND size <= 15),
+    lineitem to (quantity BETWEEN 1 AND 30).  This Spark's post-join
+    filter pushdown does also derive per-side Or-supersets (both forms
+    show in the PushedFilters), but the explicit filters keep the scan
+    pruning independent of that optimizer behavior; the full triple
+    filter still runs on the joined rows, so semantics are unchanged
+    while the fact scan prunes ~40% of quantities and the broadcast
+    shrinks ~7/8.  At 100 TB both predicates reach the parquet
+    scans (min/max row-group pruning) and the join is a broadcast — zero
+    shuffle before the 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            sum_exact(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
     )
