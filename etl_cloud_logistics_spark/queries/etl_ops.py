@@ -355,6 +355,50 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_status_month",
+    extra=True,  # engine-breadth: completes the grouping family
+    # (grouping sets / rollup / cube); rotation candidate
+    oracle="""
+    SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_month) AS INTEGER)
+               AS gid,
+           o_orderstatus, order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM (SELECT o_orderstatus,
+                 CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+                 o_totalprice
+          FROM orders) o
+    GROUP BY CUBE (o_orderstatus, order_month)
+    """,
+)
+def cube_status_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE totals over status x order-month — completes the grouping-set
+    family (grouping_sets_status_priority, rollup_status_priority): all
+    four marginal combinations in one pass.  The explicit GROUPING()-id
+    column is the part rollup doesn't exercise: it disambiguates a
+    genuine NULL key from a subtotal row, which any consumer of cube
+    output needs (here every key is non-null, so gid also pins that the
+    two engines agree on WHICH rows are subtotals, not just their
+    values).  100 TB: partial aggregation applies to every grouping set
+    map-side, so the shuffle carries |groups|x4, never the fact.
+
+    Determinism: gid cast to int both sides (Spark emits int32 already);
+    revenue decimal-exact."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        "o_totalprice",
+    )
+    return orders.cube("o_orderstatus", "order_month").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("order_month"))
+        .cast("int")
+        .alias("gid"),
+        F.count("*").alias("n_orders"),
+        sum_exact("o_totalprice").alias("revenue"),
+    ).select("gid", "o_orderstatus", "order_month", "n_orders", "revenue")
+
+
+@register(
     "set_ops_counts",
     extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
     oracle=f"""

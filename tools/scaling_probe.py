@@ -29,6 +29,9 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --diameter [N ...] (path/grid graphs
            at N nodes: label propagation's O(diameter) pathology vs the
            star algorithm's O(log n) rounds; default 1e4 1e5 1e6)
+       python tools/scaling_probe.py --skewjoin [R ...] (hot-key join at
+           R fact rows, 30% on one key: AQE skew split vs disabled vs
+           manual targeted salting, equal-output checksums; default 16e6)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -620,6 +623,166 @@ def winnow_probe(ks: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def skewjoin_probe(rows_list: list[int]) -> None:
+    """Measured evidence for the HOT-KEY JOIN mitigations: a fact whose
+    hottest key carries 30% of all rows, sort-merge-joined against a
+    non-broadcastable build side, in three configurations —
+
+      aqe_skew : engine defaults (spark.sql.adaptive.skewJoin.enabled=true,
+                 as get_spark sets) — AQE splits the skewed partition into
+                 advisory-sized chunks and replicates the matching build
+                 rows per chunk;
+      no_skew  : skewJoin disabled — the straggler task owns the whole hot
+                 partition (the 1000-executor pathology: 999 idle, 1 busy);
+      salted   : skewJoin disabled + MANUAL targeted salting (the pre-AQE
+                 mitigation the engine would use where AQE can't reach,
+                 e.g. aggregation upstream of the join): hot-key fact rows
+                 spread over S salts, build rows for the hot key replicated
+                 S× — same join result by construction.
+
+    All three runs compute the same order-independent checksum
+    (count + sum of a key/value hash), printed so equal output is pinned,
+    not assumed.  The skewed partition at the default probe size is
+    ~350 MB — past the 256 MB skewedPartitionThresholdInBytes default AND
+    5× the ~25 MB median, i.e. the probe triggers AQE's UNTUNED production
+    gates rather than lowering them to probe scale.  The 100 TB evidence
+    sought: aqe_skew ≈ salted ≪ no_skew wall, with the executed plan's
+    AQEShuffleRead reporting the skew split."""
+    from pyspark.sql import functions as F2
+
+    # Join-key domain.  Must be large enough that the build side's SIZE
+    # ESTIMATE (range stats: ~8 B/row before the payload projection) stays
+    # past the 64 MB autoBroadcastJoinThreshold, or the join planner
+    # broadcasts it and there is no shuffle to skew.
+    K_DOMAIN = 20_000_000
+    SALTS = 8
+
+    spark = get_spark("scaling-probe-skewjoin")
+
+    def _entropy(col: str, n_hashes: int):
+        # AQE's skew gate reads COMPRESSED shuffle-partition bytes; a
+        # constant payload lz4-compresses ~100x and no partition ever
+        # crosses the 256 MB threshold at probe scale.  Hash-hex chains
+        # are incompressible, so on-disk bytes track logical bytes.
+        return F2.concat(
+            *[F2.hex(F2.xxhash64(col, F2.lit(i))) for i in range(n_hashes)]
+        )
+
+    def fact(rows: int):
+        # 30% of rows on key 0, the rest ~uniform over the remaining domain;
+        # ~90 bytes of incompressible payload per row
+        return (
+            spark.range(rows)
+            .select(
+                F2.when(F2.pmod("id", F2.lit(10)) < 3, F2.lit(0))
+                .otherwise(
+                    F2.pmod(F2.xxhash64("id"), F2.lit(K_DOMAIN - 1)) + 1
+                )
+                .alias("key"),
+                F2.col("id").alias("fact_id"),
+                _entropy("id", 6).alias("payload"),
+            )
+        )
+
+    def build_side():
+        return spark.range(K_DOMAIN).select(
+            F2.col("id").alias("r_key"),
+            (F2.col("id") * 2 + 1).alias("r_val"),
+            _entropy("id", 2).alias("r_pad"),
+        )
+
+    def checksum(joined) -> tuple[int, int]:
+        row = joined.agg(
+            F2.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free (a SUM of 64-bit
+            # hashes overflows long under ANSI mode).  The payload columns
+            # MUST be referenced here or Catalyst's column pruning deletes
+            # them before the exchange and the shuffled rows shrink to
+            # 16 bytes — no partition ever reaches the skew gate.
+            F2.bit_xor(
+                F2.xxhash64("key", "r_val", "fact_id", "payload", "r_pad")
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def run_plain(rows: int, skew_enabled: bool):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
+        )
+        f, b = fact(rows), build_side()
+        joined = f.join(b, f.key == b.r_key)
+        agg = joined.agg(
+            F2.count("*").alias("n"),
+            F2.bit_xor(
+                F2.xxhash64("key", "r_val", "fact_id", "payload", "r_pad")
+            ).alias("h"),
+        )
+        t0 = time.perf_counter()
+        row = agg.collect()[0]
+        wall = time.perf_counter() - t0
+        # the AQE-final plan lives on the EXECUTED frame (reading it off the
+        # un-executed join would show the pre-AQE plan, skew-split-free)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        n_skew_marks = plan.count("skewed")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        return wall, row["n"], row["h"], n_skew_marks
+
+    def run_salted(rows: int):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        f = fact(rows).withColumn(
+            "salt",
+            F2.when(
+                F2.col("key") == 0,
+                F2.pmod(F2.xxhash64("fact_id", F2.lit(7)), F2.lit(SALTS)),
+            ).otherwise(F2.lit(0)),
+        )
+        b = build_side()
+        hot_replicas = (
+            b.filter(F2.col("r_key") == 0)
+            .crossJoin(
+                spark.range(1, SALTS).select(F2.col("id").alias("salt"))
+            )
+        )
+        b_salted = b.withColumn("salt", F2.lit(0).cast("long")).unionByName(
+            hot_replicas.select("r_key", "r_val", "r_pad", "salt")
+        )
+        joined = f.join(
+            b_salted, (f.key == b_salted.r_key) & (f.salt == b_salted.salt)
+        )
+        t0 = time.perf_counter()
+        n, h = checksum(joined)
+        wall = time.perf_counter() - t0
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        return wall, n, h
+
+    # compile/JIT warm-up at a small size so the first timed row isn't
+    # paying codegen
+    run_plain(200_000, True)
+    print(
+        f"hot-key join probe: 30% of fact rows on one key, build side "
+        f"{K_DOMAIN} keys (non-broadcastable), salted S={SALTS}"
+    )
+    print(
+        f"{'rows':>10} {'config':>9} {'wall_sec':>9} {'out_rows':>10} "
+        f"{'skew_marks':>10} {'checksum_ok':>11}"
+    )
+    for rows in rows_list:
+        ref_h = None
+        for config in ("aqe_skew", "no_skew", "salted"):
+            if config == "salted":
+                wall, n, h = run_salted(rows)
+                marks = 0
+            else:
+                wall, n, h, marks = run_plain(rows, config == "aqe_skew")
+            if ref_h is None:
+                ref_h = (n, h)
+            ok = (n, h) == ref_h
+            print(
+                f"{rows:>10} {config:>9} {wall:>9.2f} {n:>10} "
+                f"{marks:>10} {str(ok):>11}"
+            )
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -646,6 +809,9 @@ def main() -> None:
         diameter_probe(
             [int(float(a)) for a in args[1:]] or [10_000, 100_000, 1_000_000]
         )
+        return
+    if args and args[0] == "--skewjoin":
+        skewjoin_probe([int(float(a)) for a in args[1:]] or [16_000_000])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
