@@ -239,3 +239,48 @@ def test_shared_shingle_pair_plans_stay_collapsed(spark, sf_small):
         plan = plan_of(spark, sf_small, name)
         n_exch = plan.count("Exchange")
         assert n_exch <= 8, f"{name}: {n_exch} exchanges\n{plan[:1500]}"
+
+
+def test_tpch_q4_semi_join_carries_nonequi_residual(spark, sf_small):
+    """Q4's correlated EXISTS must decorrelate to a LEFT SEMI whose join
+    carries the non-equi lateness comparison (a post-join filter on a
+    plain inner join would need a DISTINCT repair and double-count risk)."""
+    plan = plan_of(spark, sf_small, "tpch_q4_order_priority")
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, plan
+    assert any("l_shipdate" in ln for ln in semi_lines), semi_lines
+
+
+def test_tpch_q21_double_correlation_is_semi_then_anti(spark, sf_small):
+    """Q21's EXISTS + NOT EXISTS on the same relation must become one LEFT
+    SEMI and one LEFT ANTI against the pruned lineitem projection — never a
+    count-based self-join."""
+    plan = plan_of(spark, sf_small, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q13_filter_stays_inside_left_join(spark, sf_small):
+    """Q13's priority exclusion lives in the LEFT JOIN condition; it must
+    reach the orders scan as a pushed filter while the join stays outer
+    (a WHERE-style rewrite would silently delete zero-order customers)."""
+    plan = plan_of(spark, sf_small, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan
+
+
+def test_tpch_q19_supersets_reach_both_scans(spark, sf_small):
+    """Q19's cross-side disjunction can't push whole; the per-side implied
+    supersets must reach BOTH parquet scans."""
+    plan = plan_of(spark, sf_small, "tpch_q19_discounted_revenue")
+    assert "In(p_brand, [Brand#1,Brand#2,Brand#3])" in plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_tpch_q8_snowflake_broadcasts_every_dim_leg(spark, sf_small):
+    """Q8 (8-table snowflake): every non-fact leg must broadcast; at most
+    the lineitem-orders edge may shuffle."""
+    import re as _re
+
+    plan = plan_of(spark, sf_small, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert len(_re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) <= 1, plan
