@@ -591,3 +591,56 @@ def test_orc_roundtrip_and_predicate_pushdown(spark, sf_small, tmp_path):
     fplan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in fplan and "o_totalprice" in fplan.split("PushedFilters: [", 1)[1][:200], fplan[:800]
     assert filtered.count() == orders.filter(F.col("o_totalprice") > 100000.0).count()
+
+
+def test_sorted_lake_scan_skips_row_groups_at_read(spark, tmp_path):
+    """End-to-end half of the clustered-layout story (the footer test above
+    proves the stats are disjoint; this proves the READER uses them): a
+    narrow range predicate on the sort key over the sorted layout must
+    produce far fewer scan-output rows than the same predicate over an
+    interleaved layout — i.e. parquet row-group min/max pruning engages at
+    read time, it isn't just metadata.  Synthesized 200k-row data + small
+    parquet.block.size force many row groups per file so the effect is
+    intra-file, the form that matters at 100 TB where a file is ~1 GB and
+    a row group ~128 MB."""
+    from etl_cloud_logistics_spark.sources.maintenance import write_sorted_lake
+
+    data = spark.range(200_000).select(
+        F.col("id").alias("k"), F.hex(F.xxhash64("id")).alias("payload")
+    )
+    lo, hi = 100_000, 101_000
+    expected = hi - lo + 1
+
+    def scan_rows(path_df) -> int:
+        filtered = path_df.filter((F.col("k") >= lo) & (F.col("k") <= hi))
+        # collect() runs THIS frame's own QueryExecution; count() would spawn
+        # a twin execution and leave these metrics at zero
+        assert len(filtered.collect()) == expected  # same answer either layout
+        plan = filtered._jdf.queryExecution().executedPlan()
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return total
+
+    sorted_path = str(tmp_path / "sorted")
+    write_sorted_lake(data, sorted_path, sort_cols=["k"], n_files=2)
+    # rewrite with tiny row groups (many groups per file -> intra-file skip);
+    # sortWithinPartitions re-establishes the order per output task
+    spark.read.parquet(sorted_path).sortWithinPartitions("k").write.mode(
+        "overwrite"
+    ).option("parquet.block.size", 64 * 1024).parquet(str(tmp_path / "sorted_rg"))
+
+    # interleaved control: same rows, same tiny row groups, but hash order so
+    # every row group's min/max spans the whole key domain
+    data.orderBy(F.xxhash64("id", F.lit(3))).write.mode("overwrite").option(
+        "parquet.block.size", 64 * 1024
+    ).parquet(str(tmp_path / "shuffled_rg"))
+
+    pruned = scan_rows(spark.read.parquet(str(tmp_path / "sorted_rg")))
+    unpruned = scan_rows(spark.read.parquet(str(tmp_path / "shuffled_rg")))
+    assert unpruned >= 200_000  # no group skipped in the interleaved layout
+    # clustered row groups must cut scan output by an order of magnitude
+    assert pruned * 10 <= unpruned, (pruned, unpruned)
