@@ -41,7 +41,11 @@ def audit_one(name, spec, spark):
         "BNLJ": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "CART": len(re.findall(r"CartesianProduct", plan)),
     }
-    pushed = "Y" if re.search(r"PushedFilters: \[[^\]]+\]", plan) else "-"
+    # no closing-bracket anchor: plan text truncates long filter lists at
+    # spark.sql.maxMetadataStringLength (raised in main, but stay robust) —
+    # requiring the "]" made every long-list scan read as push=- (found via
+    # tpch_q6, the pushdown probe itself, r9)
+    pushed = "Y" if re.search(r"PushedFilters: \[[^\]]", plan) else "-"
     batched = "Y" if "Batched: true" in plan else "-"
     exch = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
     flags = []
@@ -70,6 +74,9 @@ def main():
     _load_all()
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # default 100-char metadata truncation cuts long PushedFilters lists
+    # mid-entry; the audit artifact should carry the full list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     for name, spec in REGISTRY.items():
         if subs and not any(s in name for s in subs):
             continue
