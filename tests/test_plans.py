@@ -13,6 +13,11 @@ _load_all()
 
 
 def plan_of(spark, sf_small, name: str) -> str:
+    # plan metadata truncates at spark.sql.maxMetadataStringLength (default
+    # 100 chars), which silently cuts long PushedFilters lists mid-entry and
+    # turns substring asserts into false negatives (the explain_audit tool
+    # hit exactly this, r9) — render plans untruncated for every pin here
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     return REGISTRY[name].fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
 
 

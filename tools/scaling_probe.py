@@ -691,28 +691,18 @@ def skewjoin_probe(rows_list: list[int]) -> None:
             _entropy("id", 2).alias("r_pad"),
         )
 
-    def checksum(joined) -> tuple[int, int]:
-        row = joined.agg(
+    def run_checksum(joined) -> tuple[float, int, int, str]:
+        """Execute the count+bit_xor checksum over ``joined``; return
+        (wall, n, h, final_plan).  SINGLE definition of the checksum so the
+        three configs can never drift apart and compare unequal hashes of
+        genuinely equal joins."""
+        agg = joined.agg(
             F2.count("*").alias("n"),
             # bit_xor: order-independent and overflow-free (a SUM of 64-bit
             # hashes overflows long under ANSI mode).  The payload columns
             # MUST be referenced here or Catalyst's column pruning deletes
             # them before the exchange and the shuffled rows shrink to
             # 16 bytes — no partition ever reaches the skew gate.
-            F2.bit_xor(
-                F2.xxhash64("key", "r_val", "fact_id", "payload", "r_pad")
-            ).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
-
-    def run_plain(rows: int, skew_enabled: bool):
-        spark.conf.set(
-            "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
-        )
-        f, b = fact(rows), build_side()
-        joined = f.join(b, f.key == b.r_key)
-        agg = joined.agg(
-            F2.count("*").alias("n"),
             F2.bit_xor(
                 F2.xxhash64("key", "r_val", "fact_id", "payload", "r_pad")
             ).alias("h"),
@@ -723,12 +713,22 @@ def skewjoin_probe(rows_list: list[int]) -> None:
         # the AQE-final plan lives on the EXECUTED frame (reading it off the
         # un-executed join would show the pre-AQE plan, skew-split-free)
         plan = agg._jdf.queryExecution().executedPlan().toString()
-        n_skew_marks = plan.count("skewed")
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        return wall, row["n"], row["h"], n_skew_marks
+        return wall, row["n"], row["h"], plan
+
+    def run_plain(rows: int, skew_enabled: bool):
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
+            )
+            f, b = fact(rows), build_side()
+            wall, n, h, plan = run_checksum(f.join(b, f.key == b.r_key))
+        finally:
+            # restore even on OOM/interrupt: a leaked 'false' would silently
+            # measure the no_skew config under the aqe_skew label on rerun
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        return wall, n, h, plan.count("skewed")
 
     def run_salted(rows: int):
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         f = fact(rows).withColumn(
             "salt",
             F2.when(
@@ -749,10 +749,11 @@ def skewjoin_probe(rows_list: list[int]) -> None:
         joined = f.join(
             b_salted, (f.key == b_salted.r_key) & (f.salt == b_salted.salt)
         )
-        t0 = time.perf_counter()
-        n, h = checksum(joined)
-        wall = time.perf_counter() - t0
-        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        try:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            wall, n, h, _plan = run_checksum(joined)
+        finally:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         return wall, n, h
 
     # compile/JIT warm-up at a small size so the first timed row isn't

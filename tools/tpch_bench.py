@@ -45,7 +45,8 @@ def main() -> None:
         total_once += once
         total_warm += warm
         print(f"{n:36s} {once:>8.3f} {warm:>8.3f} {rows:>6}")
-    print(f"{'TOTAL (16 queries)':36s} {total_once:>8.3f} {total_warm:>8.3f}")
+    label = f"TOTAL ({len(names)} queries)"
+    print(f"{label:36s} {total_once:>8.3f} {total_warm:>8.3f}")
 
 
 if __name__ == "__main__":
