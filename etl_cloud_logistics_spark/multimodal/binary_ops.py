@@ -6,12 +6,16 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 the engine that leaves the JVM, and it does so vectorized.
 
 The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container.  The
-real-decode seam is split (r8): PNG/JPEG dimensions come from a stdlib
-header parse (``parse_image_header`` — IHDR / SOF, CI-tested with no
-dependency), full pixel decode of anything else needs PIL and raises
-``NotImplementedError`` without it; the default path substitutes a
-deterministic fake derived from the payload bytes.  The Spark-side plumbing —
-schema, Arrow batching, partition mapping, frame math — is real and tested.
+real-decode seam is split (r8, widened r9): PNG/JPEG/GIF/BMP dimensions
+come from a stdlib header parse (``parse_image_header`` — IHDR / SOF /
+logical-screen descriptor / DIB header, CI-tested with no dependency),
+WAV/PCM audio decodes FULLY via the stdlib ``wave`` parser
+(``decode_audio_wav`` — header + samples + RMS, with ``make_wav`` as the
+encoder twin so CI round-trips real payloads); full pixel decode of
+anything else needs PIL and raises ``NotImplementedError`` without it;
+the default path substitutes a deterministic fake derived from the
+payload bytes.  The Spark-side plumbing — schema, Arrow batching,
+partition mapping, frame math — is real and tested.
 
 Scale notes:
 - payload bytes never pass through a shuffle here: mapInPandas is a narrow
@@ -70,24 +74,45 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def parse_image_header(payload: bytes) -> tuple[int, int] | None:
-    """Stdlib-only width×height parse of the two container formats that
-    carry dimensions in their headers (r8, VERDICT r7 item 4 — makes
-    ``use_real_codec=True`` genuinely exercisable in CI without PIL):
+    """Stdlib-only width×height parse of the container formats that carry
+    dimensions in their headers (r8, VERDICT r7 item 4 — makes
+    ``use_real_codec=True`` genuinely exercisable in CI without PIL; r9
+    adds GIF and BMP, shrinking the PIL-only remainder to formats whose
+    dimensions genuinely need pixel-stream decode):
 
     - PNG: the IHDR chunk is mandated first (PNG spec §11.2.2), so width
       and height are the two big-endian uint32s at bytes 16..24;
     - JPEG: walk the marker segments from SOI to the first SOF frame
       header (0xC0-0xCF excluding the non-frame DHT/JPG/DAC markers
       0xC4/0xC8/0xCC); its payload is precision byte, then height, width
-      as big-endian uint16s (JPEG B.2.2).
+      as big-endian uint16s (JPEG B.2.2);
+    - GIF: the logical-screen descriptor directly follows the 6-byte
+      signature — width, height as little-endian uint16s (GIF89a §18);
+    - BMP: dimensions live in the DIB header at offset 14 — INFO-family
+      headers (size ≥ 40) carry signed LE int32s at 18/26 (negative
+      height = top-down row order, magnitude is the pixel height,
+      BITMAPINFOHEADER spec); the legacy CORE header (size 12) carries
+      LE uint16s.
 
-    Returns None when the payload is neither — the caller falls through
-    to the full-decode path (PIL) or its documented error."""
+    Returns None when the payload is none of these — the caller falls
+    through to the full-decode path (PIL) or its documented error."""
     import struct  # noqa: PLC0415
 
     if payload[:8] == _PNG_SIG and len(payload) >= 24 and payload[12:16] == b"IHDR":
         w, h = struct.unpack(">II", payload[16:24])
         return int(w), int(h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if payload[:2] == b"BM" and len(payload) >= 22:
+        (dib_size,) = struct.unpack("<I", payload[14:18])
+        if dib_size >= 40 and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return int(w), abs(int(h))
+        if dib_size == 12:
+            w, h = struct.unpack("<HH", payload[18:22])
+            return int(w), int(h)
+        return None
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
         while i + 4 <= n:
@@ -111,9 +136,9 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder: stdlib header parse for PNG/JPEG (no dependency),
-    full PIL decode for everything else — PIL is absent in this container,
-    so non-PNG/JPEG payloads raise the documented error."""
+    """Real decoder: stdlib header parse for PNG/JPEG/GIF/BMP (no
+    dependency), full PIL decode for everything else — PIL is absent in
+    this container, so other-format payloads raise the documented error."""
     dims = parse_image_header(payload)
     if dims is not None:
         return dims
@@ -166,6 +191,112 @@ def decode_image_features(binary_df: DataFrame, use_real_codec: bool = False) ->
             )
 
     return binary_df.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("sample_width", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def make_wav(
+    n_channels: int, sample_rate: int, n_frames: int, amplitude: int
+) -> bytes:
+    """Deterministic 16-bit PCM WAV: an alternating ±amplitude square wave,
+    identical in every channel, written by the stdlib ``wave`` encoder.
+    Used to synthesize real (not faked) audio payloads in tests and the
+    round-trip registry row — a square wave's RMS is exactly its amplitude,
+    so the decoded RMS is integer-exact and oracle-expressible."""
+    import io  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_frames):
+            v = amplitude if i % 2 == 0 else -amplitude
+            frames += struct.pack("<h", v) * n_channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def decode_audio_wav(binary_df: DataFrame) -> DataFrame:
+    """REAL audio decode for WAV/PCM payloads — the stdlib ``wave`` parser,
+    no external codec: header fields (channels, rate, sample width), true
+    PCM frame count, integer-floor duration in microseconds, and the RMS
+    of the decoded int16 samples.  This is the audio analog of the PNG/JPEG
+    header parse: the one container format whose full decode is
+    dependency-free, making ``multimodal_wav_roundtrip``'s encoder→decoder
+    differential CI-exercisable.  Non-WAV or non-16-bit payloads raise
+    loudly (``wave.Error`` / ``ValueError``) — never a silent fake.
+
+    RMS is computed in exact integer space (sum of squared int16s < 2^53
+    for any realistic batch), so ``sqrt`` is the only float op and is
+    correctly rounded — cross-engine exact for amplitude-A square waves."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import array  # noqa: PLC0415
+        import io  # noqa: PLC0415
+        import math  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        for pdf in it:
+            out: dict[str, list] = {
+                k: [] for k in (
+                    "doc_id", "n_channels", "sample_rate", "sample_width",
+                    "n_frames", "duration_us", "rms",
+                )
+            }
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(p))) as w:
+                    nch = w.getnchannels()
+                    sw = w.getsampwidth()
+                    rate = w.getframerate()
+                    nf = w.getnframes()
+                    data = w.readframes(nf)
+                if sw != 2:
+                    raise ValueError(
+                        f"doc {doc_id}: only 16-bit PCM supported, got "
+                        f"{8 * sw}-bit"
+                    )
+                samples = array.array("h")
+                samples.frombytes(data)
+                rms = (
+                    math.sqrt(sum(s * s for s in samples) / len(samples))
+                    if samples
+                    else 0.0
+                )
+                out["doc_id"].append(int(doc_id))
+                out["n_channels"].append(nch)
+                out["sample_rate"].append(rate)
+                out["sample_width"].append(sw)
+                out["n_frames"].append(nf)
+                out["duration_us"].append(nf * 1_000_000 // rate)
+                out["rms"].append(rms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "sample_width": pd.Series(out["sample_width"], dtype="int32"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int64"),
+                    "duration_us": pd.Series(out["duration_us"], dtype="int64"),
+                    "rms": pd.Series(out["rms"], dtype="float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, WAV_META_SCHEMA)
 
 
 def audio_frame_stats(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:

@@ -119,3 +119,56 @@ def multimodal_embedding_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "doc_id", F.round(norm_exact(F.col("embedding")), 6).alias("l2_norm")
     )
+
+
+@register(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INTEGER) AS n_channels,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST(2 AS INTEGER) AS sample_width,
+           CAST(50 + doc_id % 64 AS BIGINT) AS n_frames,
+           CAST((50 + doc_id % 64) * 1000000 // (8000 * (1 + doc_id % 3))
+                AS BIGINT) AS duration_us,
+           CAST(1000 + doc_id % 100 AS DOUBLE) AS rms
+    FROM documents
+    """,
+    extra=True,  # rotation candidate (the only REAL codec round-trip row:
+    # stdlib wave encoder -> stdlib wave decoder, zero fakes)
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip (X5, r9): per-doc WAV payloads are
+    synthesized by the stdlib ``wave`` ENCODER (16-bit PCM square wave,
+    every parameter a function of doc_id), then decoded by the stdlib
+    ``wave`` PARSER — no stub math anywhere in the row.  The oracle states
+    the synthesis parameters directly, so the differential proves the
+    decoder recovers exactly what the encoder wrote: header fields, true
+    PCM frame count, integer-floor duration, and sample RMS (a ±A square
+    wave's RMS is exactly A, so even the one float column is engine-exact).
+
+    Scale shape: synth and decode are one fused narrow mapInPandas pass —
+    payload bytes never shuffle; only the 7-column metadata comes back."""
+    from ..multimodal.binary_ops import decode_audio_wav, make_wav
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def synth(it):
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in it:
+            payloads = [
+                make_wav(
+                    n_channels=1 + int(d) % 2,
+                    sample_rate=8000 * (1 + int(d) % 3),
+                    n_frames=50 + int(d) % 64,
+                    amplitude=1000 + int(d) % 100,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    wav_df = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_audio_wav(wav_df)

@@ -956,6 +956,116 @@ def test_header_parse_rejects_non_images():
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None  # no SOF
 
 
+def _gif_bytes(w: int, h: int) -> bytes:
+    """Minimal GIF89a: signature + logical screen descriptor (LE uint16
+    dims), no image data needed for a header parse."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _bmp_bytes(w: int, h: int) -> bytes:
+    """Minimal BMP with a 40-byte BITMAPINFOHEADER (LE int32 dims)."""
+    import struct
+
+    dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+    return b"BM" + struct.pack("<IHHI", 14 + 40 + 0, 0, 0, 54) + dib
+
+
+def test_header_parse_gif_bmp_stdlib(spark):
+    """r9: GIF logical-screen and BMP DIB dimensions parse stdlib-only,
+    through the same real-codec seam as PNG/JPEG — including the two BMP
+    wrinkles: negative (top-down) height yields the magnitude, and the
+    legacy 12-byte CORE header's uint16 fields."""
+    import struct
+
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        decode_image_features,
+        parse_image_header,
+    )
+
+    sizes = [(3, 5), (640, 480), (65535, 2)]
+    for w, h in sizes:
+        assert parse_image_header(_gif_bytes(w, h)) == (w, h)
+        assert parse_image_header(_bmp_bytes(w, h)) == (w, h)
+    # top-down BMP: height stored negative, pixel height is the magnitude
+    assert parse_image_header(_bmp_bytes(64, -48)) == (64, 48)
+    # legacy BITMAPCOREHEADER (size 12, uint16 dims)
+    core = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 31, 17, 1, 24
+    )
+    assert parse_image_header(core) == (31, 17)
+    # truncations / junk stay None
+    assert parse_image_header(b"GIF89a\x01") is None
+    assert parse_image_header(b"BM\x00\x00") is None
+    # and through the Spark seam
+    rows = [(0, bytearray(_gif_bytes(12, 34))), (1, bytearray(_bmp_bytes(56, 78)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r.doc_id: (r.width, r.height)
+        for r in decode_image_features(df, use_real_codec=True).collect()
+    }
+    assert out == {0: (12, 34), 1: (56, 78)}
+
+
+def test_wav_decode_recovers_encoded_params_exactly(spark):
+    """The stdlib WAV round-trip: every header field, the PCM frame count,
+    the integer-floor duration, and the RMS (exactly the amplitude for a
+    square wave) must come back bit-exact through the Arrow seam."""
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        decode_audio_wav,
+        make_wav,
+    )
+
+    cases = [
+        (0, 1, 8000, 50, 1000),
+        (1, 2, 16000, 113, 1099),
+        (2, 2, 24000, 64, 32000),
+        (3, 1, 44100, 1, 1),
+    ]
+    rows = [
+        (i, bytearray(make_wav(nch, rate, nf, amp)))
+        for i, nch, rate, nf, amp in cases
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_audio_wav(df).collect()}
+    for i, nch, rate, nf, amp in cases:
+        r = got[i]
+        assert (r.n_channels, r.sample_rate, r.sample_width) == (nch, rate, 2)
+        assert r.n_frames == nf
+        assert r.duration_us == nf * 1_000_000 // rate
+        assert r.rms == float(amp)  # square wave: RMS == amplitude, exact
+
+
+def test_wav_decode_rejects_non_wav_and_non_16bit(spark):
+    """Loud failure, never a silent fake: junk bytes raise through the UDF
+    boundary, and a genuine 8-bit WAV raises the documented ValueError."""
+    import io
+    import wave
+
+    from pyspark.errors import PythonException
+
+    from etl_cloud_logistics_spark.multimodal.binary_ops import decode_audio_wav
+
+    junk = spark.createDataFrame(
+        [(0, bytearray(b"not-audio-at-all"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="RIFF"):
+        decode_audio_wav(junk).collect()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 100)
+    eight = spark.createDataFrame(
+        [(0, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="16-bit"):
+        decode_audio_wav(eight).collect()
+
+
 @pytest.mark.skipif(
     _pil_available(), reason="error path only reachable without PIL"
 )
