@@ -299,6 +299,127 @@ def decode_audio_wav(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(batches, WAV_META_SCHEMA)
 
 
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration_ticks", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+    ]
+)
+
+
+def make_mp4_stub(timescale: int, duration_ticks: int) -> bytes:
+    """Minimal ISO BMFF (MP4) container: an ``ftyp`` box and a ``moov`` box
+    holding one version-0 ``mvhd`` with the given timescale and duration.
+    No media tracks — this is the encoder twin for the CONTAINER-metadata
+    parser, the part of video decode that is dependency-free (sample data
+    decode needs ffmpeg and stays behind the documented stub)."""
+    import struct  # noqa: PLC0415
+
+    def box(kind: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + kind + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # mvhd v0: version/flags, ctime, mtime, timescale, duration, rate,
+    # volume+reserved, 2x reserved, 3x3 matrix, 6x predefined, next_track_id
+    mvhd_body = (
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration_ticks)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">HH", 0x0100, 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0)
+        + struct.pack(">I", 2)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body))
+    return ftyp + moov
+
+
+def parse_mp4_mvhd(payload: bytes) -> tuple[int, int] | None:
+    """Stdlib-only MP4 container-metadata parse: walk the top-level ISO
+    BMFF boxes to ``moov``, then its children to ``mvhd``, and read
+    (timescale, duration_ticks).  Handles version-0 (uint32) and
+    version-1 (uint64) mvhd layouts and 64-bit ``largesize`` boxes.
+    Returns None for non-MP4 payloads or a truncated box tree — the
+    caller's ffmpeg-or-error fallthrough, same contract as
+    ``parse_image_header``."""
+    import struct  # noqa: PLC0415
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            kind = buf[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                hdr = 16
+            elif size == 0:  # box runs to EOF
+                size = end - i
+            if size < hdr or i + size > end:
+                return
+            yield kind, i + hdr, i + size
+            i += size
+
+    if len(payload) < 16 or payload[4:8] not in (b"ftyp", b"moov"):
+        return None
+    for kind, body_start, body_end in walk(payload, 0, len(payload)):
+        if kind != b"moov":
+            continue
+        for child, c_start, c_end in walk(payload, body_start, body_end):
+            if child != b"mvhd" or c_end - c_start < 20:
+                continue
+            version = payload[c_start]
+            if version == 0 and c_end - c_start >= 16:
+                ts, dur = struct.unpack(
+                    ">II", payload[c_start + 12 : c_start + 20]
+                )
+            elif version == 1 and c_end - c_start >= 28:
+                (ts,) = struct.unpack(">I", payload[c_start + 20 : c_start + 24])
+                (dur,) = struct.unpack(">Q", payload[c_start + 24 : c_start + 32])
+            else:
+                return None
+            return int(ts), int(dur)
+    return None
+
+
+def decode_video_meta(binary_df: DataFrame) -> DataFrame:
+    """REAL video container-metadata decode for MP4 payloads (the mvhd
+    timescale/duration walk — dependency-free); non-MP4 payloads raise
+    loudly, never a silent fake.  Frame/sample data decode is the part
+    that genuinely needs ffmpeg and stays behind the documented stubs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, tss, durs, uss = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                meta = parse_mp4_mvhd(bytes(p))
+                if meta is None:
+                    raise ValueError(
+                        f"doc {doc_id}: not an MP4 container (no ftyp/mvhd)"
+                    )
+                ts, dur = meta
+                ids.append(int(doc_id))
+                tss.append(ts)
+                durs.append(dur)
+                uss.append(dur * 1_000_000 // ts if ts else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "timescale": pd.Series(tss, dtype="int64"),
+                    "duration_ticks": pd.Series(durs, dtype="int64"),
+                    "duration_us": pd.Series(uss, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
 def audio_frame_stats(binary_df: DataFrame, frame_bytes: int = 256) -> DataFrame:
     """Frame-sampling math for audio-like payloads (ceil-division frame
     count + tail size) as a mapInPandas batch operator."""

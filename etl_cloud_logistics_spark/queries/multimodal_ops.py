@@ -172,3 +172,47 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wav_df = docs.mapInPandas(synth, "doc_id long, payload binary")
     return decode_audio_wav(wav_df)
+
+
+@register(
+    "multimodal_mp4_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+           CAST(1200 + doc_id % 900 AS BIGINT) AS duration_ticks,
+           CAST((1200 + doc_id % 900) * 1000000 // (600 * (1 + doc_id % 4))
+                AS BIGINT) AS duration_us
+    FROM documents
+    """,
+    extra=True,  # rotation candidate (real ISO BMFF container round-trip,
+    # the video sibling of multimodal_wav_roundtrip)
+)
+def multimodal_mp4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container round-trip (X5, r9): per-doc MP4 stubs are
+    synthesized (ftyp + moov/mvhd with doc_id-derived timescale/duration),
+    then decoded by the stdlib ISO BMFF box walk — the container-metadata
+    half of video decode, which needs no codec library.  The oracle states
+    the synthesis parameters directly, proving the parser recovers exactly
+    what the encoder wrote.  Sample-data decode (the ffmpeg half) stays
+    behind the documented stub."""
+    from ..multimodal.binary_ops import decode_video_meta, make_mp4_stub
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+
+    def synth(it):
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in it:
+            payloads = [
+                make_mp4_stub(
+                    timescale=600 * (1 + int(d) % 4),
+                    duration_ticks=1200 + int(d) % 900,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    mp4_df = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_video_meta(mp4_df)

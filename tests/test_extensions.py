@@ -1066,6 +1066,61 @@ def test_wav_decode_rejects_non_wav_and_non_16bit(spark):
         decode_audio_wav(eight).collect()
 
 
+def test_mp4_mvhd_parse_and_roundtrip(spark):
+    """r9: the ISO BMFF container walk recovers exactly the mvhd fields the
+    stub encoder wrote — including the version-1 (64-bit duration) and
+    largesize layouts the synthesizer doesn't emit, built by hand here."""
+    import struct
+
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        decode_video_meta,
+        make_mp4_stub,
+        parse_mp4_mvhd,
+    )
+
+    # encoder twin round-trip
+    assert parse_mp4_mvhd(make_mp4_stub(600, 1234)) == (600, 1234)
+    assert parse_mp4_mvhd(make_mp4_stub(90000, 2)) == (90000, 2)
+
+    # version-1 mvhd: 64-bit times/duration
+    body_v1 = (
+        struct.pack(">I", 0x01000000)
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 48000)
+        + struct.pack(">Q", 7_000_000_000)
+    )
+    mvhd1 = struct.pack(">I", 8 + len(body_v1)) + b"mvhd" + body_v1
+    moov1 = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    ftyp = make_mp4_stub(1, 1)[:24]  # reuse the stub's ftyp box
+    assert parse_mp4_mvhd(ftyp + moov1) == (48000, 7_000_000_000)
+
+    # largesize (size==1) moov box
+    moov_large = (
+        struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd1)) + mvhd1
+    )
+    assert parse_mp4_mvhd(ftyp + moov_large) == (48000, 7_000_000_000)
+
+    # junk / truncation stay None
+    assert parse_mp4_mvhd(b"not-a-video") is None
+    assert parse_mp4_mvhd(b"") is None
+    assert parse_mp4_mvhd(ftyp) is None  # no moov at all
+    assert parse_mp4_mvhd((ftyp + moov1)[:30]) is None  # moov cut mid-box
+
+    # through the Spark seam, with the loud non-MP4 error
+    rows = [(7, bytearray(make_mp4_stub(600, 3000)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    r = decode_video_meta(df).collect()[0]
+    assert (r.timescale, r.duration_ticks, r.duration_us) == (600, 3000, 5_000_000)
+
+    from pyspark.errors import PythonException
+
+    junk = spark.createDataFrame(
+        [(0, bytearray(b"nope"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="not an MP4"):
+        decode_video_meta(junk).collect()
+
+
 @pytest.mark.skipif(
     _pil_available(), reason="error path only reachable without PIL"
 )
