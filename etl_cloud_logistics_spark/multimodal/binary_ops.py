@@ -135,6 +135,33 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+def make_image_header_stub(kind: str, width: int, height: int) -> bytes:
+    """Encoder twin for ``parse_image_header``: a structurally-valid header
+    of the requested container format carrying the given dimensions.  PNG
+    gets a correct IHDR chunk with a real zlib CRC; GIF a logical-screen
+    descriptor; BMP a 40-byte BITMAPINFOHEADER.  Pixel data is absent on
+    purpose — these synthesize the exact bytes the HEADER parse reads, for
+    the oracle-checked round-trip row and tests."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if kind == "png":
+        ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (
+            _PNG_SIG
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk))
+        )
+    if kind == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    if kind == "bmp":
+        dib = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
+        return b"BM" + struct.pack("<IHHI", 14 + 40, 0, 0, 54) + dib
+    raise ValueError(f"unknown header kind: {kind}")
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int]:
     """Real decoder: stdlib header parse for PNG/JPEG/GIF/BMP (no
     dependency), full PIL decode for everything else — PIL is absent in

@@ -216,3 +216,49 @@ def multimodal_mp4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mp4_df = docs.mapInPandas(synth, "doc_id long, payload binary")
     return decode_video_meta(mp4_df)
+
+
+@register(
+    "multimodal_image_header_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 + doc_id % 640 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % 480 AS BIGINT) AS height
+    FROM documents
+    """,
+    extra=True,  # rotation candidate (real header codec round-trip; the
+    # image sibling of the WAV/MP4 rows)
+)
+def multimodal_image_header_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image header round-trip (X5, r9): per-doc payloads are
+    synthesized as structurally-valid PNG / GIF / BMP headers (format
+    cycles by doc_id % 3, dimensions derived from doc_id), then decoded by
+    the REAL codec path (``use_real_codec=True`` → the stdlib header
+    parse).  The oracle states the synthesis dimensions directly, so the
+    differential proves each of the three format parsers recovers exactly
+    what was encoded — no stub math anywhere in the row."""
+    from ..multimodal.binary_ops import decode_image_features, make_image_header_stub
+
+    docs = _docs_parallel(spark, sf_dir).select("doc_id")
+    kinds = ("png", "gif", "bmp")
+
+    def synth(it):
+        import pandas as _pd  # noqa: PLC0415
+
+        for pdf in it:
+            payloads = [
+                make_image_header_stub(
+                    kinds[int(d) % 3],
+                    width=16 + int(d) % 640,
+                    height=16 + (int(d) * 7) % 480,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    img_df = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_image_features(img_df, use_real_codec=True).select(
+        "doc_id", "width", "height"
+    )

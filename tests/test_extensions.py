@@ -1121,6 +1121,22 @@ def test_mp4_mvhd_parse_and_roundtrip(spark):
         decode_video_meta(junk).collect()
 
 
+def test_image_header_stub_roundtrips_all_three_formats():
+    """The encoder twin for the header parse: PNG (with a real IHDR CRC),
+    GIF, and BMP stubs all round-trip their dimensions through
+    parse_image_header."""
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        make_image_header_stub,
+        parse_image_header,
+    )
+
+    for kind in ("png", "gif", "bmp"):
+        for w, h in [(16, 16), (641, 479), (65535, 2)]:
+            assert parse_image_header(make_image_header_stub(kind, w, h)) == (w, h)
+    with pytest.raises(ValueError, match="unknown header kind"):
+        make_image_header_stub("tiff", 1, 1)
+
+
 @pytest.mark.skipif(
     _pil_available(), reason="error path only reachable without PIL"
 )
