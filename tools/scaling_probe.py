@@ -32,6 +32,9 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --skewjoin [R ...] (hot-key join at
            R fact rows, 30% on one key: AQE skew split vs disabled vs
            manual targeted salting, equal-output checksums; default 16e6)
+       python tools/scaling_probe.py --ann [K ...]      (IVF train + serve
+           + recall-vs-brute at K× shifted embedding replicas; default
+           1 8 32)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -623,6 +626,78 @@ def winnow_probe(ks: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def ann_probe(ks: list[int]) -> None:
+    """End-to-end ANN scaling: train the IVF coarse quantizer, serve a
+    fixed 20-query top-10 batch, and measure recall against brute force at
+    K× shifted replicas of the embeddings corpus.  The evidence sought for
+    100 TB: train cost grows ~linearly (Lloyd passes are narrow
+    projections + one hash-agg each), serve stays an equi-join on the
+    bucket id (shuffle ~O(N·nprobe/n_clusters), never O(Q·N) — the brute
+    column IS the O(Q·N) baseline growing linearly with the corpus), and
+    recall holds as the corpus and cluster count scale together
+    (n_clusters ~ sqrt(N), the FAISS rule of thumb)."""
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_trained,
+        recall_at_k,
+        train_ivf_centroids,
+    )
+
+    spark = get_spark("scaling-probe-ann")
+    queries = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 20)
+    )
+    # warm-up: compile every plan shape once at the smallest scale
+    warm = replicated_embeddings(spark, 1)
+    cents0 = train_ivf_centroids(warm, n_clusters=16, n_iter=1)
+    knn_ivf_trained(queries, warm, 10, cents0, nprobe=2).write.mode(
+        "overwrite"
+    ).format("noop").save()
+    print(
+        f"ANN probe over {SF_DIR}: IVF train(5 Lloyd iters, "
+        f"n_clusters~sqrt(N)) + 20-query top-10 serve vs brute; the "
+        f"shifted replicas are near-uniform (ANN's hardest case — no "
+        f"cluster structure), so recall here is the FLOOR the nprobe "
+        f"knob buys back"
+    )
+    print(
+        f"{'K':>3} {'vecs':>7} {'n_cl':>5} {'train_sec':>9} "
+        f"{'serve2_sec':>10} {'recall@2':>8} {'serve4_sec':>10} "
+        f"{'recall@4':>8} {'brute_sec':>9}"
+    )
+    for k in ks:
+        corpus = replicated_embeddings(spark, k).persist()
+        n = corpus.count()
+        n_clusters = max(16, int(n ** 0.5 / 2))
+        t0 = time.perf_counter()
+        cents = train_ivf_centroids(corpus, n_clusters=n_clusters, n_iter=5)
+        train_sec = time.perf_counter() - t0
+        exact = knn_bruteforce(queries, corpus, 10)
+        t0 = time.perf_counter()
+        exact.write.mode("overwrite").format("noop").save()
+        brute_sec = time.perf_counter() - t0
+        cols = []
+        for nprobe in (2, 4):
+            approx = knn_ivf_trained(queries, corpus, 10, cents, nprobe=nprobe)
+            t0 = time.perf_counter()
+            approx.write.mode("overwrite").format("noop").save()
+            serve_sec = time.perf_counter() - t0
+            rec = (
+                recall_at_k(approx, exact)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]["r"]
+            )
+            cols.append((serve_sec, rec))
+        print(
+            f"{k:>3} {n:>7} {n_clusters:>5} {train_sec:>9.2f} "
+            f"{cols[0][0]:>10.2f} {cols[0][1]:>8.3f} "
+            f"{cols[1][0]:>10.2f} {cols[1][1]:>8.3f} {brute_sec:>9.2f}"
+        )
+        corpus.unpersist()
+
+
 def skewjoin_probe(rows_list: list[int]) -> None:
     """Measured evidence for the HOT-KEY JOIN mitigations: a fact whose
     hottest key carries 30% of all rows, sort-merge-joined against a
@@ -813,6 +888,9 @@ def main() -> None:
         return
     if args and args[0] == "--skewjoin":
         skewjoin_probe([int(float(a)) for a in args[1:]] or [16_000_000])
+        return
+    if args and args[0] == "--ann":
+        ann_probe([int(float(a)) for a in args[1:]] or [1, 8, 32])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
