@@ -35,6 +35,8 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --ann [K ...]      (IVF train + serve
            + recall-vs-brute at K× shifted embedding replicas; default
            1 8 32)
+       python tools/scaling_probe.py --text [K ...]     (BM25 top-15 at K×
+           corpus with a constant matched-posting set; default 1 5 10)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -724,6 +726,84 @@ def ann_probe(ks: list[int]) -> None:
         corpus.unpersist()
 
 
+def text_probe(ks: list[int]) -> None:
+    """BM25 retrieval scaling over K× suffix-tagged corpus replicas.  The
+    fixed query terms carry the base replica's ``_r0`` tag, so the matched
+    posting set is CONSTANT while the corpus grows K× — the evidence
+    sought is the shuffle column staying flat (query-term postings are
+    pruned map-side BEFORE the tf exchange; a layout that shuffled the
+    full token stream would grow it K×) while wall tracks only the narrow
+    tokenize scan."""
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from pyspark.sql.window import Window as W2  # noqa: PLC0415
+
+    spark = get_spark("scaling-probe-text")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    terms = ["spark_r0", "vector_r0", "merge_r0", "stream_r0"]
+
+    def bm25_top15(corpus):
+        # the registry row's exact layout (queries/text_ops.py
+        # bm25_retrieval_topk), parameterized by corpus instead of sf_dir
+        tok = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+        dl = tok.select("doc_id", F.size("ws").alias("dl"))
+        stats = dl.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+        tf = (
+            tok.select("doc_id", F.explode("ws").alias("w"))
+            .filter(F.col("w").isin(terms))
+            .groupBy("doc_id", "w")
+            .agg(F.count("*").alias("tf"))
+        )
+        dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+        scored = (
+            tf.join(F.broadcast(dfreq), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+        )
+        tfd = F.col("tf").cast("double")
+        idf = F.ln(
+            F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        denom = tfd + F.lit(1.2) * (
+            F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+        )
+        term_score = (idf * tfd * F.lit(2.2) / denom).cast("decimal(20,10)")
+        agg_df = scored.groupBy("doc_id").agg(F.sum(term_score).alias("s"))
+        rn = F.row_number().over(
+            W2.orderBy(F.desc(F.round(F.col("s").cast("double"), 4)), F.asc("doc_id"))
+        )
+        return agg_df.withColumn("rnk", rn).filter(F.col("rnk") <= 15)
+
+    warm = replicated_documents_full(spark, 1)
+    bm25_top15(warm).write.mode("overwrite").format("noop").save()
+    print(
+        f"text retrieval probe over {SF_DIR}: BM25 top-15, 4 base-replica "
+        f"query terms (matched postings constant, corpus grows K×)"
+    )
+    print(f"{'K':>3} {'docs':>7} {'wall_sec':>9} {'shuffleMB':>10} {'rows':>5}")
+    for k in ks:
+        corpus = replicated_documents_full(spark, k)
+        n_docs = corpus.count()
+        before = exec_ids()
+        t0 = time.perf_counter()
+        rows = bm25_top15(corpus).collect()
+        wall = time.perf_counter() - t0
+        m = _execution_metrics(store, exec_ids() - before)
+        print(
+            f"{k:>3} {n_docs:>7} {wall:>9.2f} "
+            f"{m.get('shuffle bytes written', 0.0) / 2**20:>10.2f} "
+            f"{len(rows):>5}"
+        )
+
+
 def skewjoin_probe(rows_list: list[int]) -> None:
     """Measured evidence for the HOT-KEY JOIN mitigations: a fact whose
     hottest key carries 30% of all rows, sort-merge-joined against a
@@ -917,6 +997,9 @@ def main() -> None:
         return
     if args and args[0] == "--ann":
         ann_probe([int(float(a)) for a in args[1:]] or [1, 8, 32])
+        return
+    if args and args[0] == "--text":
+        text_probe([int(float(a)) for a in args[1:]] or [1, 5, 10])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
