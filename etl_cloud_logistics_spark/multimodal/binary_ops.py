@@ -268,9 +268,13 @@ def decode_audio_wav(binary_df: DataFrame) -> DataFrame:
     differential CI-exercisable.  Non-WAV or non-16-bit payloads raise
     loudly (``wave.Error`` / ``ValueError``) — never a silent fake.
 
-    RMS is computed in exact integer space (sum of squared int16s < 2^53
-    for any realistic batch), so ``sqrt`` is the only float op and is
-    correctly rounded — cross-engine exact for amplitude-A square waves."""
+    RMS: the squared sum is exact integer arithmetic (< 2^53 for any
+    realistic payload); the mean is then ONE float division and ``sqrt``
+    one correctly-rounded op.  For the constant-|amplitude| square waves
+    the encoder twin emits, mean = A² exactly and sqrt(A²) = A exactly, so
+    the registry row's RMS column is engine-exact; for arbitrary signals
+    the two float ops make RMS correct to ~1 ulp — do NOT write an oracle
+    that assumes bit-exact RMS for non-constant-amplitude payloads."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import array  # noqa: PLC0415
@@ -297,6 +301,11 @@ def decode_audio_wav(binary_df: DataFrame) -> DataFrame:
                         f"doc {doc_id}: only 16-bit PCM supported, got "
                         f"{8 * sw}-bit"
                     )
+                if rate <= 0:
+                    # the stdlib wave module accepts a fmt chunk declaring
+                    # sample_rate=0; fail with the documented error, not a
+                    # ZeroDivisionError out of the duration math
+                    raise ValueError(f"doc {doc_id}: invalid sample rate {rate}")
                 samples = array.array("h")
                 samples.frombytes(data)
                 rms = (
@@ -406,7 +415,7 @@ def parse_mp4_mvhd(payload: bytes) -> tuple[int, int] | None:
                 ts, dur = struct.unpack(
                     ">II", payload[c_start + 12 : c_start + 20]
                 )
-            elif version == 1 and c_end - c_start >= 28:
+            elif version == 1 and c_end - c_start >= 32:
                 (ts,) = struct.unpack(">I", payload[c_start + 20 : c_start + 24])
                 (dur,) = struct.unpack(">Q", payload[c_start + 24 : c_start + 32])
             else:

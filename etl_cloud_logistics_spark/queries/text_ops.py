@@ -681,6 +681,54 @@ def doc_quality_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_topk(docs: DataFrame, terms: list[str], k: int = 15) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-k over ``docs`` for the given query terms —
+    the single definition both the registry row (`bm25_retrieval_topk`) and
+    the scaling probe (`tools/scaling_probe.py --text`) execute, so the
+    probe always measures the layout the registry actually ships.  See the
+    registry row's docstring for the distributed-layout rationale."""
+    from pyspark.sql.window import Window as W
+
+    tok = tokens(docs)
+    dl = tok.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "w").join(dl, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    tfd = F.col("tf").cast("double")
+    idf = F.ln(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = tfd + F.lit(1.2) * (
+        F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = (idf * tfd * F.lit(2.2) / denom).cast("decimal(20,10)")
+    agg = scored.groupBy("doc_id").agg(
+        F.sum(term_score).alias("s"), F.count("*").alias("n_terms_hit")
+    )
+    score = F.round(F.col("s").cast("double"), 4)
+    rn = F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+    return (
+        agg.select(
+            "doc_id",
+            F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+            score.alias("score"),
+        )
+        .withColumn("rnk", rn)
+        .filter(F.col("rnk") <= k)
+    )
+
+
 @register(
     "bm25_retrieval_topk",
     oracle="""
@@ -739,48 +787,8 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     forwards 15 rows and the single-partition window ranks exactly 15 —
     O(k x partitions) moves, not O(corpus).  avgdl is computed as exact
     integer SUM/COUNT, never a parallel double mean."""
-    from pyspark.sql.window import Window as W
-
     docs = load_table(spark, sf_dir, "documents")
-    terms = ["spark", "vector", "merge", "stream"]
-    tok = tokens(docs)
-    dl = tok.select("doc_id", F.size("ws").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
-    tf = (
-        tok.select("doc_id", F.explode("ws").alias("w"))
-        .filter(F.col("w").isin(terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "w").join(dl, "doc_id").crossJoin(
-        F.broadcast(stats)
-    )
-    tfd = F.col("tf").cast("double")
-    idf = F.ln(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = tfd + F.lit(1.2) * (
-        F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
-    )
-    term_score = (idf * tfd * F.lit(2.2) / denom).cast("decimal(20,10)")
-    agg = scored.groupBy("doc_id").agg(
-        F.sum(term_score).alias("s"), F.count("*").alias("n_terms_hit")
-    )
-    score = F.round(F.col("s").cast("double"), 4)
-    rn = F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id")))
-    return (
-        agg.select(
-            "doc_id",
-            F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
-            score.alias("score"),
-        )
-        .withColumn("rnk", rn)
-        .filter(F.col("rnk") <= 15)
-    )
+    return bm25_topk(docs, ["spark", "vector", "merge", "stream"], k=15)
 
 
 @register(

@@ -1105,6 +1105,21 @@ def test_mp4_mvhd_parse_and_roundtrip(spark):
     assert parse_mp4_mvhd(b"") is None
     assert parse_mp4_mvhd(ftyp) is None  # no moov at all
     assert parse_mp4_mvhd((ftyp + moov1)[:30]) is None  # moov cut mid-box
+    # r9 review regression: a v1 mvhd whose body is 28-31 bytes must return
+    # None, not read past the box end (struct.error at payload end; bogus
+    # (0, 16) from a sibling box's header bytes when one followed)
+    short_body = body_v1[:28]
+    mvhd_short = struct.pack(">I", 8 + len(short_body)) + b"mvhd" + short_body
+    moov_short = struct.pack(">I", 8 + len(mvhd_short)) + b"moov" + mvhd_short
+    assert parse_mp4_mvhd(ftyp + moov_short) is None
+    free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+    moov_sib = (
+        struct.pack(">I", 8 + len(mvhd_short) + len(free))
+        + b"moov"
+        + mvhd_short
+        + free
+    )
+    assert parse_mp4_mvhd(ftyp + moov_sib) is None
 
     # through the Spark seam, with the loud non-MP4 error
     rows = [(7, bytearray(make_mp4_stub(600, 3000)))]

@@ -680,7 +680,10 @@ def ann_probe(ks: list[int]) -> None:
         t0 = time.perf_counter()
         cents = train_ivf_centroids(corpus, n_clusters=n_clusters, n_iter=5)
         train_sec = time.perf_counter() - t0
-        exact = knn_bruteforce(queries, corpus, 10)
+        # persist: exact feeds three recall_at_k joins below — unpersisted,
+        # each would re-run the full O(Q·N) cross-score (timed write first,
+        # so brute_sec reports the real cost, not a cache read)
+        exact = knn_bruteforce(queries, corpus, 10).persist()
         t0 = time.perf_counter()
         exact.write.mode("overwrite").format("noop").save()
         brute_sec = time.perf_counter() - t0
@@ -723,6 +726,7 @@ def ann_probe(ks: list[int]) -> None:
             f"{brute_sec:>9.2f}"
         )
         index.unpersist()
+        exact.unpersist()
         corpus.unpersist()
 
 
@@ -736,8 +740,6 @@ def text_probe(ks: list[int]) -> None:
     tokenize scan."""
     from shuffle_audit import _execution_metrics  # noqa: PLC0415
 
-    from pyspark.sql.window import Window as W2  # noqa: PLC0415
-
     spark = get_spark("scaling-probe-text")
     store = spark._jsparkSession.sharedState().statusStore()
 
@@ -748,39 +750,11 @@ def text_probe(ks: list[int]) -> None:
     terms = ["spark_r0", "vector_r0", "merge_r0", "stream_r0"]
 
     def bm25_top15(corpus):
-        # the registry row's exact layout (queries/text_ops.py
-        # bm25_retrieval_topk), parameterized by corpus instead of sf_dir
-        tok = corpus.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
-        dl = tok.select("doc_id", F.size("ws").alias("dl"))
-        stats = dl.agg(
-            F.count("*").alias("n_docs"),
-            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        )
-        tf = (
-            tok.select("doc_id", F.explode("ws").alias("w"))
-            .filter(F.col("w").isin(terms))
-            .groupBy("doc_id", "w")
-            .agg(F.count("*").alias("tf"))
-        )
-        dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-        scored = (
-            tf.join(F.broadcast(dfreq), "w")
-            .join(dl, "doc_id")
-            .crossJoin(F.broadcast(stats))
-        )
-        tfd = F.col("tf").cast("double")
-        idf = F.ln(
-            F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-        )
-        denom = tfd + F.lit(1.2) * (
-            F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
-        )
-        term_score = (idf * tfd * F.lit(2.2) / denom).cast("decimal(20,10)")
-        agg_df = scored.groupBy("doc_id").agg(F.sum(term_score).alias("s"))
-        rn = F.row_number().over(
-            W2.orderBy(F.desc(F.round(F.col("s").cast("double"), 4)), F.asc("doc_id"))
-        )
-        return agg_df.withColumn("rnk", rn).filter(F.col("rnk") <= 15)
+        # the SAME definition the registry row executes (queries/text_ops
+        # .bm25_topk) — the probe measures the shipped layout by construction
+        from etl_cloud_logistics_spark.queries.text_ops import bm25_topk
+
+        return bm25_topk(corpus, terms, k=15)
 
     warm = replicated_documents_full(spark, 1)
     bm25_top15(warm).write.mode("overwrite").format("noop").save()
