@@ -43,6 +43,19 @@ verify), ``star_join_operations`` (J5 via fact_build_month),
 ``inverted_index_postings``, ``word_vote_lang_classifier`` (X2/X4 keep
 multiple driver rows).
 
+r10 rotation shortlist (oracle-bearing rows with ZERO driver history,
+added in r9's second session, all locally green first try): the seven new
+TPC-H classics — ``tpch_q4_order_priority`` (semi + non-equi residual),
+``tpch_q13_customer_distribution`` (filter-inside-left-join),
+``tpch_q21_waiting_suppliers`` (EXISTS+NOT EXISTS double correlation),
+``tpch_q8_market_share`` (8-table snowflake + conditional share),
+``tpch_q19_discounted_revenue`` (cross-side disjunction), plus
+``cube_status_month`` (CUBE + GROUPING id) and the three zero-fake codec
+round-trips ``multimodal_wav_roundtrip`` / ``multimodal_mp4_roundtrip`` /
+``multimodal_image_header_roundtrip``.  Older zero-history candidates
+still open: ``containment_excerpt_pairs``, ``remove_duplicated_spans``,
+``chi2_drift_priorities``.
+
 Determinism rules (so the driver's order-insensitive value-hash agrees):
 - no wall-clock: the reference's ``CURRENT_DATE``-relative predicates become
   fixed literal cutoffs (SURVEY.md §7 principle);
