@@ -108,6 +108,11 @@ def parse_image_header(payload: bytes) -> tuple[int, int] | None:
         (dib_size,) = struct.unpack("<I", payload[14:18])
         if dib_size >= 40 and len(payload) >= 26:
             w, h = struct.unpack("<ii", payload[18:26])
+            if w <= 0 or h == 0:
+                # negative HEIGHT legitimately means top-down rows; a
+                # non-positive width (or zero height) is corrupt per the
+                # BITMAPINFOHEADER spec — reject rather than emit it
+                return None
             return int(w), abs(int(h))
         if dib_size == 12:
             w, h = struct.unpack("<HH", payload[18:22])
@@ -440,10 +445,15 @@ def decode_video_meta(binary_df: DataFrame) -> DataFrame:
                         f"doc {doc_id}: not an MP4 container (no ftyp/mvhd)"
                     )
                 ts, dur = meta
+                if ts <= 0:
+                    # same failure class the audio twin guards: a crafted
+                    # mvhd with timescale=0 must fail loudly, not emit a
+                    # plausible-looking zero duration
+                    raise ValueError(f"doc {doc_id}: invalid mvhd timescale {ts}")
                 ids.append(int(doc_id))
                 tss.append(ts)
                 durs.append(dur)
-                uss.append(dur * 1_000_000 // ts if ts else 0)
+                uss.append(dur * 1_000_000 // ts)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

@@ -43,13 +43,15 @@ verify), ``star_join_operations`` (J5 via fact_build_month),
 ``inverted_index_postings``, ``word_vote_lang_classifier`` (X2/X4 keep
 multiple driver rows).
 
-r10 rotation shortlist (oracle-bearing rows with ZERO driver history,
-added in r9's second session, all locally green first try): the seven new
-TPC-H classics — ``tpch_q4_order_priority`` (semi + non-equi residual),
-``tpch_q13_customer_distribution`` (filter-inside-left-join),
-``tpch_q21_waiting_suppliers`` (EXISTS+NOT EXISTS double correlation),
-``tpch_q8_market_share`` (8-table snowflake + conditional share),
-``tpch_q19_discounted_revenue`` (cross-side disjunction), plus
+r10 rotation shortlist — oracle-bearing rows with ZERO driver history.
+Added in r9 (all locally green on first verification): the eleven TPC-H
+rows beyond the promoted q17/q22 — ``tpch_q4_order_priority`` (semi +
+non-equi residual), ``tpch_q15_top_supplier`` (agg-view scalar MAX),
+``tpch_q18_large_volume_customer`` (HAVING-IN), ``tpch_q21_waiting_
+suppliers`` (EXISTS+NOT EXISTS double correlation), ``tpch_q6/q7/q8/
+q10_returned_items/q13/q14/q19`` (pushdown probe, nation-pair
+disjunction, 8-table snowflake share, returned-item top-k,
+filter-inside-left-join, promo share, cross-side disjunction) — plus
 ``cube_status_month`` (CUBE + GROUPING id) and the three zero-fake codec
 round-trips ``multimodal_wav_roundtrip`` / ``multimodal_mp4_roundtrip`` /
 ``multimodal_image_header_roundtrip``.  Older zero-history candidates

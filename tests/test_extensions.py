@@ -998,6 +998,10 @@ def test_header_parse_gif_bmp_stdlib(spark):
     # truncations / junk stay None
     assert parse_image_header(b"GIF89a\x01") is None
     assert parse_image_header(b"BM\x00\x00") is None
+    # corrupt dims: negative width / zero height are illegal (unlike
+    # negative height, which means top-down) — reject, don't emit
+    assert parse_image_header(_bmp_bytes(-640, 480)) is None
+    assert parse_image_header(_bmp_bytes(640, 0)) is None
     # and through the Spark seam
     rows = [(0, bytearray(_gif_bytes(12, 34))), (1, bytearray(_bmp_bytes(56, 78)))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -1134,6 +1138,13 @@ def test_mp4_mvhd_parse_and_roundtrip(spark):
     )
     with pytest.raises(PythonException, match="not an MP4"):
         decode_video_meta(junk).collect()
+    # a crafted mvhd with timescale=0 must fail loudly, not emit a
+    # plausible zero duration (same class as the audio rate-0 guard)
+    ts0 = spark.createDataFrame(
+        [(1, bytearray(make_mp4_stub(0, 500)))], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="invalid mvhd timescale"):
+        decode_video_meta(ts0).collect()
 
 
 def test_image_header_stub_roundtrips_all_three_formats():

@@ -700,10 +700,12 @@ def ann_probe(ks: list[int]) -> None:
             )
             cols.append((serve_sec, rec))
         # the PRODUCTION serve path: persist the bucket+codes index ONCE
-        # (idx_sec), then serve from it — the inline-assign O(N·n_cl) term
-        # the plain knn_ivf_trained column pays per call is amortized away
-        lo, hi = train_sq8_bounds(corpus)
+        # (idx_sec — INCLUDING the SQ8 bounds pass, which is part of the
+        # build, so the build-vs-serve crossover is stated honestly), then
+        # serve from it — the inline-assign O(N·n_cl) term the plain
+        # knn_ivf_trained column pays per call is amortized away
         t0 = time.perf_counter()
+        lo, hi = train_sq8_bounds(corpus)
         index = build_sq8_index(corpus, lo, hi, centroids=cents).persist()
         index.count()
         idx_sec = time.perf_counter() - t0
@@ -919,23 +921,33 @@ def skewjoin_probe(rows_list: list[int]) -> None:
         f"{K_DOMAIN} keys (non-broadcastable), salted S={SALTS}"
     )
     print(
-        f"{'rows':>10} {'config':>9} {'wall_sec':>9} {'out_rows':>10} "
+        f"{'rows':>10} {'config':>9} {'wall_med3':>9} {'out_rows':>10} "
         f"{'skew_marks':>10} {'checksum_ok':>11}"
     )
+    import statistics  # noqa: PLC0415
+
+    REPS = 3  # single draws are scheduling-noise-dominated below ~5e7 rows
+    # (an early record's 16e6 tier inverted aqe vs salted across draws);
+    # the medians make every tier's ordering meaningful, and the checksum
+    # must hold on EVERY rep, not just one
     for rows in rows_list:
         ref_h = None
         for config in ("aqe_skew", "no_skew", "salted"):
-            if config == "salted":
-                wall, n, h = run_salted(rows)
-                marks = 0
-            else:
-                wall, n, h, marks = run_plain(rows, config == "aqe_skew")
-            if ref_h is None:
-                ref_h = (n, h)
+            walls, marks = [], 0
+            for _ in range(REPS):
+                if config == "salted":
+                    wall, n, h = run_salted(rows)
+                else:
+                    wall, n, h, marks = run_plain(rows, config == "aqe_skew")
+                walls.append(wall)
+                if ref_h is None:
+                    ref_h = (n, h)
+                if (n, h) != ref_h:
+                    break
             ok = (n, h) == ref_h
             print(
-                f"{rows:>10} {config:>9} {wall:>9.2f} {n:>10} "
-                f"{marks:>10} {str(ok):>11}"
+                f"{rows:>10} {config:>9} {statistics.median(walls):>9.2f} "
+                f"{n:>10} {marks:>10} {str(ok):>11}"
             )
 
 
