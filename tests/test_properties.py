@@ -298,3 +298,71 @@ def test_cc_star_equals_label_propagation_property(spark, edges, extra_ids):
         for r in neardup_components(pairs, id_df, algorithm="star").collect()
     }
     assert lab == star
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    nch=st.integers(1, 2),
+    rate=st.integers(1, 48_000),
+    frames=st.integers(0, 200),
+    amp=st.integers(0, 32_767),
+)
+def test_wav_roundtrip_property(nch, rate, frames, amp):
+    """Driver-side codec property: for ANY (channels, rate, frames,
+    amplitude) the stdlib decode recovers exactly what the stdlib encode
+    wrote — header fields, frame count, floor duration, and RMS == amp
+    (a ±A square wave's mean square is A² exactly; sqrt(A²) == A for
+    integer A ≤ 2¹⁵ since both are exact doubles)."""
+    import array
+    import io
+    import math
+    import wave
+
+    from etl_cloud_logistics_spark.multimodal.binary_ops import make_wav
+
+    payload = make_wav(nch, rate, frames, amp)
+    with wave.open(io.BytesIO(payload)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+            nch, 2, rate,
+        )
+        assert w.getnframes() == frames
+        data = w.readframes(frames)
+    samples = array.array("h")
+    samples.frombytes(data)
+    assert len(samples) == frames * nch
+    if frames:
+        assert {abs(s) for s in samples} == {amp}
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+        assert rms == float(amp)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ts=st.integers(1, 2**32 - 1), dur=st.integers(0, 2**32 - 1))
+def test_mp4_mvhd_roundtrip_property(ts, dur):
+    """The ISO BMFF box walk recovers any uint32 (timescale, duration) the
+    stub encoder writes, over the full field domain."""
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        make_mp4_stub,
+        parse_mp4_mvhd,
+    )
+
+    assert parse_mp4_mvhd(make_mp4_stub(ts, dur)) == (ts, dur)
+
+
+@settings(max_examples=100, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    kind=st.sampled_from(["png", "gif", "bmp"]),
+    w=st.integers(1, 65_535),
+    h=st.integers(1, 65_535),
+)
+def test_image_header_roundtrip_property(kind, w, h):
+    """Every header format recovers any in-domain (width, height) its
+    container can represent (GIF/BMP-stub fields are uint16-bounded here;
+    PNG's uint32 headroom is covered by the 70000-width case in
+    test_header_parse_real_codec_no_dependency)."""
+    from etl_cloud_logistics_spark.multimodal.binary_ops import (
+        make_image_header_stub,
+        parse_image_header,
+    )
+
+    assert parse_image_header(make_image_header_stub(kind, w, h)) == (w, h)
