@@ -1220,3 +1220,51 @@ def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+@register(
+    "trailing_7day_customer_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_revenue
+    FROM orders
+    """,
+    extra=True,  # rotation candidate (the ONLY RANGE-frame window in the
+    # registry — every other window is rows-framed or unbounded)
+)
+def trailing_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer order — the time-RANGE window
+    frame (``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING``), the one window
+    shape the registry didn't exercise.  It differs from a ROWS frame in
+    two ways that matter on real event data: irregular spacing (a ROWS
+    frame counts a fixed number of orders regardless of how old they are)
+    and ties (same-timestamp orders are PEERS — all included — which makes
+    the result deterministic under ties where a ROWS frame would depend on
+    arbitrary intra-tie order).
+
+    Spark-first: the DataFrame API's ``rangeBetween`` takes numeric
+    offsets, so the order key is epoch seconds (``unix_seconds``; the NTZ
+    timestamp is interpreted in the pinned UTC session, and UTC has no DST
+    so wall-clock differences match DuckDB's naive-interval arithmetic
+    exactly).  Hash-partitioned by customer — never a global sort; the sum
+    is decimal-exact so peer-group accumulation order cannot drift.  At
+    100 TB this is one custkey exchange and a per-partition sort, the same
+    cost as any per-key window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+    )
