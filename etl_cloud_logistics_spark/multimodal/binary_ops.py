@@ -416,7 +416,11 @@ def parse_mp4_mvhd(payload: bytes) -> tuple[int, int] | None:
             if child != b"mvhd" or c_end - c_start < 20:
                 continue
             version = payload[c_start]
-            if version == 0 and c_end - c_start >= 16:
+            # >= 20 so the read's precondition is local to this branch —
+            # the outer `c_end - c_start < 20: continue` gate also covers
+            # it today, but a refactor of that gate must not be able to
+            # reintroduce a short read here (ADVICE r9)
+            if version == 0 and c_end - c_start >= 20:
                 ts, dur = struct.unpack(
                     ">II", payload[c_start + 12 : c_start + 20]
                 )

@@ -118,12 +118,27 @@ def scd2_current_lookup(dim: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def scd2_asof_lookup(
-    dim: DataFrame, fact: DataFrame, keys: list[str], fact_ts: str
+    dim: DataFrame,
+    fact: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    broadcast_dim: bool | None = None,
 ) -> DataFrame:
     """Temporal/range join (J10): attach the dimension version valid at the
     fact's timestamp — ``fact.ts BETWEEN dim.valid_from AND dim.valid_to``
-    (etl_pipeline.py:1144-1158).  The dim side is broadcast (it is a
-    dimension); open versions have ``valid_to IS NULL``."""
+    (etl_pipeline.py:1144-1158); open versions have ``valid_to IS NULL``.
+
+    ``broadcast_dim``: ``None`` (default) lets Catalyst/AQE pick the join
+    strategy from the dim's statistics — a small dimension still becomes a
+    broadcast-hash join (the equi keys are extracted from the conjunction,
+    the validity range stays as the join residual), while a dimension too
+    large to ship (10^7+ natural keys × versions) falls back to a
+    sort-merge join that shuffles ONCE on the natural key with the range
+    as residual — the 100 TB-safe plan.  ``True`` forces the broadcast
+    hint (the pre-r10 behavior; correct when the caller knows the dim is
+    small regardless of stats), ``False`` never broadcasts.  The r10 ETL
+    scale probe (``tools/scaling_probe.py --etl``) measures both paths.
+    """
     cond = F.lit(True)
     for k in keys:
         cond = cond & (fact[k] == dim[k])
@@ -133,7 +148,10 @@ def scd2_asof_lookup(
         & (ts >= dim[VALID_FROM])
         & ((dim[VALID_TO].isNull()) | (ts < dim[VALID_TO]))
     )
-    joined = fact.join(F.broadcast(dim), cond, "left")
+    dim_side = F.broadcast(dim) if broadcast_dim else dim
+    if broadcast_dim is False:
+        dim_side = dim.hint("shuffle_merge")
+    joined = fact.join(dim_side, cond, "left")
     # the dim copy of each join key is redundant post-join; dropping it here
     # keeps the result unambiguous for by-name selection
     for k in keys:

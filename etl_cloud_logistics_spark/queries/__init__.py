@@ -43,7 +43,23 @@ verify), ``star_join_operations`` (J5 via fact_build_month),
 ``inverted_index_postings``, ``word_vote_lang_classifier`` (X2/X4 keep
 multiple driver rows).
 
-r10 rotation shortlist — oracle-bearing rows with ZERO driver history.
+Window rotation r10 (VERDICT r9 #1), same policy: promoted six rows with
+ZERO prior driver history — ``tpch_q21_waiting_suppliers`` (EXISTS +
+NOT EXISTS double correlation), ``tpch_q13_customer_distribution``
+(predicate inside the left-join condition + double re-aggregation),
+``tpch_q15_top_supplier`` (agg-view scalar-MAX filter),
+``trailing_7day_customer_revenue`` (the registry's only RANGE-frame
+window), ``cube_status_month`` (CUBE + GROUPING() ids),
+``multimodal_wav_roundtrip`` (real stdlib-wave codec round-trip);
+demoted six rows with 5-6 green driver rounds each whose §2 coverage
+another driver row keeps — ``doc_quality_battery`` +
+``duplicated_span_fraction`` (X4 keeps bm25/unigram/ccnet/cmsketch),
+``stratified_sample_langs`` (curation keeps 5 driver rows),
+``maxsim_retrieval_topk`` (X3 keeps knn_sq8 + hybrid_rrf),
+``reachable_parts_bfs`` (graph keeps pagerank + components),
+``ks_drift_order_prices`` (quality keeps mad_outlier + rolling_zscore).
+
+Remaining rotation shortlist — oracle-bearing rows with ZERO driver history.
 Added in r9 (all locally green on first verification): the eleven TPC-H
 rows beyond the promoted q17/q22 — ``tpch_q4_order_priority`` (semi +
 non-equi residual), ``tpch_q15_top_supplier`` (agg-view scalar MAX),

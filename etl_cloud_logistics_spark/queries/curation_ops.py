@@ -624,6 +624,8 @@ def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample_langs",
+    extra=True,  # r10: rotated OUT of the driver window (5 green rounds
+    # r5-r9; curation family keeps 5 driver rows incl. the e2e pipeline)
     oracle="""
     WITH ranked AS (
         SELECT doc_id, lang, source,

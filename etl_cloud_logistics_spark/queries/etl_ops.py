@@ -356,8 +356,8 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cube_status_month",
-    extra=True,  # engine-breadth: completes the grouping family
-    # (grouping sets / rollup / cube); rotation candidate
+    # r10: PROMOTED to the driver window — completes the grouping family
+    # (grouping sets / rollup / cube) with GROUPING() ids
     oracle="""
     SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(order_month) AS INTEGER)
                AS gid,
@@ -777,6 +777,9 @@ _DRIFT_CUT = "1998-01-01"
 
 @register(
     "ks_drift_order_prices",
+    extra=True,  # r10: rotated OUT of the driver window (5 green rounds
+    # r5-r9; A9/quality family stays covered by mad_outlier_gate +
+    # rolling_zscore_anomalies)
     oracle=f"""
     WITH t AS (
         SELECT o_totalprice AS v,

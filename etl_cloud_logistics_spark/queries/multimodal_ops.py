@@ -134,8 +134,8 @@ def multimodal_embedding_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1000 + doc_id % 100 AS DOUBLE) AS rms
     FROM documents
     """,
-    extra=True,  # rotation candidate (the only REAL codec round-trip row:
-    # stdlib wave encoder -> stdlib wave decoder, zero fakes)
+    # r10: PROMOTED to the driver window (the only REAL codec round-trip
+    # row: stdlib wave encoder -> stdlib wave decoder, zero fakes)
 )
 def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec round-trip (X5, r9): per-doc WAV payloads are

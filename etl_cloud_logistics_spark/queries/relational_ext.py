@@ -989,6 +989,9 @@ SELECT part, MIN(dist) AS hops FROM walk GROUP BY part
 
 @register(
     "reachable_parts_bfs",
+    extra=True,  # r10: rotated OUT of the driver window (5 green rounds
+    # r5-r9; graph family stays driver-covered by pagerank_copurchase +
+    # neardup_components_canonical)
     oracle=_SQL_BFS,
     # r6: the Spark side swapped from the recursive CTE to the frontier-
     # dedup BFS operator — the CTE's UNION ALL step enumerates every WALK
@@ -1232,8 +1235,8 @@ def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS DOUBLE) AS trailing_7d_revenue
     FROM orders
     """,
-    extra=True,  # rotation candidate (the ONLY RANGE-frame window in the
-    # registry — every other window is rows-framed or unbounded)
+    # r10: PROMOTED to the driver window (the ONLY RANGE-frame window in
+    # the registry — every other window is rows-framed or unbounded)
 )
 def trailing_7day_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day revenue per customer order — the time-RANGE window

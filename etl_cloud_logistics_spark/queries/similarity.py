@@ -474,6 +474,8 @@ def srp_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "maxsim_retrieval_topk",
+    extra=True,  # r10: rotated OUT of the driver window (5 green rounds
+    # r5-r9; X3 stays driver-covered by knn_sq8_rerank + hybrid_search_rrf)
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
     c AS (

@@ -607,6 +607,8 @@ def neardup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_quality_battery",
+    extra=True,  # r10: rotated OUT of the driver window (6 green rounds
+    # r4-r9; X4 stays driver-covered by bm25/unigram_lm/ccnet/cmsketch)
     oracle="""
     WITH tok AS (
         SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents
@@ -1215,6 +1217,8 @@ def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "duplicated_span_fraction",
+    extra=True,  # r10: rotated OUT of the driver window (5 green rounds
+    # r5-r9; X2/X4 span family stays covered by winnow + minhash rows)
     oracle="""
     WITH tok AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents

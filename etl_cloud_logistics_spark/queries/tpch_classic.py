@@ -258,8 +258,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
     """,
-    extra=True,  # locally verified; r10 promotion candidate (agg-view +
-    # uncorrelated scalar-MAX filter — the Q15 "CREATE VIEW" shape)
+    # r10: PROMOTED to the driver window (agg-view + uncorrelated
+    # scalar-MAX filter — the Q15 "CREATE VIEW" shape; local-green since r9)
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): revenue per supplier over one quarter,
@@ -378,8 +378,8 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     ORDER BY numwait DESC, s.s_name
     LIMIT 10
     """,
-    extra=True,  # locally verified; r10 promotion candidate (EXISTS +
-    # NOT EXISTS double-correlation on the same relation, the Q21 shape)
+    # r10: PROMOTED to the driver window (EXISTS + NOT EXISTS double-
+    # correlation on the same relation, the Q21 shape; local-green since r9)
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (suppliers who kept orders waiting, adapted): in
@@ -871,9 +871,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
     """,
-    extra=True,  # locally verified; rotation candidate (predicate INSIDE
-    # the left-join condition + double re-aggregation — no driver row has
-    # the join-condition-filter shape)
+    # r10: PROMOTED to the driver window (predicate INSIDE the left-join
+    # condition + double re-aggregation — no other driver row has the
+    # join-condition-filter shape; local-green since r9)
 )
 def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer order-count distribution): histogram of how

