@@ -19,6 +19,8 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +34,17 @@ from .checkpointing import RoundCheckpointer
 # ample margin while bounding the waste on a pathological chain to 8 cheap
 # shrinking-frontier rounds.
 AUTO_LABEL_ROUNDS = 8
+
+# Thread-local probe/test introspection (r10, VERDICT r9 nit #2: function
+# attributes were shared mutable state — two concurrent invocations, e.g.
+# under bench.py's concurrent phase, could clobber each other's counters).
+_probe_tls = threading.local()
+
+
+def components_probe_info() -> dict:
+    """rounds + algorithm ("label" | "label+star") of this thread's last
+    neardup_components run (probes/tests only, not API)."""
+    return dict(getattr(_probe_tls, "components", {}))
 
 # ---------------------------------------------------------------------------
 # tokenization / shingling
@@ -676,9 +689,7 @@ def neardup_components(
             break
     edges.unpersist()
     checkpoint.cleanup_stale()
-    # probe introspection (tools/scaling_probe.py --diameter); not API
-    neardup_components.last_rounds = rounds
-    neardup_components.last_algorithm = "label"
+    _probe_tls.components = {"rounds": rounds, "algorithm": "label"}
     if not converged and algorithm == "auto":
         # auto fallback: every cluster with diameter <= label_rounds is
         # already collapsed to one label, so contracting each pair to its
@@ -689,7 +700,7 @@ def neardup_components(
         # quotient and its component minima are the original minima.
         from .graph import connected_components_star  # noqa: PLC0415
 
-        neardup_components.last_algorithm = "label+star"
+        _probe_tls.components = {"rounds": rounds, "algorithm": "label+star"}
         contracted = (
             pairs.select("doc_a", "doc_b")
             .join(

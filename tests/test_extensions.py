@@ -1587,7 +1587,10 @@ def test_cc_star_empty_pairs_labels_everyone_singleton(spark):
 def test_cc_auto_uses_label_fast_path_on_shallow_graphs(spark):
     """algorithm='auto' on a dense shallow graph must converge inside the
     label-propagation budget and never touch the star fallback."""
-    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+    from etl_cloud_logistics_spark.operators.dedup import (
+        components_probe_info,
+        neardup_components,
+    )
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (10, 11)], "doc_a long, doc_b long"
@@ -1600,7 +1603,7 @@ def test_cc_auto_uses_label_fast_path_on_shallow_graphs(spark):
         for r in neardup_components(pairs, nodes, algorithm="auto").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
-    assert neardup_components.last_algorithm == "label"
+    assert components_probe_info()["algorithm"] == "label"
 
 
 def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
@@ -1610,7 +1613,10 @@ def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
     pure algorithms, no RuntimeError anywhere."""
     from pyspark.sql import functions as F
 
-    from etl_cloud_logistics_spark.operators.dedup import neardup_components
+    from etl_cloud_logistics_spark.operators.dedup import (
+        components_probe_info,
+        neardup_components,
+    )
 
     n = 300
     chain = [(1000 + i + 1, 1000 + i) for i in range(n - 1)]
@@ -1626,7 +1632,7 @@ def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
         r["doc_id"]: r["component"]
         for r in neardup_components(pairs, nodes, algorithm="auto").collect()
     }
-    assert neardup_components.last_algorithm == "label+star"
+    assert components_probe_info()["algorithm"] == "label+star"
     want = {1: 1, 2: 1, 3: 1, 50: 50, 51: 50, 7777: 7777}
     want.update({1000 + i: 1000 for i in range(n)})
     assert auto == want

@@ -263,6 +263,82 @@ def test_temporal_kind_check_catches_date_timestamp_drift(spark):
     assert temporal_mismatches(ok_frame.schema, ok_desc) == []
 
 
+def test_numeric_kind_check_catches_decimal_double_drift(spark):
+    """The DECIMAL/FLOAT blind spot, pinned (r10, VERDICT r9 #7).
+
+    Documented insensitivity: a Spark DECIMAL(38,6) and an oracle DOUBLE
+    render identically in pandas for any value a double represents
+    exactly, and a float32 widens silently to float64 — so no
+    pandas-level compare can see a DECIMAL-vs-DOUBLE or FLOAT-vs-DOUBLE
+    cross-typing.  ``kind_mismatches`` extends the r9 temporal
+    source-level check to numeric kinds: Spark's analyzed schema vs the
+    DuckDB cursor's declared types."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.verify_local import (
+        duck_described_types,
+        kind_mismatches,
+        typed_hash,
+    )
+
+    con = duckdb.connect()
+
+    def check(spark_sql: str, duck_sql: str) -> list[str]:
+        frame = spark.sql(spark_sql)
+        cur = con.execute(duck_sql)
+        return kind_mismatches(
+            frame.schema, cur.description, duck_described_types(con, duck_sql)
+        )
+
+    # deliberate drift #1: Spark emits DECIMAL(38,6), oracle emits DOUBLE.
+    # The exact values agree after pandas conversion — the blind spot —
+    # and the DBAPI cursor description reads 'NUMBER' for both, which is
+    # why the check needs the DESCRIBE-derived types.
+    assert float(
+        spark.sql("SELECT CAST(1.25 AS DECIMAL(38,6)) AS x").toPandas()["x"][0]
+    ) == float(con.execute("SELECT CAST(1.25 AS DOUBLE) AS x").df()["x"][0])
+    probs = check(
+        "SELECT CAST(1.25 AS DECIMAL(38,6)) AS x",
+        "SELECT CAST(1.25 AS DOUBLE) AS x",
+    )
+    assert probs and "numeric kind drift" in probs[0], probs
+
+    # deliberate drift #2: Spark float32 vs oracle DOUBLE — the hashes
+    # unify (pandas widens), the source check must not
+    assert typed_hash(
+        spark.sql("SELECT CAST(0.5 AS FLOAT) AS x").toPandas()
+    ) == typed_hash(con.execute("SELECT CAST(0.5 AS DOUBLE) AS x").df())
+    probs = check(
+        "SELECT CAST(0.5 AS FLOAT) AS x", "SELECT CAST(0.5 AS DOUBLE) AS x"
+    )
+    assert probs and "numeric kind drift" in probs[0], probs
+
+    # deliberate drift #3: DECIMAL precision/scale mismatch across engines
+    probs = check(
+        "SELECT CAST(1.25 AS DECIMAL(38,6)) AS x",
+        "SELECT CAST(1.25 AS DECIMAL(18,2)) AS x",
+    )
+    assert probs and "numeric kind drift" in probs[0], probs
+
+    # aligned kinds stay green: DOUBLE==DOUBLE, DECIMAL(38,6)==DECIMAL(38,6),
+    # FLOAT==FLOAT/REAL, integers ignored (typed hash already tags widths);
+    # a WITH-wrapped oracle DESCRIBEs fine too
+    assert (
+        check(
+            "SELECT CAST(1 AS DOUBLE) AS a, CAST(2.5 AS DECIMAL(38,6)) AS b, "
+            "CAST(0.5 AS FLOAT) AS c, 3 AS k",
+            "WITH t AS (SELECT 1 one) "
+            "SELECT CAST(one AS DOUBLE) AS a, CAST(2.5 AS DECIMAL(38,6)) AS b, "
+            "CAST(0.5 AS REAL) AS c, 3 AS k FROM t",
+        )
+        == []
+    )
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     edges=st.lists(

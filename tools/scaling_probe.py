@@ -488,6 +488,18 @@ def diameter_probe(ns: list[int]) -> None:
       dense-cluster home turf;
     - alternating star (``algorithm='star'``) — expected ~2·log2(n)
       rounds, wall + shuffle + rounds recorded, labels verified == {0}.
+
+    r10 (VERDICT r9 #6): a third MIXED fixture per tier — n/2 nodes in
+    dense 50-node hub clusters (diameter 2, label propagation's home
+    turf) plus n/2 nodes in ONE long path (the label pathology) — runs
+    all three algorithms.  This is the honest unknown-topology case
+    ``algorithm='auto'`` exists for: pure label must DNF on the chain
+    half, pure star pays O(log n) rounds over ALL n nodes, and auto's
+    label phase must collapse every cluster so the contraction hands the
+    star phase ONLY the chain remainder — ``star_probe_info()``'s
+    round-0 node count (free off the convergence signature) is the
+    direct evidence the contraction shrinks the star input, vs the pure
+    star run's count on the identical graph.
     """
     import math
 
@@ -497,7 +509,7 @@ def diameter_probe(ns: list[int]) -> None:
         neardup_components,
     )
     from etl_cloud_logistics_spark.operators.graph import (  # noqa: PLC0415
-        connected_components_star,
+        star_probe_info,
     )
 
     spark = get_spark("scaling-probe-diameter")
@@ -568,7 +580,11 @@ def diameter_probe(ns: list[int]) -> None:
                 neardup_components(pairs, ids, max_iter=30).write.mode(
                     "overwrite"
                 ).format("noop").save()
-                label = f"{neardup_components.last_rounds + 1}rnd"
+                from etl_cloud_logistics_spark.operators.dedup import (  # noqa: PLC0415
+                    components_probe_info,
+                )
+
+                label = f"{components_probe_info()['rounds'] + 1}rnd"
             except RuntimeError:
                 label = "DNF>30"
             spark.catalog.clearCache()
@@ -578,13 +594,74 @@ def diameter_probe(ns: list[int]) -> None:
             n_comp = comp.select("component").distinct().count()
             wall = time.perf_counter() - t0
             m = _execution_metrics(store, exec_ids() - before)
-            rounds = connected_components_star.last_rounds
+            rounds = star_probe_info()["rounds"]
             print(
                 f"{shape:>5} {ids.count():>8} {label:>9} {wall:>8.2f} "
                 f"{m.get('shuffle bytes written', 0.0) / 2**20:>8.1f} "
                 f"{rounds:>11} {n_comp:>10}"
             )
             spark.catalog.clearCache()
+        # mixed fixture: hub clusters + one long chain, all 3 algorithms
+        from etl_cloud_logistics_spark.operators.dedup import (  # noqa: PLC0415
+            components_probe_info,
+        )
+
+        half = n // 2
+        clusters = (
+            spark.range(half)
+            .filter(F.col("id") % 50 != 0)
+            .select(
+                F.col("id").alias("doc_a"),
+                (F.col("id") - F.col("id") % 50).alias("doc_b"),
+            )
+        )
+        chain = spark.range(half, n - 1).select(
+            (F.col("id") + 1).alias("doc_a"), F.col("id").alias("doc_b")
+        )
+        pairs = (
+            clusters.unionByName(chain)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        ids = ids_of(pairs).localCheckpoint(eager=True)
+        expected_comps = half // 50 + 1  # one comp per hub cluster + the chain
+        try:
+            neardup_components(pairs, ids, max_iter=30).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            label = f"{components_probe_info()['rounds'] + 1}rnd"
+        except RuntimeError:
+            label = "DNF>30"
+        spark.catalog.clearCache()
+        results = {}
+        for algo in ("star", "auto"):
+            before = exec_ids()
+            t0 = time.perf_counter()
+            comp = neardup_components(pairs, ids, algorithm=algo, max_iter=30)
+            n_comp = comp.select("component").distinct().count()
+            wall = time.perf_counter() - t0
+            m = _execution_metrics(store, exec_ids() - before)
+            results[algo] = {
+                "sec": wall,
+                "mb": m.get("shuffle bytes written", 0.0) / 2**20,
+                "star_rounds": star_probe_info()["rounds"],
+                "star_input_nodes": star_probe_info()["input_nodes"],
+                "mode": components_probe_info().get("algorithm", "star"),
+                "comps": n_comp,
+            }
+            assert n_comp == expected_comps, (algo, n_comp, expected_comps)
+            spark.catalog.clearCache()
+        s, a = results["star"], results["auto"]
+        print(
+            f"mixed {ids.count():>8} {label:>9} {s['sec']:>8.2f} "
+            f"{s['mb']:>8.1f} {s['star_rounds']:>11} {s['comps']:>10}"
+        )
+        print(
+            f"  auto@{n}: {a['sec']:.2f}s {a['mb']:.1f}MB mode={a['mode']} "
+            f"star_rounds={a['star_rounds']} star_input_nodes="
+            f"{a['star_input_nodes']} (pure star saw {s['star_input_nodes']}; "
+            f"contraction kept {a['star_input_nodes'] / max(s['star_input_nodes'], 1):.1%})"
+        )
 
 
 def winnow_probe(ks: list[int]) -> None:
@@ -1089,7 +1166,8 @@ def etl_probe(ns: list[int]) -> None:
 
     print(
         "SCD2 + as-of ETL probe: N natural keys, churn% changed + 1% new; "
-        "facts = 4N rows straddling the version boundary"
+        f"facts = 4N rows straddling the version boundary "
+        f"(load1={os.getloadavg()[0]:.2f})"
     )
     print(
         f"{'keys':>9} {'churn%':>6} {'merge_sec':>9} {'merge_MB':>8} "

@@ -186,6 +186,68 @@ def temporal_mismatches(spark_schema, duck_description) -> list[str]:
     return out
 
 
+def numeric_kind_spark(dt) -> str | None:
+    """'F32' / 'F64' / 'DEC(p,s)' / None for a Spark data type — the
+    non-integer numeric kinds the pandas conversion erases (ints keep
+    their width through the typed hash's i32/i64 tags; floats and
+    decimals all land as float64/object)."""
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    if isinstance(dt, T.FloatType):
+        return "F32"
+    if isinstance(dt, T.DoubleType):
+        return "F64"
+    if isinstance(dt, T.DecimalType):
+        return f"DEC({dt.precision},{dt.scale})"
+    return None
+
+
+def numeric_kind_duck(type_name: str) -> str | None:
+    tn = str(type_name).upper()
+    if tn in ("FLOAT", "REAL"):
+        return "F32"
+    if tn == "DOUBLE":
+        return "F64"
+    if tn.startswith("DECIMAL"):
+        return tn.replace("DECIMAL", "DEC").replace(" ", "")
+    return None
+
+
+def duck_described_types(con, oracle_sql: str) -> dict[str, str]:
+    """name -> declared type string via DuckDB's DESCRIBE (binds and plans
+    without executing).  The DBAPI cursor description collapses every
+    numeric kind to 'NUMBER', so the numeric check needs this source; the
+    temporal check keeps using the cursor description (Date/DATETIME are
+    distinguishable there) so it also guards rows where DESCRIBE fails."""
+    rows = con.execute(f"DESCRIBE ({oracle_sql.rstrip().rstrip(';')})").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def kind_mismatches(spark_schema, duck_description, duck_types=None) -> list[str]:
+    """Source-level type-kind drift between Spark's analyzed schema and
+    DuckDB's declared types: temporal (DATE vs TIMESTAMP, r9 — off the
+    cursor description) plus numeric (DECIMAL precision/scale and
+    FLOAT-vs-DOUBLE, r10 — VERDICT r9 #7 — off ``duck_types``, a
+    DESCRIBE-derived name->type map, since the cursor description erases
+    numeric kinds entirely).  A Spark DECIMAL(38,6) against an oracle
+    DOUBLE renders identically in both pandas frames for every value that
+    fits a double, so the exact compare and the typed hash are blind to
+    it; the drift only exists where the types still do."""
+    out = temporal_mismatches(spark_schema, duck_description)
+    if duck_types is None:
+        return out
+    duck_kinds = {name: numeric_kind_duck(tn) for name, tn in duck_types.items()}
+    for f in spark_schema.fields:
+        sk = numeric_kind_spark(f.dataType)
+        dk = duck_kinds.get(f.name)
+        if (sk or dk) and sk != dk:
+            out.append(
+                f"numeric kind drift on col {f.name}: "
+                f"spark={sk or f.dataType.simpleString()} duck={dk or 'non-float/decimal'}"
+            )
+    return out
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_df) != len(duck_df):
@@ -272,7 +334,12 @@ def main() -> int:
             rec.update(status="oracle_error", err=traceback.format_exc(limit=1))
             failed.append(n)
             continue
-        problems = temporal_mismatches(frame.schema, duck_desc)
+        try:
+            duck_types = duck_described_types(con, spec.oracle)
+        except Exception:
+            duck_types = None  # DESCRIBE can fail on exotic forms; the
+            # cursor-description temporal check below still applies
+        problems = kind_mismatches(frame.schema, duck_desc, duck_types)
         rec["temporal_types_match"] = not problems
         problems += compare(n, sdf, ddf)
         hash_match = (
