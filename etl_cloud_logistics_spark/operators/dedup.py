@@ -569,6 +569,7 @@ def neardup_components(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     algorithm: str = "label",
+    auto_label_rounds: int | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs by iterative min-label
     propagation: every doc's label converges to the smallest doc_id reachable
@@ -627,6 +628,15 @@ def neardup_components(
       are always ids reachable from their node, so contraction preserves
       connectivity and the component minimum — equal output
       pytest-pinned against both pure algorithms.
+
+    ``auto_label_rounds`` (r10) overrides the module default label budget
+    for ``algorithm='auto'`` only.  The default (8) is sized so hub-skew
+    power-law graphs CONVERGE inside the label phase (4-5 rounds measured,
+    GRAPH_PROBE_r09) and never pay the star fallback; a caller that knows
+    its dense clusters are diameter <= 3 (typical near-dup clusters) can
+    pass 3-4 to halve the label phase's cost on inputs that do fall
+    through to the star — correctness is budget-independent (any partial
+    labels contract soundly); only which phase does the work changes.
     """
     if algorithm == "star":
         from .graph import connected_components_star  # noqa: PLC0415
@@ -646,8 +656,10 @@ def neardup_components(
         raise ValueError(
             f"unknown algorithm {algorithm!r}: use 'label', 'star' or 'auto'"
         )
+    if auto_label_rounds is None:
+        auto_label_rounds = AUTO_LABEL_ROUNDS
     label_rounds = (
-        max_iter if algorithm == "label" else min(max_iter, AUTO_LABEL_ROUNDS)
+        max_iter if algorithm == "label" else min(max_iter, auto_label_rounds)
     )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -220,6 +220,58 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_window_bounds",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    extra=True,  # engine breadth (r10): the NATIVE F.session_window batch
+    # aggregate — a distinct physical operator (SessionWindow merging
+    # aggregation) from session_stats_per_user's lag+cumsum formulation,
+    # and the batch twin of streaming.jobs.session_window_counts.  The
+    # oracle replays the semantics gaps-and-islands style: Spark defines a
+    # session's end as last_event_ts + gap, so MAX(ts) + 30 min matches
+    # session_window.end exactly.
+)
+def session_window_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows in BATCH (30-minute inactivity):
+    ``groupBy(F.session_window(...))`` merges overlapping per-event
+    [ts, ts+gap) intervals into sessions — one shuffle on (user_id), the
+    merge happens inside the aggregation, no self-join and no window
+    function.  At 100 TB this is the shape to prefer over lag+cumsum when
+    session BOUNDS are needed: the lag form costs a window sort plus a
+    second aggregation; this is a single sessionizing aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ST4 — threshold alerts with severity tiers (F12 CASE chains; ref
 # 07_lambda_functions.py:143-226 deviation alert + SNS)

@@ -1641,3 +1641,13 @@ def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
         for r in neardup_components(pairs, nodes, algorithm="star").collect()
     }
     assert auto == star
+    # r10: the label budget is a knob, never a semantic: any budget yields
+    # the identical components (partial labels always contract soundly)
+    for budget in (1, 2, 5):
+        tuned = {
+            r["doc_id"]: r["component"]
+            for r in neardup_components(
+                pairs, nodes, algorithm="auto", auto_label_rounds=budget
+            ).collect()
+        }
+        assert tuned == want, budget

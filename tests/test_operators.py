@@ -120,6 +120,38 @@ def test_scd2_invariants(spark):
     assert dangling.count() == 0
 
 
+def test_scd2_asof_broadcast_modes_equal(spark):
+    """scd2_asof_lookup's three broadcast policies (r10: None=Catalyst/AQE
+    decides — the scale-safe default, True=forced hint, False=forced
+    shuffle-merge) must return the identical matched set: the policy is a
+    physical-plan choice, never a semantic one."""
+    from etl_cloud_logistics_spark.operators.scd2 import scd2_asof_lookup
+
+    current, staging = _scd2_fixture(spark)
+    dim = scd2_apply(current, staging, ["k"], ["name", "val"], "2001-06-01")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.date(2000, 6, 1)),   # inside k=1's open window
+            (101, 2, dt.date(2001, 5, 31)),  # k=2 old version (closes 6/1)
+            (102, 2, dt.date(2001, 6, 1)),   # k=2 successor (opens 6/1)
+            (103, 4, dt.date(2001, 7, 1)),   # brand-new key's open window
+            (104, 9, dt.date(2001, 7, 1)),   # unknown key -> null match
+            (105, 2, dt.date(1990, 1, 1)),   # pre-history -> null match
+        ],
+        "fact_id long, k long, fact_date date",
+    )
+    results = {}
+    for mode in (None, True, False):
+        out = scd2_asof_lookup(
+            dim, facts, ["k"], "fact_date", broadcast_dim=mode
+        ).select("fact_id", "name", "valid_from")
+        results[mode] = {(r.fact_id, r.name, r.valid_from) for r in out.collect()}
+    assert results[None] == results[True] == results[False]
+    by_id = {fid: (nm, vf) for fid, nm, vf in results[None]}
+    assert by_id[101][0] == "b" and by_id[102][0] == "b2"
+    assert by_id[104] == (None, None) and by_id[105] == (None, None)
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "e1"), (1, 20, "e2"), (1, 5, "e0"), (2, 10, "x")],
