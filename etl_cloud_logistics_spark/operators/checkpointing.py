@@ -31,6 +31,43 @@ import uuid
 from pyspark.sql import DataFrame
 
 
+def _reset_plan_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a localCheckpointed frame over its OWN materialized RDD so
+    the new LogicalRDD carries DEFAULT size statistics instead of the
+    origin plan's (r10 — the geometric-round diagnosis).
+
+    Spark preserves the origin Dataset's estimated statistics through
+    ``localCheckpoint``, and the non-CBO estimator
+    (``SizeInBytesOnlyStatsPlanVisitor``) MULTIPLIES children's
+    ``sizeInBytes`` BigInts through every join/union.  In an iterative
+    loop each round's checkpoint therefore seeds the next round's
+    estimate with the previous round's product: the BigInt's DIGIT COUNT
+    grows ~4x per round (measured 7 -> 24 -> 96 -> 383 -> 1529 -> 6114
+    digits over five star rounds), and by round ~15 the driver burns
+    whole minutes in Karatsuba/Toom-Cook BigInteger multiplies inside
+    stats estimation — a thread dump shows 170 s of
+    ``BigInteger.multiplyToomCook3`` under ``visitJoin`` — which is why
+    late star/label rounds on large graphs slowed geometrically
+    (2.6x/round) while rows, plans and GC stayed constant.  The parquet
+    round-trip of RELIABLE mode resets stats naturally; this is the
+    zero-I/O local-mode equivalent: the SAME checkpointed RDD (no data
+    movement, retirement still reaches it through the new plan), fresh
+    ``LogicalRDD`` with default stats.  AQE re-plans joins from ACCURATE
+    runtime sizes per stage, so losing the estimate costs nothing the
+    adaptive planner doesn't recover.
+    """
+    try:
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().analyzed().rdd()
+        j2 = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(j2, df.sparkSession)
+    except Exception:
+        return df  # best-effort: plan shape without the reset is still
+        # correct, only slower on long loops
+
+
 class RoundCheckpointer:
     """Callable that truncates a DataFrame's lineage once per round.
 
@@ -46,6 +83,7 @@ class RoundCheckpointer:
         self.calls = 0
         self._static_names: list[str] = []
         self._persisted_statics: list[DataFrame] = []
+        self._recent: list[DataFrame] = []  # local mode: live round frames
         self.run_dir = (
             None
             if checkpoint_dir is None
@@ -58,7 +96,30 @@ class RoundCheckpointer:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.run_dir is None:
-            return df.localCheckpoint(eager=True)
+            out = _reset_plan_stats(df.localCheckpoint(eager=True))
+            # Rolling retirement of superseded rounds (r10): localCheckpoint
+            # blocks are only freed when the ContextCleaner gets around to
+            # the garbage RDD, so a long loop accumulates every round's
+            # blocks in executor storage — measured as a 2x slowdown of the
+            # star phase that ran AFTER an 8-round label phase (the auto-CC
+            # budget sweep, DIAMETER_PROBE_r10 addendum).  The iterative
+            # discipline every caller already follows (round k reads only
+            # round k-1's checkpoints; materialization is eager) makes the
+            # frame checkpointed two calls ago provably dead the moment the
+            # current call's materialization returns — drop its blocks NOW
+            # instead of at some future GC.  The last two calls stay live:
+            # the newest is the current round, the one before covers
+            # callers that checkpoint two frames per round (the star's
+            # ls/e) or return the final frame for lazy downstream reads.
+            self._recent.append(out)
+            if len(self._recent) > 2:
+                stale = self._recent.pop(0)
+                try:
+                    stale._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                except Exception:
+                    pass  # best-effort: a non-LogicalRDD analyzed plan just
+                    # falls back to ContextCleaner timing, never an error
+            return out
         # alternate between two slots: the write target is never a slot any
         # live DataFrame still reads from (round i reads slot (i-1) % 2)
         path = self._slot(self.calls)
