@@ -83,7 +83,6 @@ class RoundCheckpointer:
         self.calls = 0
         self._static_names: list[str] = []
         self._persisted_statics: list[DataFrame] = []
-        self._recent: list[DataFrame] = []  # local mode: live round frames
         self.run_dir = (
             None
             if checkpoint_dir is None
@@ -96,30 +95,15 @@ class RoundCheckpointer:
 
     def __call__(self, df: DataFrame) -> DataFrame:
         if self.run_dir is None:
-            out = _reset_plan_stats(df.localCheckpoint(eager=True))
-            # Rolling retirement of superseded rounds (r10): localCheckpoint
-            # blocks are only freed when the ContextCleaner gets around to
-            # the garbage RDD, so a long loop accumulates every round's
-            # blocks in executor storage — measured as a 2x slowdown of the
-            # star phase that ran AFTER an 8-round label phase (the auto-CC
-            # budget sweep, DIAMETER_PROBE_r10 addendum).  The iterative
-            # discipline every caller already follows (round k reads only
-            # round k-1's checkpoints; materialization is eager) makes the
-            # frame checkpointed two calls ago provably dead the moment the
-            # current call's materialization returns — drop its blocks NOW
-            # instead of at some future GC.  The last two calls stay live:
-            # the newest is the current round, the one before covers
-            # callers that checkpoint two frames per round (the star's
-            # ls/e) or return the final frame for lazy downstream reads.
-            self._recent.append(out)
-            if len(self._recent) > 2:
-                stale = self._recent.pop(0)
-                try:
-                    stale._jdf.queryExecution().analyzed().rdd().unpersist(False)
-                except Exception:
-                    pass  # best-effort: a non-LogicalRDD analyzed plan just
-                    # falls back to ContextCleaner timing, never an error
-            return out
+            # NOTE (r10): an explicit rolling unpersist of superseded round
+            # RDDs was tried here and MEASURED HARMFUL — +50% wall on
+            # fixed-point PageRank at 1e7 edges (A/B 24.1 s without vs
+            # 34.7 s with, stats reset held constant) with no offsetting
+            # win once _reset_plan_stats landed (the apparent block-
+            # accumulation slowdown that motivated it was actually the
+            # stats-estimation BigInt blowup).  Block lifetime stays with
+            # the ContextCleaner; do not reintroduce without an A/B.
+            return _reset_plan_stats(df.localCheckpoint(eager=True))
         # alternate between two slots: the write target is never a slot any
         # live DataFrame still reads from (round i reads slot (i-1) % 2)
         path = self._slot(self.calls)

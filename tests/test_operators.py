@@ -918,6 +918,47 @@ def test_reliable_checkpoint_leaves_only_the_result_slot(spark, tmp_path):
     assert rows == base
 
 
+def test_local_checkpoint_stats_stay_bounded(spark):
+    """The r10 stats-blowup regression pin: Spark preserves estimated
+    statistics through localCheckpoint, and the non-CBO estimator
+    multiplies children's sizeInBytes BigInts through every join/union —
+    un-reset, an iterative loop's stats digit count grows ~4x per round
+    (measured 7 -> 24 -> 96 -> 383 -> 1529 -> 6114 over five star rounds)
+    until the driver spends minutes inside BigInteger.multiplyToomCook3
+    during stats estimation.  RoundCheckpointer's local mode must rebuild
+    each round over its own RDD so the BigInt stays small forever."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators.checkpointing import (
+        RoundCheckpointer,
+    )
+
+    chk = RoundCheckpointer(None, prefix="stats-pin")
+    e = chk(
+        spark.range(2000).select(
+            F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+        )
+    )
+    for _ in range(5):
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+        e = chk(
+            e.join(mins, e["a"] == mins["u"]).select(
+                F.col("m").alias("a"), "b"
+            ).distinct()
+        )
+        # py4j converts java BigInteger to a Python int
+        bits = int(
+            e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ).bit_length()
+        # un-reset, five rounds reach >20000 bits (6114 decimal digits);
+        # with the reset the leaf is a fresh default estimate every round
+        assert bits < 256, f"stats BigInt grew to {bits} bits"
+    assert e.count() > 0  # the rebuilt frames still read their blocks
+
+
 def test_cleanup_stale_static_misuse_raises(spark, tmp_path):
     """The r7 contract-by-docstring ("do NOT call cleanup_stale if you
     return a frame produced by static()") is now enforced (r8, verdict
