@@ -639,12 +639,19 @@ def neardup_components(
     labels contract soundly); only which phase does the work changes.
     """
     if algorithm == "star":
-        from .graph import connected_components_star  # noqa: PLC0415
+        from .graph import connected_components_star, star_probe_info  # noqa: PLC0415
 
         labeled = connected_components_star(
             pairs, "doc_a", "doc_b", max_iter=max(max_iter, 50),
             checkpoint_dir=checkpoint_dir,
         )
+        # keep components_probe_info() per-call fresh on this path too
+        # (ADVICE r10: the early return used to leave the previous
+        # invocation's rounds/algorithm visible on this thread)
+        _probe_tls.components = {
+            "rounds": star_probe_info().get("rounds"),
+            "algorithm": "star",
+        }
         # isolated ids never appear in the pair list: label them as their
         # own singleton components, like the label-prop path does
         return all_ids.select(F.col(id_col)).join(

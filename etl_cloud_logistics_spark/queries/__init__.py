@@ -59,6 +59,22 @@ another driver row keeps — ``doc_quality_battery`` +
 ``reachable_parts_bfs`` (graph keeps pagerank + components),
 ``ks_drift_order_prices`` (quality keeps mad_outlier + rolling_zscore).
 
+Window rotation r11 (VERDICT r10 #1), same policy: promoted six rows with
+ZERO prior driver history — ``session_window_bounds`` (the registry's only
+native SessionWindow aggregate; its oracle got the event_id cumsum
+tiebreak first, ADVICE r10), ``tpch_q18_large_volume_customer``
+(HAVING-IN decorrelation), ``tpch_q8_market_share`` (8-table snowflake +
+two-level conditional share), ``multimodal_mp4_roundtrip`` (real ISO BMFF
+codec), ``anti_join_new_dates`` (J7's canonical NOT-EXISTS form),
+``chi2_drift_priorities`` (re-verified under the numeric-kind DESCRIBE
+gate pre-promotion, VERDICT r10 #6); demoted six rows with 3-7 green
+driver rounds each whose §2 coverage another driver row keeps —
+``session_stats_per_user`` (ST6 → session_window_bounds; F6 via q08/q12),
+``winnow_fingerprint_pairs`` + ``kmv_customer_overlap`` +
+``mad_outlier_gate`` (X2/sketch/A9 keep multiple driver rows),
+``multimodal_image_features`` (X5 keeps both real-codec round-trips),
+``bloom_semi_reduced_join`` (Bloom kept by decontam_bloom_prefilter).
+
 Remaining rotation shortlist — oracle-bearing rows with ZERO driver history.
 Added in r9 (all locally green on first verification): the eleven TPC-H
 rows beyond the promoted q17/q22 — ``tpch_q4_order_priority`` (semi +

@@ -93,7 +93,9 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "anti_join_new_dates",
-    extra=True,  # r5: rotated OUT of the driver window (>=3 green rounds)
+    # r11 rotation: promoted BACK into the driver window (VERDICT r10 #1 —
+    # J7's canonical NOT-EXISTS form had never been driver-exposed; q22
+    # keeps the correlated variant)
     oracle="""
     SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date
     FROM orders o
@@ -731,6 +733,8 @@ def group_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mad_outlier_gate",
+    extra=True,  # r11 rotation: driver-green r8-r10; A9/F21 stay covered by
+    # rolling_zscore_anomalies.  CI-exact-gated here.
     oracle="""
     WITH med AS (
         SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
@@ -867,8 +871,9 @@ def ks_drift_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM counts, tot
     WHERE obs_a > 0
     """,
-    extra=True,  # r5: same drift family as ks_drift_order_prices, which
-    # holds the driver row; this categorical sibling is CI-exact-gated
+    # r11 rotation: promoted (VERDICT r10 #6 — re-verified under the
+    # numeric-kind DESCRIBE gate before promotion; ks_drift rotated out r10,
+    # so the drift family regains a driver row)
 )
 def chi2_drift_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical drift report for order priorities across the same

@@ -176,9 +176,12 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "session_stats_per_user",
+    extra=True,  # r11 rotation: driver-green since r3 (7+ rounds); ST6's
+    # driver slot moves to session_window_bounds (the native SessionWindow
+    # twin), F6 stays covered by q08/q12.  CI-exact-gated here.
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -186,7 +189,7 @@ def windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM gaps
     )
@@ -224,7 +227,7 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_bounds",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -232,7 +235,7 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), sessions AS (
         SELECT user_id, ts,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM gaps
     )
@@ -243,7 +246,9 @@ def session_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, session_id
     """,
-    extra=True,  # engine breadth (r10): the NATIVE F.session_window batch
+    # r11 rotation: promoted (VERDICT r10 #1 — the registry's only native
+    # SessionWindow row takes ST6's driver slot from the lag+cumsum twin).
+    # Engine breadth (r10): the NATIVE F.session_window batch
     # aggregate — a distinct physical operator (SessionWindow merging
     # aggregation) from session_stats_per_user's lag+cumsum formulation,
     # and the batch twin of streaming.jobs.session_window_counts.  The

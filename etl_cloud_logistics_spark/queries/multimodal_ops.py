@@ -29,6 +29,8 @@ from . import register
 
 @register(
     "multimodal_image_features",
+    extra=True,  # r11 rotation: driver-green since r3 (7+ rounds); X5 keeps
+    # two driver rows (the WAV and MP4 real-codec round-trips).
     oracle="""
     SELECT doc_id,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -184,8 +186,8 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS duration_us
     FROM documents
     """,
-    extra=True,  # rotation candidate (real ISO BMFF container round-trip,
-    # the video sibling of multimodal_wav_roundtrip)
+    # r11 rotation: promoted (VERDICT r10 #1 — real ISO BMFF container
+    # round-trip, the video sibling of the r10-promoted WAV row)
 )
 def multimodal_mp4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video container round-trip (X5, r9): per-doc MP4 stubs are

@@ -1034,6 +1034,8 @@ def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bloom_semi_reduced_join",
+    extra=True,  # r11 rotation: driver-green since r4 (long green); the
+    # Bloom family keeps decontam_bloom_prefilter in the window.
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
     FROM orders o
@@ -1148,6 +1150,8 @@ def _kmv_oracle() -> str:
     # r8: promoted to the driver window (VERDICT r7 #2) — the sketch
     # family's set-operation member, CI-exact-gated since r6; q04 keeps the
     # exact countDistinct driver row, HLL variant stays an extra.
+    extra=True,  # r11 rotation: driver-green r8-r10; the sketch family
+    # keeps cmsketch_word_counts in the window, A2 keeps q04.
 )
 def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap via K-minimum-values sketches (`operators.kmv`,

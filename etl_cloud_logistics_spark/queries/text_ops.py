@@ -1665,6 +1665,8 @@ _WINNOW_GRAM_SQL = " || ' ' || ".join(
 
 @register(
     "winnow_fingerprint_pairs",
+    extra=True,  # r11 rotation: driver-green r8-r10; X2 keeps three driver
+    # rows (minhash-LSH, simhash, components-canonical).  CI-exact-gated.
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents

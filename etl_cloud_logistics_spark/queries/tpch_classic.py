@@ -315,8 +315,8 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
     LIMIT 100
     """,
-    extra=True,  # locally verified; r10 promotion candidate (IN-subquery
-    # HAVING filter, the Q18 large-order shape)
+    # r11 rotation: promoted (VERDICT r10 #1 — the HAVING-IN decorrelation
+    # shape's first driver exposure)
 )
 def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large volume customer): orders whose total lineitem
@@ -716,8 +716,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_year
     ORDER BY o_year
     """,
-    extra=True,  # locally verified; rotation candidate (8-table snowflake
-    # + conditional-share ratio)
+    # r11 rotation: promoted (VERDICT r10 #1 — the two-level
+    # conditional-share aggregation's first driver exposure)
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): one nation's share of ECONOMY-part

@@ -1651,3 +1651,22 @@ def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
             ).collect()
         }
         assert tuned == want, budget
+
+
+def test_components_probe_info_fresh_on_star_path(spark):
+    """ADVICE r10: the algorithm='star' early return must refresh the
+    thread-local probe info too — a probe that runs auto then star must
+    not read the auto invocation's stale rounds/algorithm."""
+    from etl_cloud_logistics_spark.operators.dedup import (
+        components_probe_info,
+        neardup_components,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    neardup_components(pairs, nodes, algorithm="auto").collect()
+    assert components_probe_info()["algorithm"] == "label"
+    neardup_components(pairs, nodes, algorithm="star").collect()
+    info = components_probe_info()
+    assert info["algorithm"] == "star"
+    assert info["rounds"] is not None and info["rounds"] >= 1

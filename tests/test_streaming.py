@@ -79,20 +79,28 @@ def _ckpt(tmp_path_factory) -> str:
     return str(tmp_path_factory.mktemp(f"ckpt_{uuid.uuid4().hex[:6]}"))
 
 
-def test_windowed_counts_match_batch(spark, chunked_events, tmp_path_factory):
+@_PROVIDERS
+def test_windowed_counts_match_batch(spark, chunked_events, tmp_path_factory, provider):
+    """Tumbling windowed aggregation state under BOTH providers (r11,
+    VERDICT r10 #4 — the plain stateful aggs were the last heap-only
+    streaming family)."""
+    provider = _resolve_provider(provider)
     src, events = chunked_events
     stream = read_event_stream(spark, src)
+    out_name = f"win_out_{'rocks' if provider else 'heap'}"
     q = run_stream_to_memory(
         windowed_counts(stream, watermark="10 hours"),
-        "win_out",
+        out_name,
         _ckpt(tmp_path_factory),
         output_mode="complete",
+        state_store_provider=provider,
     )
     try:
         got = {
             (r.window_start, r.event_type): r.n_events
-            for r in spark.sql("SELECT * FROM win_out").collect()
+            for r in spark.sql(f"SELECT * FROM {out_name}").collect()
         }
+        _assert_ran_on_rocksdb(q, provider)
         want = {
             (r.ws, r.event_type): r.n
             for r in events.groupBy(
@@ -279,24 +287,33 @@ def test_eta_stream_computes_remaining(spark, chunked_events, tmp_path_factory):
         assert r["eta_minutes"] == round(r["remaining_km"] / 60.0 * 60.0, 1)
 
 
-def test_session_window_stream_matches_batch(spark, chunked_events, tmp_path_factory):
+@_PROVIDERS
+def test_session_window_stream_matches_batch(
+    spark, chunked_events, tmp_path_factory, provider
+):
     """Streamed session windows == the same session_window agg run in batch
-    (complete mode so all sessions are emitted)."""
+    (complete mode so all sessions are emitted).  Both state-store
+    providers (r11): the session-merging state must behave identically on
+    the heap store and RocksDB."""
     from etl_cloud_logistics_spark.streaming.jobs import session_window_counts
 
+    provider = _resolve_provider(provider)
     src, events = chunked_events
     stream = read_event_stream(spark, src)
+    out_name = f"sess_out_{'rocks' if provider else 'heap'}"
     q = run_stream_to_memory(
         session_window_counts(stream, watermark="10 hours", gap="30 minutes"),
-        "sess_out",
+        out_name,
         _ckpt(tmp_path_factory),
         output_mode="complete",
+        state_store_provider=provider,
     )
     try:
         got = {
             (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
-            for r in spark.sql("SELECT * FROM sess_out").collect()
+            for r in spark.sql(f"SELECT * FROM {out_name}").collect()
         }
+        _assert_ran_on_rocksdb(q, provider)
     finally:
         q.stop()
 
@@ -374,24 +391,34 @@ def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path_factory):
         assert got[r["user_id"]] == r["m"]
 
 
-def test_stream_stream_join_matches_batch(spark, chunked_events, tmp_path_factory):
-    """Watermarked stream-stream join == the identical join run in batch."""
+@_PROVIDERS
+def test_stream_stream_join_matches_batch(
+    spark, chunked_events, tmp_path_factory, provider
+):
+    """Watermarked stream-stream join == the identical join run in batch.
+    Both state-store providers (r11): join state (buffered rows per side)
+    is the family with the biggest per-key state, exactly what RocksDB is
+    for at scale."""
     from etl_cloud_logistics_spark.streaming.jobs import stream_stream_join
 
+    provider = _resolve_provider(provider)
     src, events = chunked_events
     stream = read_event_stream(spark, src)
     clicks_s = stream.filter(F.col("event_type") == "click")
     purch_s = stream.filter(F.col("event_type") == "purchase")
+    out_name = f"ssj_out_{'rocks' if provider else 'heap'}"
     q = run_stream_to_memory(
         stream_stream_join(clicks_s, purch_s, watermark="10 hours", within="30 minutes"),
-        "ssj_out",
+        out_name,
         _ckpt(tmp_path_factory),
+        state_store_provider=provider,
     )
     try:
         got = {
             (r["user_id"], r["click_id"], r["purchase_id"])
-            for r in spark.sql("SELECT * FROM ssj_out").collect()
+            for r in spark.sql(f"SELECT * FROM {out_name}").collect()
         }
+        _assert_ran_on_rocksdb(q, provider)
     finally:
         q.stop()
 

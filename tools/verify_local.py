@@ -340,7 +340,9 @@ def main() -> int:
             duck_types = None  # DESCRIBE can fail on exotic forms; the
             # cursor-description temporal check below still applies
         problems = kind_mismatches(frame.schema, duck_desc, duck_types)
-        rec["temporal_types_match"] = not problems
+        # r11 (ADVICE r10): this gate covers BOTH temporal and numeric
+        # source-kind drift since r10 — record it under a name that says so
+        rec["type_kinds_match"] = not problems
         problems += compare(n, sdf, ddf)
         hash_match = (
             sorted(sdf.columns) == sorted(ddf.columns)
