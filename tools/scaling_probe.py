@@ -40,6 +40,10 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
        python tools/scaling_probe.py --etl [N ...]      (SCD2 dim churn +
            as-of fact lookup at N natural keys, 1%/10% daily change;
            invariants pinned on the largest tier; default 1e5 1e6 1e7)
+       python tools/scaling_probe.py --etl-e2e [N ...]  (run_daily_etl
+           COMPOSED end-to-end: two consecutive days at an N-key
+           dimension with 10% churn; SCD2+fact invariants on the
+           composed result; default 1e7)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -1239,6 +1243,191 @@ def etl_probe(ns: list[int]) -> None:
             spark.catalog.clearCache()
 
 
+def etl_e2e_probe(ns: list[int]) -> None:
+    """COMPOSED daily-ETL probe (r11, VERDICT r10 #5): ``run_daily_etl``
+    end-to-end at the 1e7-dimension tier — the reference's whole daily
+    program (extract → JSON staging → dim_date anti-join → dual SCD2
+    merges → fact build with the as-of lookup → DQ gate → dual report
+    refresh; etl_pipeline.py:1176-1279) as ONE composition, where
+    ``--etl`` measured ``scd2_apply`` and the as-of lookup in isolation.
+
+    Per tier N: day 1 lands N orders touching N distinct customers (the
+    dimension reaches N keys through the REAL pipeline path, not a
+    synthetic dim), then day 2 lands N/10 orders over N/10 existing
+    customers whose source attributes churned (every staged existing key
+    closes + re-versions) plus N/1000 brand-new keys.  Two synthetic
+    sf_dirs are used (one per day) because the day-2 extract must see a
+    CHANGED customer source; each carries the full declared schemas so
+    the probe goes through ``load_table``'s validation gate like
+    production.  Records wall + measured shuffle per day and asserts the
+    SCD2 + fact invariants at full scale on the composed result:
+    exactly one current row per key, closed rows chain to their
+    successor, total/current row counts reconcile with the churn
+    arithmetic, and the day slice of the fact equals the day's extract.
+    """
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.pipelines import run_daily_etl  # noqa: PLC0415
+
+    spark = get_spark("scaling-probe-etl-e2e")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    def write_inputs(path: str, n: int, day: int) -> tuple[int, int]:
+        """Lay down orders/customer/supplier/lineitem for one day's dir.
+        Returns (n_day_orders, n_new_keys)."""
+        n_supp = max(n // 100, 10)
+        if day == 1:
+            n_orders, new_keys = n, 0
+            okey = F.col("id")
+            ckey = F.col("id")
+            date = "2024-06-01"
+        else:
+            n_orders, new_keys = n // 10, n // 1000
+            okey = F.col("id") + n
+            # first (n_orders - new_keys) rows hit churned existing keys
+            # (multiples of 10, all distinct); the tail references keys
+            # beyond the day-1 range (brand-new dimension members)
+            ckey = F.when(
+                F.col("id") < n_orders - new_keys, (F.col("id") * 10) % n
+            ).otherwise(n + F.col("id") - (n_orders - new_keys))
+            date = "2024-06-02"
+        spark.range(n_orders).select(
+            okey.alias("o_orderkey"),
+            ckey.alias("o_custkey"),
+            F.element_at(
+                F.array(F.lit("O"), F.lit("F"), F.lit("P")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("o_orderstatus"),
+            ((F.col("id") % 100000) / 100.0 + 1.0).alias("o_totalprice"),
+            F.lit(date).cast("timestamp").alias("o_orderdate"),
+            F.concat(F.lit("P"), (F.col("id") % 5).cast("string")).alias(
+                "o_orderpriority"
+            ),
+        ).write.mode("overwrite").parquet(f"{path}/orders.parquet")
+        # customer source: day 2 churns every key the day-2 orders stage
+        # (multiples of 10 get a drifted acctbal) and appends the new keys
+        n_cust = n + (new_keys if day == 2 else 0)
+        acctbal = (F.col("id") % 10000) / 10.0
+        if day == 2:
+            acctbal = acctbal + F.when(F.col("id") % 10 == 0, 1.0).otherwise(0.0)
+        spark.range(n_cust).select(
+            F.col("id").alias("c_custkey"),
+            F.concat(F.lit("cust_"), F.col("id")).alias("c_name"),
+            (F.col("id") % 25).cast("int").alias("c_nationkey"),
+            acctbal.alias("c_acctbal"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in ("AUTO", "BLDG", "HOME", "MACH", "FURN")]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("c_mktsegment"),
+        ).write.mode("overwrite").parquet(f"{path}/customer.parquet")
+        spark.range(n_supp).select(
+            F.col("id").alias("s_suppkey"),
+            F.concat(F.lit("supp_"), F.col("id")).alias("s_name"),
+            (F.col("id") % 25).cast("int").alias("s_nationkey"),
+            ((F.col("id") % 9000) / 9.0).alias("s_acctbal"),
+        ).write.mode("overwrite").parquet(f"{path}/supplier.parquet")
+        key_base = 0 if day == 1 else n
+        spark.range(2 * n_orders).select(
+            (key_base + F.col("id") % n_orders).alias("l_orderkey"),
+            (F.col("id") % 1000).alias("l_partkey"),
+            (F.col("id") % n_supp).alias("l_suppkey"),
+            (F.col("id") / n_orders).cast("int").alias("l_linenumber"),
+            (F.col("id") % 50 + 1).cast("double").alias("l_quantity"),
+            ((F.col("id") % 100000) / 100.0 + 1.0).alias("l_extendedprice"),
+            ((F.col("id") % 10) / 100.0).alias("l_discount"),
+            F.lit(0.05).alias("l_tax"),
+            F.element_at(
+                F.array(F.lit("N"), F.lit("R"), F.lit("A")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            F.lit(date).cast("timestamp").alias("l_shipdate"),
+        ).write.mode("overwrite").parquet(f"{path}/lineitem.parquet")
+        return n_orders, new_keys
+
+    print("composed daily-ETL probe: run_daily_etl end-to-end per tier")
+    print(
+        f"{'keys':>9} {'day':>3} {'orders':>9} {'wall_sec':>8} "
+        f"{'shuffle_MB':>10} {'dim_cust':>9} {'fact_day':>9}"
+    )
+    for n in ns:
+        root = tempfile.mkdtemp(prefix=f"etl_e2e_{n}_")
+        try:
+            day_rows = {}
+            for day, run_date in ((1, "2024-06-01"), (2, "2024-06-02")):
+                src = os.path.join(root, f"src_day{day}")
+                n_orders, new_keys = write_inputs(src, n, day)
+                before = exec_ids()
+                t0 = time.time()
+                audit = run_daily_etl(
+                    spark, src, os.path.join(root, "wh"), run_date
+                )
+                wall = time.time() - t0
+                m = _execution_metrics(store, exec_ids() - before)
+                shuffle_mb = m.get("shuffle bytes written", 0.0) / 1e6
+                day_rows[day] = (audit, n_orders, new_keys)
+                print(
+                    f"{n:>9} {day:>3} {n_orders:>9} {wall:>8.2f} "
+                    f"{shuffle_mb:>10.1f} {audit.records['dim_customer']:>9} "
+                    f"{audit.records['fact_orders']:>9}"
+                )
+                assert audit.status == "success"
+                assert audit.records["staging"] == n_orders
+                assert audit.records["fact_orders"] == n_orders
+                assert audit.records["dq_failed"] == 0
+            # composed-result invariants at full scale (day 2 = churn day)
+            _, n2_orders, new_keys = day_rows[2]
+            n_changed = n2_orders - new_keys
+            dim = spark.read.parquet(os.path.join(root, "wh", "dim_customer"))
+            dup_current = (
+                dim.filter("is_current")
+                .groupBy("c_custkey")
+                .count()
+                .filter("count != 1")
+                .count()
+            )
+            keys_no_current = (
+                dim.groupBy("c_custkey")
+                .agg(F.sum(F.col("is_current").cast("int")).alias("nc"))
+                .filter("nc = 0")
+                .count()
+            )
+            closed = dim.filter(~F.col("is_current"))
+            broken_chain = (
+                closed.alias("a")
+                .join(
+                    dim.filter("is_current").alias("b"),
+                    (F.col("a.c_custkey") == F.col("b.c_custkey"))
+                    & (F.col("a.valid_to") == F.col("b.valid_from")),
+                    "left_anti",
+                )
+                .count()
+            )
+            total, n_closed = dim.count(), closed.count()
+            print(
+                f"  invariants@{n}: dup_current={dup_current} "
+                f"keys_no_current={keys_no_current} broken_chains={broken_chain} "
+                f"closed={n_closed} (want {n_changed}) total={total} "
+                f"(want {n + n_changed + new_keys})"
+            )
+            assert dup_current == 0 and keys_no_current == 0 and broken_chain == 0
+            assert n_closed == n_changed
+            assert total == n + n_changed + new_keys
+            for rpt in ("report_segment_totals", "report_status_totals"):
+                rows = spark.read.parquet(os.path.join(root, "wh", rpt)).count()
+                assert rows > 0, rpt
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            spark.catalog.clearCache()
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -1277,6 +1466,9 @@ def main() -> None:
         return
     if args and args[0] == "--etl":
         etl_probe([int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000])
+        return
+    if args and args[0] == "--etl-e2e":
+        etl_e2e_probe([int(float(a)) for a in args[1:]] or [10_000_000])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
