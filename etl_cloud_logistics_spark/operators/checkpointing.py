@@ -81,6 +81,21 @@ def _reset_plan_stats(df: DataFrame) -> DataFrame:
     ``LogicalRDD`` with default stats.  AQE re-plans joins from ACCURATE
     runtime sizes per stage, so losing the estimate costs nothing the
     adaptive planner doesn't recover.
+
+    Not threading ``outputPartitioning`` into the rebuilt ``LogicalRDD``
+    (ADVICE r10 raised it: ``localCheckpoint`` preserves it, the rebuild
+    drops it) is a MEASURED choice, not an oversight: per-round shuffle
+    volumes in the graph family are byte-identical before/after the
+    reset landed (GRAPH_PROBE_r10 reproduces r8/r9 exactly;
+    GRAPH_PROBE3E7_r11 reproduces the fourth decade) — the loops that
+    need partition alignment get it from the PINNED loop statics
+    (``static(pin_key=...)``, whose persisted plan keeps Catalyst
+    partitioning), and the per-round frame's partitioning was never
+    load-bearing.  Threading it would require constructing LogicalRDD
+    via py4j (``internalCreateDataFrame`` has no partitioning overload),
+    a much bigger JVM-seam risk than the one this function already
+    carries.  If a future loop DOES re-exchange per round, the shuffle
+    audits will show it — fix it there with a pinned static, not here.
     """
     try:
         jdf = df._jdf
