@@ -23,6 +23,11 @@ store BACKEND is a per-query seam (``run_stream_to_memory``'s
 heap store is right for tests and modest key counts, RocksDB for
 100 TB-class key cardinality — CI runs the ST2 state job under both and
 pins equal output (``test_latest_status_state_under_rocksdb_provider``).
+
+r11 adds the Spark-4 stateful API surface: ``running_user_stats_stream``
+(``transformWithStateInPandas`` — ValueState + explicit event-time timers
+with closed-row eviction; environment-guarded on protobuf, see its
+docstring).
 """
 
 from __future__ import annotations
@@ -734,3 +739,148 @@ def foreach_batch_heavy_hitters(state_path: str, item_col: str, k: int = 256):
         )
 
     return sink
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4): per-user running stats with timer eviction —
+# the ST2 counter surface (ref 07_lambda_functions.py:18-71 keeps running
+# per-delivery state in DynamoDB) on the NEWEST stateful API.  What this API
+# adds over applyInPandasWithState (which the other stateful jobs use):
+# multiple independently-typed state variables, EXPLICIT per-key timers
+# (handleExpiredTimer fires on watermark passage, no per-batch timeout
+# bookkeeping in user code), and first-class TTL on each state var.  At
+# 100 TB the shape is identical — one state row per active user, keyed
+# shuffle on user_id, RocksDB for key cardinality — but idle eviction emits
+# a CLOSED summary row instead of silently dropping, so downstream sinks
+# see every user's final state exactly once.
+# ---------------------------------------------------------------------------
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+
+def _make_running_stats_processor(idle_ttl_ms: int):
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStatsProcessor(StatefulProcessor):
+        """ValueState (n, total, last_ts_ms) + one event-time timer per
+        user at last_ts + idle_ttl: each input batch folds into the state
+        and emits the updated running row (closed=false); when the
+        watermark passes the timer the user's FINAL row (closed=true) is
+        emitted and the state cleared — the next event simply re-creates
+        it (same re-materialization contract as latest_status_stream_ttl).
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "stats", "n BIGINT, total DOUBLE, last_ts_ms BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total, last_ms = 0, 0.0, 0
+            if self.state.exists():
+                n, total, last_ms = self.state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
+                last_ms = max(last_ms, batch_max_ms)
+            self.state.update((n, total, last_ms))
+            # one live timer per key: re-arm at the newest event
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            self.handle.registerTimer(last_ms + idle_ttl_ms)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                    "closed": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self.state.exists():
+                return iter(())
+            n, total, last_ms = self.state.get()
+            self.state.clear()
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_events": [n],
+                            "total_value": [total],
+                            "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+                            "closed": [True],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStatsProcessor()
+
+
+def running_user_stats_stream(
+    events: DataFrame, watermark: str = "10 hours", idle_ttl: str = "30 days"
+) -> DataFrame:
+    """Per-user running (count, total, last-seen) via
+    ``transformWithStateInPandas`` with timer-driven idle eviction.
+
+    ``idle_ttl`` must exceed the watermark delay for the same reason as
+    ``latest_status_stream_ttl``: a timer armed inside the watermark
+    horizon could fire while admissible late rows are still due.
+
+    ENVIRONMENT GUARD (same contract as the JDBC/Kafka/PIL seams):
+    transformWithState's Python↔JVM state protocol is protobuf-encoded
+    (``pyspark/sql/streaming/proto/StateMessage_pb2``), and ``protobuf``
+    is not installed in this container — without this eager check the
+    query fails at runtime with an opaque "driver worker exited
+    unexpectedly (crashed)" whose real cause (an ImportError inside the
+    driver-side Python worker) only surfaces in INFO logs.  The
+    processor's fold/timer semantics are pure Python and fully
+    unit-tested without the runtime (tests/test_streaming.py); the
+    end-to-end tests importorskip protobuf so they activate on any
+    normally-provisioned cluster."""
+    ttl_ms = interval_ms(idle_ttl)
+    if ttl_ms <= interval_ms(watermark):
+        raise ValueError(
+            f"idle_ttl ({idle_ttl}) must exceed the watermark delay "
+            f"({watermark}); state would close before late data the "
+            "watermark still admits"
+        )
+    try:
+        from google.protobuf import descriptor as _d  # noqa: F401, PLC0415
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's transform_with_state driver worker imports "
+            "google.protobuf for its state protocol); it is not installed "
+            "in this environment. Install protobuf, or use "
+            "latest_status_stream_ttl (applyInPandasWithState) for "
+            "TTL'd per-key state without it."
+        ) from exc
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_running_stats_processor(ttl_ms),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )

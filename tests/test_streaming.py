@@ -1400,3 +1400,261 @@ def test_latest_status_state_under_rocksdb_provider(spark, chunked_events, tmp_p
         assert any("rocksdb" in k.lower() for k in mem), sorted(mem)[:8]
     finally:
         q.stop()
+
+
+_PROTOBUF = pytest.mark.skipif(
+    __import__("importlib").util.find_spec("google") is None
+    or __import__("importlib").util.find_spec("google.protobuf") is None,
+    reason="transformWithState's state protocol needs protobuf (absent in "
+    "this container; the operator's eager guard is tested below and the "
+    "processor logic is unit-tested without the runtime)",
+)
+
+
+@_PROTOBUF
+@_PROVIDERS
+def test_transform_with_state_running_stats_matches_batch(
+    spark, chunked_events, tmp_path_factory, provider
+):
+    """transformWithStateInPandas (r11, the Spark-4 stateful API): per-user
+    running stats folded through ValueState must end, after all chunks, at
+    exactly the batch groupBy aggregate — under both state-store providers.
+    idle_ttl is huge so no timer fires inside the fixture's horizon.
+    Skipped where protobuf is absent (this container); activates on any
+    normally-provisioned cluster."""
+    from etl_cloud_logistics_spark.streaming.jobs import running_user_stats_stream
+
+    provider = _resolve_provider(provider)
+    src, events = chunked_events
+    stream = read_event_stream(spark, src)
+    out_name = f"tws_out_{'rocks' if provider else 'heap'}"
+    q = run_stream_to_memory(
+        running_user_stats_stream(stream, watermark="10 hours", idle_ttl="3650 days"),
+        out_name,
+        _ckpt(tmp_path_factory),
+        output_mode="update",
+        state_store_provider=provider,
+    )
+    try:
+        rows = spark.sql(f"SELECT * FROM {out_name}").collect()
+        _assert_ran_on_rocksdb(q, provider)
+    finally:
+        q.stop()
+    assert not any(r["closed"] for r in rows)
+    # update mode re-emits the running row per touched key per batch; the
+    # final (max n_events) row per user is the fold's end state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, got in final.items():
+        assert got["n_events"] == want[uid]["n_events"], uid
+        assert got["total_value"] == pytest.approx(
+            want[uid]["total_value"], rel=1e-9
+        ), uid
+        assert got["last_ts"] == want[uid]["last_ts"], uid
+
+
+@_PROTOBUF
+def test_transform_with_state_timer_evicts_and_emits_closed(
+    spark, tmp_path_factory
+):
+    """The capability transformWithState adds over applyInPandasWithState:
+    a per-key EVENT-TIME TIMER fires when the watermark passes it, emitting
+    the user's final row (closed=true) and clearing state — so idle users
+    leave a summary instead of silently vanishing, and a later event
+    re-creates the state from zero.  Skipped where protobuf is absent;
+    the same scenario is unit-tested below without the runtime."""
+    import os as _os
+
+    from etl_cloud_logistics_spark.streaming.jobs import running_user_stats_stream
+
+    base = str(tmp_path_factory.mktemp("tws_src"))
+    t0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+    def write_chunk(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts, uid, "view", 2.0, "{}") for i, ts, uid in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{base}/_tmp")
+        src = [f for f in _os.listdir(f"{base}/_tmp") if f.endswith(".parquet")][0]
+        _os.rename(f"{base}/_tmp/{src}", f"{base}/{name}.parquet")
+        time.sleep(0.05)
+
+    stream = read_event_stream(spark, base)
+    q = run_stream_to_memory(
+        running_user_stats_stream(stream, watermark="10 minutes", idle_ttl="1 hour"),
+        "tws_evict_out",
+        _ckpt(tmp_path_factory),
+        output_mode="update",
+    )
+    try:
+        # user 1: two events, then goes idle
+        write_chunk("c0", [(1, t0, 1), (2, t0 + dt.timedelta(minutes=5), 1)])
+        q.processAllAvailable()
+        # user 2 far in the future: watermark jumps past user 1's timer
+        # (10:05 + 1 h), firing the eviction
+        write_chunk("c1", [(3, t0 + dt.timedelta(hours=4), 2)])
+        q.processAllAvailable()
+        # user 1 returns: state re-creates from zero (n_events restarts at 1)
+        write_chunk("c2", [(4, t0 + dt.timedelta(hours=5), 1)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tws_evict_out ORDER BY closed, n_events").collect()
+    finally:
+        q.stop()
+    closed = [r for r in rows if r["closed"]]
+    assert len(closed) == 1 and closed[0]["user_id"] == 1
+    assert closed[0]["n_events"] == 2 and closed[0]["total_value"] == 4.0
+    # the post-eviction return starts a fresh fold
+    reborn = [
+        r for r in rows if r["user_id"] == 1 and not r["closed"] and r["n_events"] == 1
+    ]
+    assert any(r["last_ts"] == t0 + dt.timedelta(hours=5) for r in reborn)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Minimal StatefulProcessorHandle double: one ValueState + a timer set
+    — lets the processor's fold/timer logic run without the protobuf
+    runtime."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.states[name] = _FakeValueState()
+        return self.states[name]
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+def _mk_processor_with_fake_handle(idle_ttl_ms):
+    from etl_cloud_logistics_spark.streaming.jobs import (
+        _make_running_stats_processor,
+    )
+
+    proc = _make_running_stats_processor(idle_ttl_ms)
+    handle = _FakeHandle()
+    proc.init(handle)
+    return proc, handle
+
+
+def test_transform_with_state_processor_fold_logic():
+    """Pure-Python coverage of the StatefulProcessor semantics (the part
+    the protobuf-less container CAN verify): batches fold into ValueState,
+    the running emission carries the cumulative stats, the per-key timer
+    re-arms at last_ts + ttl, and timer expiry emits the closed row and
+    clears state so the next batch starts a fresh fold."""
+    import pandas as _pd
+
+    ttl_ms = 3_600_000
+    proc, handle = _mk_processor_with_fake_handle(ttl_ms)
+    t0 = _pd.Timestamp("2024-06-01 10:00:00")
+
+    def batch(rows):
+        return _pd.DataFrame(
+            {"value": [v for v, _ in rows], "ts": [ts for _, ts in rows]}
+        )
+
+    out1 = list(
+        proc.handleInputRows(
+            (7,), iter([batch([(2.0, t0), (3.0, t0 + _pd.Timedelta(minutes=5))])]), None
+        )
+    )
+    assert len(out1) == 1
+    r = out1[0].iloc[0]
+    assert (r["user_id"], r["n_events"], r["total_value"], bool(r["closed"])) == (
+        7, 2, 5.0, False,
+    )
+    last_ms = int((t0 + _pd.Timedelta(minutes=5)).value // 1_000_000)
+    assert handle.timers == [last_ms + ttl_ms]  # armed at last event + ttl
+    # second batch folds on top and RE-ARMS (old timer deleted, one live)
+    out2 = list(
+        proc.handleInputRows(
+            (7,), iter([batch([(4.0, t0 + _pd.Timedelta(hours=2))])]), None
+        )
+    )
+    r2 = out2[0].iloc[0]
+    assert (r2["n_events"], r2["total_value"]) == (3, 9.0)
+    new_last_ms = int((t0 + _pd.Timedelta(hours=2)).value // 1_000_000)
+    assert handle.timers == [new_last_ms + ttl_ms]
+    # expiry: closed row emitted from state, state cleared
+    out3 = list(proc.handleExpiredTimer((7,), None, None))
+    r3 = out3[0].iloc[0]
+    assert (r3["n_events"], r3["total_value"], bool(r3["closed"])) == (3, 9.0, True)
+    assert not handle.states["stats"].exists()
+    # expiry on already-cleared state emits nothing (idempotent)
+    assert list(proc.handleExpiredTimer((7,), None, None)) == []
+    # a return after eviction starts from zero
+    out4 = list(
+        proc.handleInputRows(
+            (7,), iter([batch([(1.0, t0 + _pd.Timedelta(hours=9))])]), None
+        )
+    )
+    assert out4[0].iloc[0]["n_events"] == 1
+
+
+def test_transform_with_state_guard_is_loud(spark, sf_small):
+    """Where protobuf is missing, the operator must fail EAGERLY with the
+    documented error, not crash the streaming driver worker mid-query with
+    an opaque 'exited unexpectedly' (the failure mode observed without the
+    guard)."""
+    import importlib.util as _ilu
+
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.streaming.jobs import running_user_stats_stream
+
+    if _ilu.find_spec("google") is not None and _ilu.find_spec(
+        "google.protobuf"
+    ) is not None:
+        pytest.skip("protobuf present: the guard passes through by design")
+    events = load_table(spark, sf_small, "events")
+    with pytest.raises(RuntimeError, match="requires the 'protobuf' package"):
+        running_user_stats_stream(events)
+
+
+def test_transform_with_state_ttl_validates_against_watermark(spark, sf_small):
+    from etl_cloud_logistics_spark.catalog import load_table
+    from etl_cloud_logistics_spark.streaming.jobs import running_user_stats_stream
+
+    events = load_table(spark, sf_small, "events")
+    with pytest.raises(ValueError, match="must exceed the watermark"):
+        running_user_stats_stream(events, watermark="2 hours", idle_ttl="1 hour")
