@@ -894,3 +894,70 @@ def chi2_drift_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("side"),
     )
     return chi2_drift_report(orders, "category", "side")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (sources/zorder.py, r11) — the Morton interleave
+# differential-tested bit-for-bit against SQL
+# ---------------------------------------------------------------------------
+def _zorder_oracle(bits: int = 8) -> str:
+    """The oracle replays _bucketize + _interleave verbatim: min/max scale
+    each dim to [0, 2^bits), FLOOR before the BIGINT cast (Spark casts by
+    truncation, DuckDB by rounding — floor makes them agree), then OR
+    together bit (i*2 + j) = bit i of column j."""
+    n = 1 << bits
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((bu >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((bv >> {i}) & 1) << {2 * i + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+    WITH r AS (
+        SELECT CAST(MIN(user_id) AS DOUBLE) AS mnu,
+               CAST(MAX(user_id) AS DOUBLE) AS mxu,
+               MIN(value) AS mnv, MAX(value) AS mxv
+        FROM events
+    ), b AS (
+        SELECT event_id,
+               LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - mnu)
+                                / (mxu - mnu) * {n}.0) AS BIGINT),
+                     {n - 1}) AS bu,
+               LEAST(CAST(FLOOR((value - mnv) / (mxv - mnv) * {n}.0)
+                          AS BIGINT),
+                     {n - 1}) AS bv
+        FROM events, r
+    )
+    SELECT event_id, {interleave} AS zkey
+    FROM b
+    WHERE event_id % 11 = 0
+    ORDER BY event_id
+    """
+
+
+@register(
+    "zorder_key_events",
+    oracle=_zorder_oracle(),
+    extra=True,  # r11 engine breadth: the z-order clustering key
+    # (sources/zorder.py) proven bit-for-bit against SQL; layout-only
+    # machinery, so it starts in the CI exact gate — a rotation candidate
+    # with the other zero-history rows.
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-key over (user_id, value) — the clustering key
+    ``sources.zorder.write_zordered`` range-sorts files by (Bayer's
+    UB-tree curve; Delta OPTIMIZE ZORDER BY's layout contract).  The
+    bucketize+interleave expression tree is pure codegen'd integer ops;
+    this row pins the math cross-engine so the layout tests can trust
+    the key.  Subsampled output (1/11th) keeps the compare light while
+    the min/max normalization still runs over the full table, exactly
+    like a real clustering pass."""
+    from ..sources.zorder import zorder_key  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events")
+    key, _ = zorder_key(events, ["user_id", "value"], bits=8)
+    return (
+        events.withColumn("zkey", key)
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "zkey")
+        .orderBy("event_id")
+    )
