@@ -104,6 +104,7 @@ def write_zordered(
     n_files: int = 64,
     bits: int = DEFAULT_BITS,
     mode: str = "overwrite",
+    options: dict[str, str] | None = None,
 ) -> dict[str, tuple[float, float]]:
     """Write ``df`` as ``n_files`` z-clustered parquet files.
 
@@ -116,12 +117,14 @@ def write_zordered(
     at the target scale.  On a real cluster the range exchange is the
     only data movement, identical in shape to any global sort."""
     key, ranges = zorder_key(df, cols, bits)
-    (
+    writer = (
         df.withColumn("__zkey", key)
         .repartitionByRange(n_files, "__zkey")
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
         .write.mode(mode)
-        .parquet(path)
     )
+    if options:  # e.g. parquet.block.size to tune the row-group grain
+        writer = writer.options(**options)
+    writer.parquet(path)
     return ranges

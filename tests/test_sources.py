@@ -737,3 +737,48 @@ def test_zorder_key_validation(spark, sf_small):
     assert ranges["c"] == (7.0, 7.0)
     rows = const.withColumn("z", key).select("z").distinct().count()
     assert rows >= 1  # computes without error; c contributes nothing
+
+
+def test_zorder_scan_prunes_dim_a_single_sort_cannot(spark, tmp_path):
+    """End-to-end reader half of the z-order story (the footer test proves
+    the stats; this proves Spark's scan USES them, intra-file): for a
+    predicate on the dimension a single-column sort did NOT sort by, the
+    sorted layout reads everything while the z-ordered layout's row groups
+    — clustered in BOTH dims — prune an order of magnitude of scan output.
+    Tiny parquet.block.size forces many row groups per file, the intra-file
+    form that matters at 100 TB (file ~1 GB, row group ~128 MB)."""
+    from etl_cloud_logistics_spark.sources.zorder import write_zordered
+
+    data = spark.range(200_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("u"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)) / 100.0).alias("v"),
+        F.hex(F.xxhash64("id", F.lit(2))).alias("payload"),
+    )
+    tiny = {"parquet.block.size": str(64 * 1024)}
+    zpath = str(tmp_path / "z")
+    upath = str(tmp_path / "usort")
+    write_zordered(data, zpath, ["u", "v"], n_files=2, options=tiny)
+    # control: classic single-column clustering on u only
+    data.repartitionByRange(2, "u").sortWithinPartitions("u").write.mode(
+        "overwrite"
+    ).options(**tiny).parquet(upath)
+
+    lo, hi = 400.0, 410.0  # ~1% band on v, unbounded u
+
+    def scan_rows(df) -> tuple[int, int]:
+        filtered = df.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+        n = len(filtered.collect())  # collect: this frame's own execution
+        plan = filtered._jdf.queryExecution().executedPlan()
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return n, total
+
+    n_z, scanned_z = scan_rows(spark.read.parquet(zpath))
+    n_u, scanned_u = scan_rows(spark.read.parquet(upath))
+    assert n_z == n_u > 0  # identical answers
+    assert scanned_u >= 200_000  # u-sort can't skip a v predicate at all
+    assert scanned_z * 5 <= scanned_u, (scanned_z, scanned_u)
