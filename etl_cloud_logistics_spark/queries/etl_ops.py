@@ -897,17 +897,17 @@ def chi2_drift_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Z-order layout key (sources/zorder.py, r11) — the Morton interleave
+# Z-order layout key (sources/layout.py, r11) — the Morton interleave
 # differential-tested bit-for-bit against SQL
 # ---------------------------------------------------------------------------
-def _zorder_oracle(bits: int = 8) -> str:
-    """The oracle replays _bucketize + _interleave verbatim: min/max scale
-    each dim to [0, 2^bits), FLOOR before the BIGINT cast (Spark casts by
-    truncation, DuckDB by rounding — floor makes them agree), then OR
-    together bit (i*2 + j) = bit i of column j."""
-    n = 1 << bits
+def _zorder_oracle() -> str:
+    """The oracle replays layout._bucket16 + layout.zorder_key verbatim:
+    each dim min/max-scales to a 16-bit bucket — FLOOR before the BIGINT
+    cast (Spark casts doubles by truncation, DuckDB by rounding; the
+    explicit floor makes them agree), clamped to [0, 65535] — then bit i
+    of column j ORs into position i*2 + j."""
     terms = []
-    for i in range(bits):
+    for i in range(16):
         terms.append(f"(((bu >> {i}) & 1) << {2 * i})")
         terms.append(f"(((bv >> {i}) & 1) << {2 * i + 1})")
     interleave = " | ".join(terms)
@@ -919,12 +919,12 @@ def _zorder_oracle(bits: int = 8) -> str:
         FROM events
     ), b AS (
         SELECT event_id,
-               LEAST(CAST(FLOOR((CAST(user_id AS DOUBLE) - mnu)
-                                / (mxu - mnu) * {n}.0) AS BIGINT),
-                     {n - 1}) AS bu,
-               LEAST(CAST(FLOOR((value - mnv) / (mxv - mnv) * {n}.0)
-                          AS BIGINT),
-                     {n - 1}) AS bv
+               LEAST(65535, GREATEST(0, CAST(FLOOR(
+                   (CAST(user_id AS DOUBLE) - mnu) / (mxu - mnu) * 65535.0
+               ) AS BIGINT))) AS bu,
+               LEAST(65535, GREATEST(0, CAST(FLOOR(
+                   (value - mnv) / (mxv - mnv) * 65535.0
+               ) AS BIGINT))) AS bv
         FROM events, r
     )
     SELECT event_id, {interleave} AS zkey
@@ -938,23 +938,26 @@ def _zorder_oracle(bits: int = 8) -> str:
     "zorder_key_events",
     oracle=_zorder_oracle(),
     extra=True,  # r11 engine breadth: the z-order clustering key
-    # (sources/zorder.py) proven bit-for-bit against SQL; layout-only
-    # machinery, so it starts in the CI exact gate — a rotation candidate
-    # with the other zero-history rows.
+    # (sources/layout.py, the SnapshotTable compact(cluster_by=...) path)
+    # proven bit-for-bit against SQL; layout-only machinery, so it starts
+    # in the CI exact gate — a rotation candidate with the other
+    # zero-history rows.
 )
 def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-key over (user_id, value) — the clustering key
-    ``sources.zorder.write_zordered`` range-sorts files by (Bayer's
-    UB-tree curve; Delta OPTIMIZE ZORDER BY's layout contract).  The
-    bucketize+interleave expression tree is pure codegen'd integer ops;
-    this row pins the math cross-engine so the layout tests can trust
-    the key.  Subsampled output (1/11th) keeps the compare light while
-    the min/max normalization still runs over the full table, exactly
-    like a real clustering pass."""
-    from ..sources.zorder import zorder_key  # noqa: PLC0415
+    ``sources.layout.cluster_by_zorder`` range-sorts files by (Bayer's
+    UB-tree curve; Delta OPTIMIZE ZORDER BY's layout contract; ref
+    04_dimensional_model.sql:162-168 gets the equivalent from Snowflake
+    micro-partition pruning).  The bucketize+interleave expression tree
+    is pure codegen'd integer ops; this row pins the math cross-engine so
+    the layout and pruning tests can trust the key.  Subsampled output
+    (1/11th) keeps the compare light while the min/max normalization
+    still runs over the full table, exactly like a real clustering
+    pass."""
+    from ..sources.layout import zorder_key_for  # noqa: PLC0415
 
     events = load_table(spark, sf_dir, "events")
-    key, _ = zorder_key(events, ["user_id", "value"], bits=8)
+    key = zorder_key_for(events, ["user_id", "value"])
     return (
         events.withColumn("zkey", key)
         .filter(F.col("event_id") % 11 == 0)

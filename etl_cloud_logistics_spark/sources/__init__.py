@@ -10,9 +10,9 @@ from .generator import generate_trips_like, uniform_ts, weighted_choice
 from .jdbc import build_jdbc_options, jdbc_reader
 from .lake import read_lake, write_partitioned_lake
 from .snapshots import ConcurrentWriteError, SnapshotTable, foreach_batch_merge
+from .layout import cluster_by_zorder, zorder_key_for
 from .staging import read_json_staging, write_json_staging
 from .upsert import apply_cdc, foreach_batch_upsert, upsert_parquet
-from .zorder import write_zordered, zorder_key
 
 __all__ = [
     "write_partitioned_lake",
@@ -33,6 +33,6 @@ __all__ = [
     "generate_trips_like",
     "weighted_choice",
     "uniform_ts",
-    "zorder_key",
-    "write_zordered",
+    "cluster_by_zorder",
+    "zorder_key_for",
 ]

@@ -66,11 +66,16 @@ def zorder_key(buckets: list[Column]) -> Column:
     return out
 
 
-def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
-    """Rewrite ``df`` into ``n_files``-way z-ordered layout: each output
-    partition (= parquet file on write) covers one compact z-range, so its
-    min/max footer stats are tight on EVERY clustering column.  Date and
-    timestamp columns participate via their numeric day/epoch form."""
+def zorder_key_for(df: DataFrame, cols: list[str]) -> Column:
+    """Build the Morton-key Column for ``cols`` over ``df``'s observed
+    value ranges (one tiny bounds agg — 2·k scalars of driver metadata).
+    Exposed (r11) so the key math is usable outside the compaction path:
+    the registry row ``zorder_key_events`` differential-tests this exact
+    expression bit-for-bit against a DuckDB oracle, which is what lets the
+    layout tests trust the key.  Date and timestamp columns participate
+    via their numeric day/epoch form."""
+    if not cols:
+        raise ValueError("zorder_key_for needs at least one clustering column")
     numeric = {}
     for c in cols:
         dt = dict(df.dtypes)[c]
@@ -88,7 +93,14 @@ def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int) -> DataFrame
         _bucket16(numeric[c], F.lit(row[f"__lo_{c}"]), F.lit(row[f"__hi_{c}"]))
         for c in cols
     ]
-    keyed = df.withColumn("__z", zorder_key(buckets))
+    return zorder_key(buckets)
+
+
+def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
+    """Rewrite ``df`` into ``n_files``-way z-ordered layout: each output
+    partition (= parquet file on write) covers one compact z-range, so its
+    min/max footer stats are tight on EVERY clustering column."""
+    keyed = df.withColumn("__z", zorder_key_for(df, cols))
     return (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

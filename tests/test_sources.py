@@ -672,22 +672,23 @@ def _file_ranges(path, cols):
 
 
 def test_zorder_write_skips_files_on_both_dims(spark, sf_small, tmp_path):
-    """The z-order layout claim, pinned on real footer statistics: the SAME
-    rows written z-clustered on (user_id, value) admit far fewer candidate
-    files than a round-robin layout of the same file count, for
-    conjunctive point/band predicates on BOTH dims — and a single-column
-    sorted layout (write_sorted_lake) can only serve ONE of them, which is
-    the gap z-order exists to close."""
-    from etl_cloud_logistics_spark.sources.zorder import write_zordered
+    """The z-order layout claim, pinned on real footer statistics (r11 —
+    the manifest tests in test_snapshots.py pin the kit's OWN read_pruned;
+    this pins what a PLAIN parquet reader sees): the SAME rows written
+    z-clustered on (user_id, value) via sources.layout.cluster_by_zorder
+    admit far fewer candidate files than a round-robin layout of the same
+    file count, for conjunctive predicates on BOTH dims."""
+    from etl_cloud_logistics_spark.sources.layout import cluster_by_zorder
 
     events = load_table(spark, sf_small, "events").select(
         "event_id", "user_id", "value"
     )
     n_files = 16
     zpath, rpath = str(tmp_path / "zorder"), str(tmp_path / "roundrobin")
-    ranges = write_zordered(events, zpath, ["user_id", "value"], n_files=n_files)
+    cluster_by_zorder(events, ["user_id", "value"], n_files).write.mode(
+        "overwrite"
+    ).parquet(zpath)
     events.repartition(n_files).write.mode("overwrite").parquet(rpath)
-    assert set(ranges) == {"user_id", "value"}
 
     # identical row set — layout is metadata, not semantics
     got = sorted(r.event_id for r in spark.read.parquet(zpath).collect())
@@ -720,23 +721,22 @@ def test_zorder_write_skips_files_on_both_dims(spark, sf_small, tmp_path):
     assert z_total <= 0.5 * r_total, (z_total, r_total)
 
 
-def test_zorder_key_validation(spark, sf_small):
-    from etl_cloud_logistics_spark.sources.zorder import zorder_key
+def test_zorder_key_for_validation_and_degeneracy(spark, sf_small):
+    from etl_cloud_logistics_spark.sources.layout import zorder_key_for
 
     events = load_table(spark, sf_small, "events")
-    with pytest.raises(ValueError, match="at least one column"):
-        zorder_key(events, [])
-    allnull = events.select(
-        "event_id", F.lit(None).cast("double").alias("dead")
+    with pytest.raises(ValueError, match="at least one clustering column"):
+        zorder_key_for(events, [])
+    # constant and all-NULL columns land in bucket 0 (nulls-first contract)
+    # instead of dividing by zero
+    degen = events.select(
+        "event_id",
+        F.lit(7.0).alias("c"),
+        F.lit(None).cast("double").alias("dead"),
+        "value",
     )
-    with pytest.raises(ValueError, match="all-NULL"):
-        zorder_key(allnull, ["dead"])
-    # constant column degenerates to bucket 0 instead of dividing by zero
-    const = events.select("event_id", F.lit(7.0).alias("c"), "value")
-    key, ranges = zorder_key(const, ["c", "value"], bits=8)
-    assert ranges["c"] == (7.0, 7.0)
-    rows = const.withColumn("z", key).select("z").distinct().count()
-    assert rows >= 1  # computes without error; c contributes nothing
+    key = zorder_key_for(degen, ["c", "dead", "value"])
+    assert degen.withColumn("z", key).filter("z IS NULL").count() == 0
 
 
 def test_zorder_scan_prunes_dim_a_single_sort_cannot(spark, tmp_path):
@@ -747,7 +747,7 @@ def test_zorder_scan_prunes_dim_a_single_sort_cannot(spark, tmp_path):
     — clustered in BOTH dims — prune an order of magnitude of scan output.
     Tiny parquet.block.size forces many row groups per file, the intra-file
     form that matters at 100 TB (file ~1 GB, row group ~128 MB)."""
-    from etl_cloud_logistics_spark.sources.zorder import write_zordered
+    from etl_cloud_logistics_spark.sources.layout import cluster_by_zorder
 
     data = spark.range(200_000).select(
         F.pmod(F.xxhash64("id"), F.lit(1000)).alias("u"),
@@ -757,7 +757,9 @@ def test_zorder_scan_prunes_dim_a_single_sort_cannot(spark, tmp_path):
     tiny = {"parquet.block.size": str(64 * 1024)}
     zpath = str(tmp_path / "z")
     upath = str(tmp_path / "usort")
-    write_zordered(data, zpath, ["u", "v"], n_files=2, options=tiny)
+    cluster_by_zorder(data, ["u", "v"], 2).write.mode("overwrite").options(
+        **tiny
+    ).parquet(zpath)
     # control: classic single-column clustering on u only
     data.repartitionByRange(2, "u").sortWithinPartitions("u").write.mode(
         "overwrite"
