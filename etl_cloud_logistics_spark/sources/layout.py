@@ -25,9 +25,11 @@ Scale notes (100 TB):
   shuffle + local sort, the same shape as any repartition — no driver
   involvement beyond the tiny bounds agg;
 - bounds are per-column global min/max (one agg job).  Heavily skewed
-  columns waste key bits (the classic z-order caveat); the public
-  refinement is quantile-based rank bucketing, which drops in here by
-  replacing ``_bucket16`` — the interleave itself is unchanged.
+  columns waste key bits under min/max scaling (the classic z-order
+  caveat); ``bucketing='quantile'`` (r11) replaces ``_bucket16`` with
+  equal-population rank buckets from ``approxQuantile`` — the interleave
+  itself is unchanged, and the skew win is footer-pinned in
+  tests/test_sources.py.
 """
 
 from __future__ import annotations
@@ -66,16 +68,43 @@ def zorder_key(buckets: list[Column]) -> Column:
     return out
 
 
-def zorder_key_for(df: DataFrame, cols: list[str]) -> Column:
-    """Build the Morton-key Column for ``cols`` over ``df``'s observed
-    value ranges (one tiny bounds agg — 2·k scalars of driver metadata).
-    Exposed (r11) so the key math is usable outside the compaction path:
-    the registry row ``zorder_key_events`` differential-tests this exact
-    expression bit-for-bit against a DuckDB oracle, which is what lets the
-    layout tests trust the key.  Date and timestamp columns participate
-    via their numeric day/epoch form."""
-    if not cols:
-        raise ValueError("zorder_key_for needs at least one clustering column")
+_QUANTILE_BUCKETS = 256  # 8 meaningful bits/dim; plenty at file granularity
+
+
+def _bucket_quantile(col: Column, boundaries: list[float]) -> Column:
+    """Rank-bucket a numeric column by PRE-COMPUTED quantile boundaries —
+    the public refinement for SKEWED columns (this module's documented
+    caveat): min/max scaling gives a Zipf-like column one useful bucket
+    (everything piles at the low edge, the huge max stretches the scale),
+    so its interleaved bits carry no information and pruning on it dies.
+    Equal-POPULATION buckets spend every bit on real data density.
+
+    The bucket index (= count of boundaries <= value) is computed by a
+    statically-unrolled balanced comparison tree: ``len(boundaries)``
+    ``when`` nodes but only ``log2`` of them on any evaluation path, all
+    inside whole-stage codegen — no UDF, no HOF lambda (which would be
+    interpreted per element).  NULLs take the all-left path to bucket 0,
+    matching ``_bucket16``'s nulls-first contract."""
+
+    def build(lo: int, hi: int) -> Column:
+        # invariant: value >= boundaries[:lo], value < boundaries[hi:]
+        if lo == hi:
+            return F.lit(lo).cast("long")
+        mid = (lo + hi) // 2
+        return F.when(
+            col.cast("double") >= F.lit(float(boundaries[mid])), build(mid + 1, hi)
+        ).otherwise(build(lo, mid))
+
+    # scale into the 16-bit interleave domain: padding the low bits with
+    # zeros preserves Morton ORDER exactly (comparisons are unaffected),
+    # it only coarsens granularity to the quantile grid
+    scale = (1 << _BITS) // (len(boundaries) + 1)
+    return build(0, len(boundaries)) * F.lit(scale)
+
+
+def _numeric_form(df: DataFrame, cols: list[str]) -> dict[str, Column]:
+    """Date and timestamp columns participate via their numeric day/epoch
+    form; everything else as-is."""
     numeric = {}
     for c in cols:
         dt = dict(df.dtypes)[c]
@@ -85,6 +114,46 @@ def zorder_key_for(df: DataFrame, cols: list[str]) -> Column:
             numeric[c] = F.unix_timestamp(F.col(c))
         else:
             numeric[c] = F.col(c)
+    return numeric
+
+
+def zorder_key_for(
+    df: DataFrame, cols: list[str], bucketing: str = "uniform"
+) -> Column:
+    """Build the Morton-key Column for ``cols``.
+
+    ``bucketing='uniform'`` (default): min/max scale per column — one tiny
+    bounds agg (2·k scalars of driver metadata).  Exposed (r11) so the key
+    math is usable outside the compaction path: the registry row
+    ``zorder_key_events`` differential-tests this exact expression
+    bit-for-bit against a DuckDB oracle, which is what lets the layout
+    tests trust the key.
+
+    ``bucketing='quantile'`` (r11): equal-population rank buckets from
+    ``approxQuantile`` (255 cut points per column on the driver — bounded
+    metadata, same class as the bounds agg) — the right choice when a
+    clustering column is heavily skewed; see ``_bucket_quantile``."""
+    if not cols:
+        raise ValueError("zorder_key_for needs at least one clustering column")
+    if bucketing not in ("uniform", "quantile"):
+        raise ValueError(
+            f"unknown bucketing {bucketing!r}: use 'uniform' or 'quantile'"
+        )
+    numeric = _numeric_form(df, cols)
+    if bucketing == "quantile":
+        proj = df.select(*[numeric[c].cast("double").alias(c) for c in cols])
+        probs = [i / _QUANTILE_BUCKETS for i in range(1, _QUANTILE_BUCKETS)]
+        cuts = proj.approxQuantile(cols, probs, 0.001)
+        buckets = []
+        for c, bounds in zip(cols, cuts):
+            if not bounds:  # all-NULL column: approxQuantile returns []
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            # dedupe (heavy ties collapse cut points; the tree needs them
+            # strictly usable, duplicates just waste comparisons)
+            uniq = sorted(set(bounds))
+            buckets.append(_bucket_quantile(numeric[c], uniq))
+        return zorder_key(buckets)
     row = df.agg(
         *[F.min(numeric[c]).alias(f"__lo_{c}") for c in cols],
         *[F.max(numeric[c]).alias(f"__hi_{c}") for c in cols],
@@ -96,11 +165,15 @@ def zorder_key_for(df: DataFrame, cols: list[str]) -> Column:
     return zorder_key(buckets)
 
 
-def cluster_by_zorder(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
+def cluster_by_zorder(
+    df: DataFrame, cols: list[str], n_files: int, bucketing: str = "uniform"
+) -> DataFrame:
     """Rewrite ``df`` into ``n_files``-way z-ordered layout: each output
     partition (= parquet file on write) covers one compact z-range, so its
-    min/max footer stats are tight on EVERY clustering column."""
-    keyed = df.withColumn("__z", zorder_key_for(df, cols))
+    min/max footer stats are tight on EVERY clustering column.  Pass
+    ``bucketing='quantile'`` when a clustering column is heavily skewed
+    (see ``zorder_key_for``)."""
+    keyed = df.withColumn("__z", zorder_key_for(df, cols, bucketing))
     return (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
