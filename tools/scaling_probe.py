@@ -1428,6 +1428,141 @@ def etl_e2e_probe(ns: list[int]) -> None:
             spark.catalog.clearCache()
 
 
+def bloomrt_probe(rs: list[int]) -> None:
+    """Spark's RUNTIME bloom-filter join pushdown, A/B'd (r11): the engine
+    ships with ``spark.sql.optimizer.runtime.bloomFilter.enabled=true``
+    (the 4.x default), but the injection is gated on
+    ``applicationSideScanSizeThreshold`` (10 GB default) — so at probe/test
+    scale it NEVER engages, and at 100 TB it engages automatically.  This
+    probe answers two questions with measurements instead of trust:
+
+    1. does the injected filter actually cut the probe-side flow when it
+       engages (threshold lowered to 0 to simulate the >10 GB regime)?
+    2. does the kit's EXPLICIT ``operators.bloom`` path remain justified —
+       i.e. is the runtime filter's coverage limited to shuffle-join
+       probe sides (it is: decontamination's driver-collected filter,
+       streaming prefilters and cross-stage reuse are outside its reach)?
+
+    Per fact-row tier R: fact (R rows, custkey ~ uniform 1e6) joined to a
+    1%-selective dimension slice, broadcast disabled so the join is SMJ
+    (the only shape the injector targets).  Three runs, equal-output
+    checksummed: bloom OFF, bloom ON (thresholds opened), and ON with the
+    default 10 GB gate (expected: no injection, identical to OFF).
+    Reported per run: fact-scan output rows (the number the filter
+    exists to cut), total shuffle, wall."""
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    spark = get_spark("scaling-probe-bloomrt")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    confs = {
+        "off": {"spark.sql.optimizer.runtime.bloomFilter.enabled": "false"},
+        "on": {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            # simulate the >10 GB probe-side regime at probe scale
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        },
+        "on-default-gate": {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10GB",
+        },
+    }
+    saved = {
+        k: spark.conf.get(k, None)
+        for c in confs.values()
+        for k in c
+    }
+    print(
+        "runtime bloom-filter join probe (SMJ, 1%-selective dim; "
+        "scan_rows = fact-scan output feeding the join)"
+    )
+    print(
+        f"{'R':>10} {'mode':>16} {'wall_s':>7} {'scan_rows':>11} "
+        f"{'shuffle_MB':>10} {'checksum':>20}"
+    )
+    import tempfile  # noqa: PLC0415
+
+    for r in rs:
+        n_keys = 1_000_000
+        root = tempfile.mkdtemp(prefix="bloomrt_")
+        fact_path = f"{root}/fact.parquet"
+        dim_path = f"{root}/dim.parquet"
+        spark.range(r).select(
+            F.col("id").alias("o_id"),
+            F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("k"),
+            (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100000)) / 100.0).alias("amt"),
+        ).write.mode("overwrite").parquet(fact_path)
+        spark.range(n_keys).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 100).alias("grp"),
+        ).write.mode("overwrite").parquet(dim_path)
+        results = {}
+        prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            for mode, conf in confs.items():
+                for k, v in conf.items():
+                    spark.conf.set(k, v)
+                spark.catalog.clearCache()
+                fact = spark.read.parquet(fact_path)
+                dim = spark.read.parquet(dim_path).filter(F.col("grp") == 7)  # 1%
+                joined = fact.join(dim, "k").agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.crc32(F.concat_ws(",", "o_id", "k"))).alias("sig"),
+                )
+                before = exec_ids()
+                t0 = time.time()
+                row = joined.collect()[0]
+                wall = time.time() - t0
+                new_ids = exec_ids() - before
+                m = _execution_metrics(store, new_ids)
+                # fact-scan output rows (the number the injected filter
+                # exists to cut) from the SQL plan graph — AQE wraps the
+                # executed plan in QueryStage nodes, so physical-plan
+                # collectLeaves() can't see the scans
+                scan_rows = 0
+                for eid in new_ids:
+                    graph = store.planGraph(eid)
+                    vals = store.executionMetrics(eid)
+                    nodes = graph.allNodes()
+                    for i in range(nodes.size()):
+                        node = nodes.apply(i)
+                        if "fact.parquet" not in node.desc():
+                            continue
+                        mets = node.metrics()
+                        for k2 in range(mets.size()):
+                            met = mets.apply(k2)
+                            if met.name() == "number of output rows":
+                                v = vals.get(met.accumulatorId())
+                                if v.isDefined():
+                                    scan_rows += int(
+                                        "".join(ch for ch in v.get() if ch.isdigit())
+                                        or 0
+                                    )
+                checksum = (row["n"], row["sig"])
+                results[mode] = checksum
+                print(
+                    f"{r:>10} {mode:>16} {wall:>7.2f} {scan_rows:>11} "
+                    f"{m.get('shuffle bytes written', 0.0) / 1e6:>10.1f} "
+                    f"{str(checksum):>20}"
+                )
+            assert len(set(results.values())) == 1, results  # equal output
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            import shutil  # noqa: PLC0415
+
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -1469,6 +1604,9 @@ def main() -> None:
         return
     if args and args[0] == "--etl-e2e":
         etl_e2e_probe([int(float(a)) for a in args[1:]] or [10_000_000])
+        return
+    if args and args[0] == "--bloomrt":
+        bloomrt_probe([int(float(a)) for a in args[1:]] or [32_000_000])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
