@@ -75,7 +75,14 @@ driver rounds each whose §2 coverage another driver row keeps —
 ``multimodal_image_features`` (X5 keeps both real-codec round-trips),
 ``bloom_semi_reduced_join`` (Bloom kept by decontam_bloom_prefilter).
 
-Remaining rotation shortlist — oracle-bearing rows with ZERO driver history.
+Remaining rotation shortlist after r11 — oracle-bearing rows with ZERO
+driver history: nine TPC-H rows (``tpch_q1/q3/q4/q5/q6/q7/q10/q14/q19``),
+``multimodal_image_header_roundtrip``, ``containment_excerpt_pairs``,
+``remove_duplicated_spans``, ``semi_join_urgent_customers`` (numeric-kind
+gate re-verified r11), and ``zorder_key_events`` (new r11 — the Morton
+clustering key proven against SQL).
+
+Original (r9) shortlist note, for history — oracle-bearing rows with ZERO driver history.
 Added in r9 (all locally green on first verification): the eleven TPC-H
 rows beyond the promoted q17/q22 — ``tpch_q4_order_priority`` (semi +
 non-equi residual), ``tpch_q15_top_supplier`` (agg-view scalar MAX),
