@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 import warnings
 
@@ -40,13 +41,18 @@ from pyspark.sql import DataFrame
 # lets tests/probes assert the reset is actually live.
 reset_fallback_count = 0
 _reset_fallback_warned = False
+_reset_fallback_lock = threading.Lock()  # loops run on concurrent query
+# threads (the engine's concurrent bench); an unsynchronized += would
+# undercount exactly when the signal matters most
 
 
 def _note_reset_fallback(exc: Exception) -> None:
     global reset_fallback_count, _reset_fallback_warned
-    reset_fallback_count += 1
-    if not _reset_fallback_warned:
+    with _reset_fallback_lock:
+        reset_fallback_count += 1
+        warn_now = not _reset_fallback_warned
         _reset_fallback_warned = True
+    if warn_now:
         warnings.warn(
             "RoundCheckpointer: plan-stats reset unavailable "
             f"({type(exc).__name__}: {exc}); iterative loops remain correct "

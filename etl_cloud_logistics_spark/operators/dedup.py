@@ -42,8 +42,8 @@ _probe_tls = threading.local()
 
 
 def components_probe_info() -> dict:
-    """rounds + algorithm ("label" | "label+star") of this thread's last
-    neardup_components run (probes/tests only, not API)."""
+    """rounds + algorithm ("label" | "label+star" | "star") of this
+    thread's last neardup_components run (probes/tests only, not API)."""
     return dict(getattr(_probe_tls, "components", {}))
 
 # ---------------------------------------------------------------------------
