@@ -150,6 +150,17 @@ def test_scd2_asof_broadcast_modes_equal(spark):
     by_id = {fid: (nm, vf) for fid, nm, vf in results[None]}
     assert by_id[101][0] == "b" and by_id[102][0] == "b2"
     assert by_id[104] == (None, None) and by_id[105] == (None, None)
+    # r11: the daily-extract prefilter (semi-reduce dim to fact keys) is a
+    # physical choice too — identical output including the null-match rows
+    # (an absent key can't be "filtered into" a match, and removed dim rows
+    # had no fact to join), with the semi plan actually present
+    pre = scd2_asof_lookup(
+        dim, facts, ["k"], "fact_date", broadcast_dim=False,
+        prefilter_dim_keys=True,
+    ).select("fact_id", "name", "valid_from")
+    assert {(r.fact_id, r.name, r.valid_from) for r in pre.collect()} == results[None]
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "prefilter must compile to a semi join"
 
 
 def test_asof_join_semantics(spark):
