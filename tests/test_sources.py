@@ -834,3 +834,34 @@ def test_zorder_quantile_bucketing_rescues_skewed_columns(spark, tmp_path):
     # uniform scaling: all these values land in bucket 0 -> every file's
     # s-range covers them -> no pruning; quantile must at least halve it
     assert q_total * 2 <= u_total, (q_total, u_total)
+
+
+def test_quantile_bucket_tree_matches_bisect(spark):
+    """The balanced comparison tree must compute exactly
+    bisect.bisect_right(boundaries, value) — the rank-bucket contract —
+    for every branch shape: values below/above all boundaries, equal to a
+    boundary (>= counts it, so ties go RIGHT), between boundaries, NULL
+    (all-left path to bucket 0), and boundary lists whose length is not a
+    power of two (uneven tree)."""
+    import bisect
+
+    from etl_cloud_logistics_spark.sources.layout import _BITS, _bucket_quantile
+
+    for boundaries in ([1.0, 3.0, 7.0], [2.5], [0.0, 1.0, 2.0, 3.0, 4.0]):
+        scale = (1 << _BITS) // (len(boundaries) + 1)
+        vals = sorted(
+            {b + d for b in boundaries for d in (-0.5, 0.0, 0.5)} | {-99.0, 99.0}
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "v double").withColumn(
+            "b", _bucket_quantile(F.col("v"), boundaries)
+        )
+        got = {r["v"]: r["b"] for r in df.collect()}
+        for v in vals:
+            assert got[v] == bisect.bisect_right(boundaries, v) * scale, (
+                boundaries,
+                v,
+            )
+        nulls = spark.createDataFrame([(None,)], "v double").withColumn(
+            "b", _bucket_quantile(F.col("v"), boundaries)
+        )
+        assert nulls.first()["b"] == 0
