@@ -171,6 +171,50 @@ def test_latest_status_state(spark, chunked_events, tmp_path_factory):
         q.stop()
 
 
+@_PROVIDERS
+def test_latest_status_agg_equals_python_twin(
+    spark, chunked_events, tmp_path_factory, provider
+):
+    """The native struct-max streaming aggregation
+    (``latest_status_stream_agg``) emits exactly what the
+    applyInPandasWithState twin does — same final row per user across ALL
+    columns — under both state-store providers.  This pins the pair so the
+    fast JVM path can't drift from the arbitrary-stateful template."""
+    from etl_cloud_logistics_spark.streaming.jobs import latest_status_stream_agg
+
+    provider = _resolve_provider(provider)
+    src, _events = chunked_events
+
+    def final_rows(job_fn, out_name):
+        q = run_stream_to_memory(
+            job_fn(read_event_stream(spark, src)),
+            out_name,
+            _ckpt(tmp_path_factory),
+            output_mode="update",
+            state_store_provider=provider,
+        )
+        try:
+            rows = {
+                r.user_id: (r.last_event_id, r.last_ts, r.last_event_type, r.last_value)
+                for r in spark.sql(
+                    f"""SELECT * FROM (
+                           SELECT *, row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY last_ts DESC, last_event_id DESC
+                           ) rn FROM {out_name}) WHERE rn = 1"""
+                ).collect()
+            }
+            _assert_ran_on_rocksdb(q, provider)
+        finally:
+            q.stop()
+        return rows
+
+    suffix = "rocks" if provider else "heap"
+    native = final_rows(latest_status_stream_agg, f"latest_agg_{suffix}")
+    python_twin = final_rows(latest_status_stream, f"latest_py_{suffix}")
+    assert native == python_twin and native
+
+
 def test_watermark_drops_late_rows(spark, tmp_path_factory):
     """Append-mode windowed agg with a 10-minute watermark: a row arriving
     hours late (behind the advanced watermark) must not re-open its window."""

@@ -44,6 +44,10 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            COMPOSED end-to-end: two consecutive days at an N-key
            dimension with 10% churn; SCD2+fact invariants on the
            composed result; default 1e7)
+       python tools/scaling_probe.py --streaming [N ...] (stateful
+           streaming jobs end-to-end through the file micro-batch
+           source at N events, heap AND RocksDB providers, wall +
+           per-batch + state metrics; default 1e6 4e6)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -1563,6 +1567,197 @@ def bloomrt_probe(rs: list[int]) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def streaming_probe(ns: list[int]) -> None:
+    """Stateful streaming throughput at scale (r11): the streaming family
+    was the last with correctness tests but NO measured slope — every
+    claim about the state-store seam ("RocksDB for 100 TB-class key
+    cardinality") rested on the provider being *exercised*, not priced.
+
+    Per event tier N (default 1e6 / 4e6): synthesize N deterministic
+    events (monotone event time at ~N/4h-span density, ±4 min jitter so
+    arrival order is genuinely out-of-order but inside every job's
+    watermark; 2% exact duplicates for the dedup job; N/20 distinct
+    users) as 16 chronological parquet chunk-files, then drive each
+    stateful job family end-to-end through the file micro-batch source
+    (maxFilesPerTrigger=2 → 8 micro-batches) into a noop sink, under BOTH
+    state-store providers:
+
+    - ``windowed_counts``  — JVM tumbling agg, tiny state (types×windows);
+      prices the pure streaming machinery.
+    - ``session_window``   — JVM session agg keyed by user: state ~= users.
+    - ``dedup``            — dropDuplicatesWithinWatermark on event_id:
+      state ~= the watermark horizon's event count (the largest state
+      here); output row count is pinned to the expected distinct count.
+    - ``latest_status``    — applyInPandasWithState keyed by user: the
+      Python-state path; final state row count is pinned to n_users.
+
+    Reported per (job, provider): wall, Mrows/s, micro-batch count,
+    per-batch trigger p50/max, final state rows + state memory, and the
+    no-silent-fallback RocksDB custom-metric check.  The per-batch max
+    vs p50 also exposes any round-over-round degradation (the streaming
+    analog of the r10 iterative-stats pathology — expected flat).
+    """
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.streaming.jobs import (  # noqa: PLC0415
+        _PROVIDER_CONF,
+        ROCKSDB_PROVIDER,
+        dedup_stream,
+        latest_status_stream,
+        latest_status_stream_agg,
+        read_event_stream,
+        session_window_counts,
+        windowed_counts,
+    )
+
+    spark = get_spark("scaling-probe-streaming")
+    base_epoch = 1_577_836_800  # 2020-01-01T00:00Z
+
+    def make_chunks(root: str, n: int, n_chunks: int = 16) -> tuple[str, int, int]:
+        """N events as chronological chunk files; returns (src_dir,
+        n_users, expected_distinct_event_ids)."""
+        n_users = max(1, n // 20)
+        rate = max(1, n // (4 * 3600))  # events per event-time second
+        src = os.path.join(root, "events")
+        os.makedirs(src, exist_ok=True)
+        per = n // n_chunks
+        for c in range(n_chunks):
+            lo = c * per
+            hi = (c + 1) * per if c < n_chunks - 1 else n
+            tmp = os.path.join(root, f"_tmp_{c}")
+            (
+                spark.range(lo, hi)
+                .select(
+                    # 2% duplicates: every 50th id re-emits its predecessor
+                    F.when((F.col("id") % 50 == 49), F.col("id") - 1)
+                    .otherwise(F.col("id"))
+                    .alias("event_id"),
+                    F.timestamp_seconds(
+                        F.lit(base_epoch)
+                        + (F.col("id") / float(rate))
+                        + (F.pmod(F.hash(F.col("id")), F.lit(480)) - 240)
+                    ).alias("ts"),
+                    (F.col("id") % n_users).alias("user_id"),
+                    F.element_at(
+                        F.array(
+                            F.lit("ping"), F.lit("move"), F.lit("scan"), F.lit("drop")
+                        ),
+                        (F.col("id") % 4 + 1).cast("int"),
+                    ).alias("event_type"),
+                    (F.pmod(F.hash(F.col("id")), F.lit(5000)) / 100.0).alias("value"),
+                    F.to_json(F.struct(F.col("id").alias("seq"))).alias("props"),
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk_{c:02d}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            time.sleep(0.05)  # strictly increasing mtimes → chronological replay
+        n_dups = sum(1 for i in range(n) if i % 50 == 49)
+        return src, n_users, n - n_dups
+
+    def run_one(src: str, job_fn, output_mode: str, provider: str | None, root: str):
+        stream = read_event_stream(spark, src, max_files_per_trigger=2)
+        out = job_fn(stream)
+        ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=root)
+        prev = spark.conf.get(_PROVIDER_CONF, None) if provider else None
+        if provider:
+            spark.conf.set(_PROVIDER_CONF, provider)
+        try:
+            q = (
+                out.writeStream.outputMode(output_mode)
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(_PROVIDER_CONF)
+                else:
+                    spark.conf.set(_PROVIDER_CONF, prev)
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        progress = [
+            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+        ]
+        q.stop()
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        trig = sorted(p["durationMs"]["triggerExecution"] / 1e3 for p in batches)
+        out_rows = sum(p.get("sink", {}).get("numOutputRows", 0) for p in batches)
+        state_rows = state_mb = 0
+        rocksdb_ok = provider is None
+        for p in reversed(progress):
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = ops[0].get("numRowsTotal", 0)
+                cm = ops[0].get("customMetrics", {})
+                mem = ops[0].get("memoryUsedBytes", 0) or cm.get(
+                    "rocksdbTotalMemoryUsage", 0
+                )
+                state_mb = mem / 2**20
+                if provider is not None:
+                    rocksdb_ok = any("rocksdb" in k.lower() for k in cm)
+                break
+        return {
+            "wall": wall,
+            "batches": len(batches),
+            "in_rows": sum(p["numInputRows"] for p in batches),
+            "out_rows": out_rows,
+            "p50_batch": trig[len(trig) // 2] if trig else 0.0,
+            "max_batch": trig[-1] if trig else 0.0,
+            "state_rows": state_rows,
+            "state_mb": state_mb,
+            "rocksdb_ok": rocksdb_ok,
+        }
+
+    jobs = [
+        ("windowed", windowed_counts, "append"),
+        ("session", session_window_counts, "append"),
+        ("dedup", dedup_stream, "append"),
+        ("latest", latest_status_stream, "update"),
+        ("latestagg", latest_status_stream_agg, "update"),
+    ]
+    print(
+        "streaming throughput probe: N events / 16 chunks / 8 micro-batches, "
+        f"noop sink, both state-store providers (load1={os.getloadavg()[0]:.2f})"
+    )
+    print(
+        f"{'events':>9} {'job':>9} {'provider':>8} {'wall_s':>7} {'Mrows/s':>8} "
+        f"{'batches':>7} {'p50_b':>6} {'max_b':>6} {'state_rows':>10} "
+        f"{'state_MB':>8} {'pin':>5}"
+    )
+    for n in ns:
+        root = tempfile.mkdtemp(prefix=f"streamprobe_{n}_")
+        try:
+            src, n_users, n_distinct = make_chunks(root, n)
+            # warm the file-source listing + plan compile once (smallest job)
+            for job_name, fn, mode in jobs:
+                for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
+                    r = run_one(src, fn, mode, prov, root)
+                    assert r["in_rows"] == n, (job_name, r["in_rows"], n)
+                    assert r["rocksdb_ok"], (job_name, prov_name, "silent fallback")
+                    pin = "-"
+                    if job_name == "dedup":
+                        pin = str(r["out_rows"] == n_distinct)
+                    elif job_name in ("latest", "latestagg"):
+                        pin = str(r["state_rows"] == n_users)
+                    print(
+                        f"{n:>9} {job_name:>9} {prov_name:>8} {r['wall']:>7.2f} "
+                        f"{n / r['wall'] / 1e6:>8.3f} {r['batches']:>7} "
+                        f"{r['p50_batch']:>6.2f} {r['max_batch']:>6.2f} "
+                        f"{r['state_rows']:>10} {r['state_mb']:>8.1f} {pin:>5}"
+                    )
+                    assert pin in ("-", "True"), (job_name, prov_name, pin)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "--vectors":
@@ -1607,6 +1802,11 @@ def main() -> None:
         return
     if args and args[0] == "--bloomrt":
         bloomrt_probe([int(float(a)) for a in args[1:]] or [32_000_000])
+        return
+    if args and args[0] == "--streaming":
+        streaming_probe(
+            [int(float(a)) for a in args[1:]] or [1_000_000, 4_000_000]
+        )
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
