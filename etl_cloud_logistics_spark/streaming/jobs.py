@@ -245,7 +245,14 @@ def latest_status_stream_agg(events: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` variant remains the template for logic an
     aggregate can't express (the TTL flavor's timer-driven eviction, the
     funnel's per-key candidate pruning).  Measured against the Python
-    twin in ``tools/scaling_probe.py --streaming``."""
+    twin in ``tools/scaling_probe.py --streaming``.
+
+    Caveat: on an exact (ts, event_id) tie the struct comparison falls
+    through to (event_type, value) while the Python twin keeps the first
+    arrival — divergence requires two DIFFERENT payloads under one
+    event_id at one timestamp, i.e. a violated event-id uniqueness
+    contract upstream; equal-output is pinned for well-formed streams in
+    tests/test_streaming.py::test_latest_status_agg_equals_python_twin."""
     m = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m")
     return events.groupBy("user_id").agg(m).select(
         "user_id",
