@@ -37,8 +37,9 @@ from . import register
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-status state (ST2): one row per user with their most recent
     event.  Scale: a per-key window with row_number — one shuffle on the
-    key; in streaming this is the ``max_by`` state kept by
-    streaming.jobs.latest_status."""
+    key; in streaming this is the struct-max state kept natively by
+    streaming.jobs.latest_status_stream_agg (JVM path, r11) and by the
+    applyInPandasWithState template latest_status_stream."""
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (

@@ -48,6 +48,10 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            streaming jobs end-to-end through the file micro-batch
            source at N events, heap AND RocksDB providers, wall +
            per-batch + state metrics; default 1e6 4e6)
+       python tools/scaling_probe.py --streamrec [N ...] (restart-from-
+           checkpoint cost at N-event state: drain 12/16 chunks, stop,
+           append 4, restart; first-batch state-reload vs steady,
+           both providers; default 4e6)
 
 ``--vectors`` probes the vector kit instead: SRP hyperplane-LSH signature
 generation and the PCA moments pass over K× replicas of the embeddings
@@ -1567,6 +1571,61 @@ def bloomrt_probe(rs: list[int]) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+_STREAM_BASE_EPOCH = 1_577_836_800  # 2020-01-01T00:00Z
+
+
+def _stream_event_chunks(
+    spark, root: str, n: int, n_chunks: int = 16, begin: int = 0, end: int | None = None
+) -> tuple[str, int, int]:
+    """Synthesize N deterministic events as chronological chunk files under
+    ``root/events`` (see streaming_probe's docstring for the distribution:
+    ±4 min jitter inside every watermark, 2% exact duplicates, N/20 users).
+    ``begin``/``end`` bound which chunks are emitted — the recovery probe
+    writes [0, 12) up front and appends [12, 16) after the restart point.
+    Returns (src_dir, n_users, expected_distinct_event_ids over ALL n)."""
+    import shutil  # noqa: PLC0415
+
+    n_users = max(1, n // 20)
+    rate = max(1, n // (4 * 3600))  # events per event-time second
+    src = os.path.join(root, "events")
+    os.makedirs(src, exist_ok=True)
+    per = n // n_chunks
+    for c in range(begin, n_chunks if end is None else end):
+        lo = c * per
+        hi = (c + 1) * per if c < n_chunks - 1 else n
+        tmp = os.path.join(root, f"_tmp_{c}")
+        (
+            spark.range(lo, hi)
+            .select(
+                # 2% duplicates: every 50th id re-emits its predecessor
+                F.when((F.col("id") % 50 == 49), F.col("id") - 1)
+                .otherwise(F.col("id"))
+                .alias("event_id"),
+                F.timestamp_seconds(
+                    F.lit(_STREAM_BASE_EPOCH)
+                    + (F.col("id") / float(rate))
+                    + (F.pmod(F.hash(F.col("id")), F.lit(480)) - 240)
+                ).alias("ts"),
+                (F.col("id") % n_users).alias("user_id"),
+                F.element_at(
+                    F.array(F.lit("ping"), F.lit("move"), F.lit("scan"), F.lit("drop")),
+                    (F.col("id") % 4 + 1).cast("int"),
+                ).alias("event_type"),
+                (F.pmod(F.hash(F.col("id")), F.lit(5000)) / 100.0).alias("value"),
+                F.to_json(F.struct(F.col("id").alias("seq"))).alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk_{c:02d}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        time.sleep(0.05)  # strictly increasing mtimes → chronological replay
+    n_dups = sum(1 for i in range(n) if i % 50 == 49)
+    return src, n_users, n - n_dups
+
+
 def streaming_probe(ns: list[int]) -> None:
     """Stateful streaming throughput at scale (r11): the streaming family
     was the last with correctness tests but NO measured slope — every
@@ -1613,52 +1672,6 @@ def streaming_probe(ns: list[int]) -> None:
     )
 
     spark = get_spark("scaling-probe-streaming")
-    base_epoch = 1_577_836_800  # 2020-01-01T00:00Z
-
-    def make_chunks(root: str, n: int, n_chunks: int = 16) -> tuple[str, int, int]:
-        """N events as chronological chunk files; returns (src_dir,
-        n_users, expected_distinct_event_ids)."""
-        n_users = max(1, n // 20)
-        rate = max(1, n // (4 * 3600))  # events per event-time second
-        src = os.path.join(root, "events")
-        os.makedirs(src, exist_ok=True)
-        per = n // n_chunks
-        for c in range(n_chunks):
-            lo = c * per
-            hi = (c + 1) * per if c < n_chunks - 1 else n
-            tmp = os.path.join(root, f"_tmp_{c}")
-            (
-                spark.range(lo, hi)
-                .select(
-                    # 2% duplicates: every 50th id re-emits its predecessor
-                    F.when((F.col("id") % 50 == 49), F.col("id") - 1)
-                    .otherwise(F.col("id"))
-                    .alias("event_id"),
-                    F.timestamp_seconds(
-                        F.lit(base_epoch)
-                        + (F.col("id") / float(rate))
-                        + (F.pmod(F.hash(F.col("id")), F.lit(480)) - 240)
-                    ).alias("ts"),
-                    (F.col("id") % n_users).alias("user_id"),
-                    F.element_at(
-                        F.array(
-                            F.lit("ping"), F.lit("move"), F.lit("scan"), F.lit("drop")
-                        ),
-                        (F.col("id") % 4 + 1).cast("int"),
-                    ).alias("event_type"),
-                    (F.pmod(F.hash(F.col("id")), F.lit(5000)) / 100.0).alias("value"),
-                    F.to_json(F.struct(F.col("id").alias("seq"))).alias("props"),
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk_{c:02d}.parquet"))
-            shutil.rmtree(tmp, ignore_errors=True)
-            time.sleep(0.05)  # strictly increasing mtimes → chronological replay
-        n_dups = sum(1 for i in range(n) if i % 50 == 49)
-        return src, n_users, n - n_dups
 
     def run_one(src: str, job_fn, output_mode: str, provider: str | None, root: str):
         stream = read_event_stream(spark, src, max_files_per_trigger=2)
@@ -1735,7 +1748,7 @@ def streaming_probe(ns: list[int]) -> None:
     for n in ns:
         root = tempfile.mkdtemp(prefix=f"streamprobe_{n}_")
         try:
-            src, n_users, n_distinct = make_chunks(root, n)
+            src, n_users, n_distinct = _stream_event_chunks(spark, root, n)
             # warm the file-source listing + plan compile once (smallest job)
             for job_name, fn, mode in jobs:
                 for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
@@ -1756,6 +1769,123 @@ def streaming_probe(ns: list[int]) -> None:
                     assert pin in ("-", "True"), (job_name, prov_name, pin)
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_recovery_probe(ns: list[int]) -> None:
+    """Restart-from-checkpoint cost at large state (r11): crash-restart
+    CORRECTNESS is pytest-pinned (tests/test_streaming.py), but the COST
+    of rebuilding multi-million-row state from a checkpoint — the number
+    an on-call engineer needs when a 100 TB pipeline's executor dies —
+    was never measured, and it is exactly where the two providers differ
+    structurally: the heap store reloads its newest delta+snapshot files
+    into JVM maps before the first post-restart batch can run, while
+    RocksDB re-opens an LSM tree (changelog/SST files) with costs mostly
+    deferred into compaction.
+
+    Per event tier N (default 4e6), for the two biggest-state JVM
+    families (dedup ~ watermark-horizon rows; latestagg ~ one row/user)
+    under both providers: drain the first 12 of 16 chunks, STOP the
+    query (clean handoff — same checkpoint shape a crash leaves, minus
+    in-flight batch replay), append the last 4 chunks, restart from the
+    same checkpoint, and split the restart's wall into time-to-first-
+    batch-completion (state reload + batch 1) vs the steady remainder.
+    Pins: total sink output across both phases still equals the expected
+    distinct count (dedup — no duplicate slips through the restart), and
+    final state cardinality matches the single-run probe."""
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.streaming.jobs import (  # noqa: PLC0415
+        _PROVIDER_CONF,
+        ROCKSDB_PROVIDER,
+        dedup_stream,
+        latest_status_stream_agg,
+        read_event_stream,
+    )
+
+    spark = get_spark("scaling-probe-streamrec")
+
+    def start_query(src, job_fn, output_mode, provider, ckpt):
+        stream = read_event_stream(spark, src, max_files_per_trigger=2)
+        out = job_fn(stream)
+        prev = spark.conf.get(_PROVIDER_CONF, None) if provider else None
+        if provider:
+            spark.conf.set(_PROVIDER_CONF, provider)
+        try:
+            return (
+                out.writeStream.outputMode(output_mode)
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(_PROVIDER_CONF)
+                else:
+                    spark.conf.set(_PROVIDER_CONF, prev)
+
+    def drain(q):
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        wall = time.perf_counter() - t0
+        progress = [
+            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+        ]
+        q.stop()
+        batches = [p for p in progress if p.get("numInputRows", 0) > 0]
+        out_rows = sum(p.get("sink", {}).get("numOutputRows", 0) for p in batches)
+        state_rows = 0
+        for p in reversed(progress):
+            if p.get("stateOperators"):
+                state_rows = p["stateOperators"][0].get("numRowsTotal", 0)
+                break
+        trig = [p["durationMs"]["triggerExecution"] / 1e3 for p in batches]
+        return wall, trig, out_rows, state_rows
+
+    jobs = [("dedup", dedup_stream, "append"), ("latestagg", latest_status_stream_agg, "update")]
+    print(
+        "streaming restart-from-checkpoint probe: drain 12/16 chunks, stop, "
+        f"append 4, restart (load1={os.getloadavg()[0]:.2f})"
+    )
+    print(
+        f"{'events':>9} {'job':>9} {'provider':>8} {'phase1_s':>8} "
+        f"{'state_rows':>10} {'restart_s':>9} {'first_b':>7} {'rest_p50':>8} "
+        f"{'pin':>5}"
+    )
+    for n in ns:
+        for job_name, fn, mode in jobs:
+            for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
+                root = tempfile.mkdtemp(prefix=f"streamrec_{n}_")
+                try:
+                    src, n_users, n_distinct = _stream_event_chunks(
+                        spark, root, n, end=12
+                    )
+                    ckpt = os.path.join(root, "ckpt")
+                    q = start_query(src, fn, mode, prov, ckpt)
+                    w1, _t1, out1, rows1 = drain(q)
+                    _stream_event_chunks(spark, root, n, begin=12)
+                    t0 = time.perf_counter()
+                    q2 = start_query(src, fn, mode, prov, ckpt)
+                    w2, trig2, out2, rows2 = drain(q2)
+                    restart_wall = time.perf_counter() - t0
+                    first_b = trig2[0] if trig2 else 0.0
+                    rest = sorted(trig2[1:])
+                    rest_p50 = rest[len(rest) // 2] if rest else 0.0
+                    pin = "-"
+                    if job_name == "dedup":
+                        pin = str(out1 + out2 == n_distinct)
+                    elif job_name == "latestagg":
+                        pin = str(rows2 == n_users)
+                    print(
+                        f"{n:>9} {job_name:>9} {prov_name:>8} {w1:>8.2f} "
+                        f"{rows1:>10} {restart_wall:>9.2f} {first_b:>7.2f} "
+                        f"{rest_p50:>8.2f} {pin:>5}"
+                    )
+                    assert pin in ("-", "True"), (job_name, prov_name, pin)
+                finally:
+                    shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -1807,6 +1937,9 @@ def main() -> None:
         streaming_probe(
             [int(float(a)) for a in args[1:]] or [1_000_000, 4_000_000]
         )
+        return
+    if args and args[0] == "--streamrec":
+        streaming_recovery_probe([int(float(a)) for a in args[1:]] or [4_000_000])
         return
     ks = [int(a) for a in args] or [1, 5, 10]
     spark = get_spark("scaling-probe")
