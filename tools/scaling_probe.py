@@ -1645,10 +1645,16 @@ def streaming_probe(ns: list[int]) -> None:
       prices the pure streaming machinery.
     - ``session_window``   — JVM session agg keyed by user: state ~= users.
     - ``dedup``            — dropDuplicatesWithinWatermark on event_id:
-      state ~= the watermark horizon's event count (the largest state
-      here); output row count is pinned to the expected distinct count.
-    - ``latest_status``    — applyInPandasWithState keyed by user: the
+      state ~= the watermark horizon's event count; output row count is
+      pinned to the expected distinct count.
+    - ``latest``           — applyInPandasWithState keyed by user: the
       Python-state path; final state row count is pinned to n_users.
+    - ``latestagg``        — the native struct-max twin of ``latest``
+      (same pin): the measured JVM-vs-Python-state comparison.
+    - ``ssjoin``           — watermarked stream-stream inner join of two
+      type-slices of the source: per-key buffered state on BOTH sides
+      (the largest-state family); output matches are pinned to the same
+      join run in batch over the same chunk files.
 
     Reported per (job, provider): wall, Mrows/s, micro-batch count,
     per-batch trigger p50/max, final state rows + state memory, and the
@@ -1668,10 +1674,19 @@ def streaming_probe(ns: list[int]) -> None:
         latest_status_stream_agg,
         read_event_stream,
         session_window_counts,
+        stream_stream_join,
         windowed_counts,
     )
 
     spark = get_spark("scaling-probe-streaming")
+
+    def ssjoin(stream):
+        # the two sides are disjoint type-slices of ONE source: per-key
+        # buffered state on both sides, the biggest-state join family
+        return stream_stream_join(
+            stream.filter(F.col("event_type") == "move"),
+            stream.filter(F.col("event_type") == "scan"),
+        )
 
     def run_one(src: str, job_fn, output_mode: str, provider: str | None, root: str):
         stream = read_event_stream(spark, src, max_files_per_trigger=2)
@@ -1735,6 +1750,7 @@ def streaming_probe(ns: list[int]) -> None:
         ("dedup", dedup_stream, "append"),
         ("latest", latest_status_stream, "update"),
         ("latestagg", latest_status_stream_agg, "update"),
+        ("ssjoin", ssjoin, "append"),
     ]
     print(
         "streaming throughput probe: N events / 16 chunks / 8 micro-batches, "
@@ -1749,17 +1765,24 @@ def streaming_probe(ns: list[int]) -> None:
         root = tempfile.mkdtemp(prefix=f"streamprobe_{n}_")
         try:
             src, n_users, n_distinct = _stream_event_chunks(spark, root, n)
-            # warm the file-source listing + plan compile once (smallest job)
+            # batch twin of the stream-stream join over the same chunk
+            # files: the expected match count pins the streaming result
+            batch = spark.read.parquet(src)
+            expected_ssj = ssjoin(batch).count()
             for job_name, fn, mode in jobs:
                 for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
                     r = run_one(src, fn, mode, prov, root)
-                    assert r["in_rows"] == n, (job_name, r["in_rows"], n)
+                    # a stream-stream self-join scans the source once per
+                    # side, so its input counter reads 2N
+                    assert r["in_rows"] in (n, 2 * n), (job_name, r["in_rows"], n)
                     assert r["rocksdb_ok"], (job_name, prov_name, "silent fallback")
                     pin = "-"
                     if job_name == "dedup":
                         pin = str(r["out_rows"] == n_distinct)
                     elif job_name in ("latest", "latestagg"):
                         pin = str(r["state_rows"] == n_users)
+                    elif job_name == "ssjoin":
+                        pin = str(r["out_rows"] == expected_ssj)
                     print(
                         f"{n:>9} {job_name:>9} {prov_name:>8} {r['wall']:>7.2f} "
                         f"{n / r['wall'] / 1e6:>8.3f} {r['batches']:>7} "
