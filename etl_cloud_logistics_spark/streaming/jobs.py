@@ -239,9 +239,10 @@ def latest_status_stream_agg(events: DataFrame) -> DataFrame:
     streaming ``max`` over a struct whose leading fields are the ordering
     key (struct comparison is lexicographic, so ``max`` picks exactly the
     row ``_fold_latest`` keeps), which Catalyst executes as a stateful
-    hash aggregation: state updates stay inside whole-stage codegen with
-    one state-store row per user — no Arrow hop, no per-group Python
-    call.  Prefer this for the plain latest-value use; the
+    hash aggregation: the fold runs in codegen'd HashAggregate stages
+    around JVM state-store ops, one state row per user — no Arrow hop,
+    no per-group Python call.  Prefer this for the plain latest-value
+    use; the
     ``applyInPandasWithState`` variant remains the template for logic an
     aggregate can't express (the TTL flavor's timer-driven eviction, the
     funnel's per-key candidate pruning).  Measured against the Python

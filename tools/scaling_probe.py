@@ -1606,7 +1606,13 @@ def _stream_event_chunks(
                     + (F.col("id") / float(rate))
                     + (F.pmod(F.hash(F.col("id")), F.lit(480)) - 240)
                 ).alias("ts"),
-                (F.col("id") % n_users).alias("user_id"),
+                # id//4 (not id): with type = id%4 and n_users divisible by
+                # 4, ``id % n_users`` would freeze each user on ONE type —
+                # zero cross-type join matches / funnel conversions (caught
+                # r11: the first ssjoin draw's batch pin was vacuously
+                # 0==0).  Consecutive-id bursts give every user all four
+                # types AND guaranteed full user coverage at n >= 4*users.
+                ((F.col("id") / 4).cast("long") % n_users).alias("user_id"),
                 F.element_at(
                     F.array(F.lit("ping"), F.lit("move"), F.lit("scan"), F.lit("drop")),
                     (F.col("id") % 4 + 1).cast("int"),
@@ -1654,7 +1660,11 @@ def streaming_probe(ns: list[int]) -> None:
     - ``ssjoin``           — watermarked stream-stream inner join of two
       type-slices of the source: per-key buffered state on BOTH sides
       (the largest-state family); output matches are pinned to the same
-      join run in batch over the same chunk files.
+      join run in batch over the same chunk files (and asserted nonzero —
+      a vacuous 0==0 pin hides a broken generator).
+    - ``funnel``           — applyInPandasWithState with per-key candidate
+      LISTS (the heaviest Python state shape shipped), over the
+      generator's types mapped onto the funnel steps.
 
     Reported per (job, provider): wall, Mrows/s, micro-batch count,
     per-batch trigger p50/max, final state rows + state memory, and the
@@ -1670,6 +1680,7 @@ def streaming_probe(ns: list[int]) -> None:
         _PROVIDER_CONF,
         ROCKSDB_PROVIDER,
         dedup_stream,
+        funnel_stream,
         latest_status_stream,
         latest_status_stream_agg,
         read_event_stream,
@@ -1687,6 +1698,20 @@ def streaming_probe(ns: list[int]) -> None:
             stream.filter(F.col("event_type") == "move"),
             stream.filter(F.col("event_type") == "scan"),
         )
+
+    def funnel(stream):
+        # map the generator's types onto the funnel steps (ping→view,
+        # move→click, scan→purchase; drop stays a non-step): per-key
+        # candidate LISTS — the heaviest Python state shape shipped
+        t = F.col("event_type")
+        mapped = stream.withColumn(
+            "event_type",
+            F.when(t == "ping", "view")
+            .when(t == "move", "click")
+            .when(t == "scan", "purchase")
+            .otherwise(t),
+        )
+        return funnel_stream(mapped)
 
     def run_one(src: str, job_fn, output_mode: str, provider: str | None, root: str):
         stream = read_event_stream(spark, src, max_files_per_trigger=2)
@@ -1751,6 +1776,7 @@ def streaming_probe(ns: list[int]) -> None:
         ("latest", latest_status_stream, "update"),
         ("latestagg", latest_status_stream_agg, "update"),
         ("ssjoin", ssjoin, "append"),
+        ("funnel", funnel, "update"),
     ]
     print(
         "streaming throughput probe: N events / 16 chunks / 8 micro-batches, "
@@ -1769,6 +1795,9 @@ def streaming_probe(ns: list[int]) -> None:
             # files: the expected match count pins the streaming result
             batch = spark.read.parquet(src)
             expected_ssj = ssjoin(batch).count()
+            # a zero expectation would make the ssjoin pin vacuous (0==0)
+            # — exactly the user/type correlation bug this generator fixed
+            assert expected_ssj > 0, "ssjoin batch twin found no matches"
             for job_name, fn, mode in jobs:
                 for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
                     r = run_one(src, fn, mode, prov, root)
@@ -1783,6 +1812,8 @@ def streaming_probe(ns: list[int]) -> None:
                         pin = str(r["state_rows"] == n_users)
                     elif job_name == "ssjoin":
                         pin = str(r["out_rows"] == expected_ssj)
+                    elif job_name == "funnel":
+                        pin = str(r["state_rows"] == n_users)
                     print(
                         f"{n:>9} {job_name:>9} {prov_name:>8} {r['wall']:>7.2f} "
                         f"{n / r['wall'] / 1e6:>8.3f} {r['batches']:>7} "
