@@ -296,25 +296,35 @@ def run_stream_to_memory(
     The conf is captured by the query at start, so it is set just before
     ``.start()`` and restored right after — later queries are unaffected."""
     spark = stream_df.sparkSession
+    writer = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    q = start_with_provider(spark, writer, state_store_provider)
+    q.processAllAvailable()
+    return q
+
+
+def start_with_provider(spark, writer, state_store_provider: str | None = None):
+    """Start a configured ``DataStreamWriter`` under a per-QUERY state-store
+    provider: the conf is captured by the query at ``.start()``, so it is
+    set just before and restored right after — later queries are
+    unaffected.  The single home of the set/start/restore seam (r11: it
+    had grown three copies across the test harness and the streaming
+    probes)."""
     prev = spark.conf.get(_PROVIDER_CONF, None) if state_store_provider else None
     if state_store_provider:
         spark.conf.set(_PROVIDER_CONF, state_store_provider)
     try:
-        q = (
-            stream_df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(query_name)
-            .option("checkpointLocation", checkpoint_dir)
-            .start()
-        )
+        return writer.start()
     finally:
         if state_store_provider:
             if prev is None:
                 spark.conf.unset(_PROVIDER_CONF)
             else:
                 spark.conf.set(_PROVIDER_CONF, prev)
-    q.processAllAvailable()
-    return q
 
 
 def positions_from_events(events: DataFrame) -> DataFrame:

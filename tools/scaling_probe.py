@@ -1575,14 +1575,13 @@ _STREAM_BASE_EPOCH = 1_577_836_800  # 2020-01-01T00:00Z
 
 
 def _stream_event_chunks(
-    spark, root: str, n: int, n_chunks: int = 16, begin: int = 0, end: int | None = None
+    spark, root: str, n: int, n_chunks: int = 16
 ) -> tuple[str, int, int]:
     """Synthesize N deterministic events as chronological chunk files under
     ``root/events`` (see streaming_probe's docstring for the distribution:
-    ±4 min jitter inside every watermark, 2% exact duplicates, N/20 users).
-    ``begin``/``end`` bound which chunks are emitted — the recovery probe
-    writes [0, 12) up front and appends [12, 16) after the restart point.
-    Returns (src_dir, n_users, expected_distinct_event_ids over ALL n)."""
+    ±4 min jitter inside every watermark, 2% exact-redelivery duplicates,
+    N/20 users each carrying all four event types).
+    Returns (src_dir, n_users, expected_distinct_event_ids)."""
     import shutil  # noqa: PLC0415
 
     n_users = max(1, n // 20)
@@ -1590,35 +1589,39 @@ def _stream_event_chunks(
     src = os.path.join(root, "events")
     os.makedirs(src, exist_ok=True)
     per = n // n_chunks
-    for c in range(begin, n_chunks if end is None else end):
+    for c in range(n_chunks):
         lo = c * per
         hi = (c + 1) * per if c < n_chunks - 1 else n
         tmp = os.path.join(root, f"_tmp_{c}")
+        # 2% TRUE duplicates: every 50th row re-emits its predecessor as an
+        # exact redelivery — EVERY column derives from the effective id, so
+        # the copy is byte-identical (a payload-differing event_id collision
+        # would instead violate the uniqueness contract the latest-status
+        # twins document, and would mis-state the dedup workload)
+        eid = F.when((F.col("id") % 50 == 49), F.col("id") - 1).otherwise(F.col("id"))
         (
             spark.range(lo, hi)
+            .select(eid.alias("eid"))
             .select(
-                # 2% duplicates: every 50th id re-emits its predecessor
-                F.when((F.col("id") % 50 == 49), F.col("id") - 1)
-                .otherwise(F.col("id"))
-                .alias("event_id"),
+                F.col("eid").alias("event_id"),
                 F.timestamp_seconds(
                     F.lit(_STREAM_BASE_EPOCH)
-                    + (F.col("id") / float(rate))
-                    + (F.pmod(F.hash(F.col("id")), F.lit(480)) - 240)
+                    + (F.col("eid") / float(rate))
+                    + (F.pmod(F.hash(F.col("eid")), F.lit(480)) - 240)
                 ).alias("ts"),
-                # id//4 (not id): with type = id%4 and n_users divisible by
-                # 4, ``id % n_users`` would freeze each user on ONE type —
-                # zero cross-type join matches / funnel conversions (caught
-                # r11: the first ssjoin draw's batch pin was vacuously
-                # 0==0).  Consecutive-id bursts give every user all four
-                # types AND guaranteed full user coverage at n >= 4*users.
-                ((F.col("id") / 4).cast("long") % n_users).alias("user_id"),
+                # eid//4 (not eid): with type = eid%4 and n_users divisible
+                # by 4, ``eid % n_users`` would freeze each user on ONE type
+                # — zero cross-type join matches / funnel conversions
+                # (caught r11: the first ssjoin draw's batch pin was
+                # vacuously 0==0).  Consecutive-id bursts give every user
+                # all four types AND full user coverage at n >= 4*users.
+                ((F.col("eid") / 4).cast("long") % n_users).alias("user_id"),
                 F.element_at(
                     F.array(F.lit("ping"), F.lit("move"), F.lit("scan"), F.lit("drop")),
-                    (F.col("id") % 4 + 1).cast("int"),
+                    (F.col("eid") % 4 + 1).cast("int"),
                 ).alias("event_type"),
-                (F.pmod(F.hash(F.col("id")), F.lit(5000)) / 100.0).alias("value"),
-                F.to_json(F.struct(F.col("id").alias("seq"))).alias("props"),
+                (F.pmod(F.hash(F.col("eid")), F.lit(5000)) / 100.0).alias("value"),
+                F.to_json(F.struct(F.col("eid").alias("seq"))).alias("props"),
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -1628,8 +1631,7 @@ def _stream_event_chunks(
         os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk_{c:02d}.parquet"))
         shutil.rmtree(tmp, ignore_errors=True)
         time.sleep(0.05)  # strictly increasing mtimes → chronological replay
-    n_dups = sum(1 for i in range(n) if i % 50 == 49)
-    return src, n_users, n - n_dups
+    return src, n_users, n - n // 50  # ids with i%50==49 in [0,n) collapse
 
 
 def streaming_probe(ns: list[int]) -> None:
@@ -1677,7 +1679,6 @@ def streaming_probe(ns: list[int]) -> None:
     import tempfile  # noqa: PLC0415
 
     from etl_cloud_logistics_spark.streaming.jobs import (  # noqa: PLC0415
-        _PROVIDER_CONF,
         ROCKSDB_PROVIDER,
         dedup_stream,
         funnel_stream,
@@ -1685,6 +1686,7 @@ def streaming_probe(ns: list[int]) -> None:
         latest_status_stream_agg,
         read_event_stream,
         session_window_counts,
+        start_with_provider,
         stream_stream_join,
         windowed_counts,
     )
@@ -1717,29 +1719,23 @@ def streaming_probe(ns: list[int]) -> None:
         stream = read_event_stream(spark, src, max_files_per_trigger=2)
         out = job_fn(stream)
         ckpt = tempfile.mkdtemp(prefix="ckpt_", dir=root)
-        prev = spark.conf.get(_PROVIDER_CONF, None) if provider else None
-        if provider:
-            spark.conf.set(_PROVIDER_CONF, provider)
+        writer = (
+            out.writeStream.outputMode(output_mode)
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+        )
+        q = start_with_provider(spark, writer, provider)
         try:
-            q = (
-                out.writeStream.outputMode(output_mode)
-                .format("noop")
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            progress = [
+                json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+            ]
         finally:
-            if provider:
-                if prev is None:
-                    spark.conf.unset(_PROVIDER_CONF)
-                else:
-                    spark.conf.set(_PROVIDER_CONF, prev)
-        t0 = time.perf_counter()
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0
-        progress = [
-            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
-        ]
-        q.stop()
+            # stop even on a mid-drain failure: the caller's rmtree must not
+            # delete the source/checkpoint under a still-running query
+            q.stop()
         batches = [p for p in progress if p.get("numInputRows", 0) > 0]
         trig = sorted(p["durationMs"]["triggerExecution"] / 1e3 for p in batches)
         out_rows = sum(p.get("sink", {}).get("numOutputRows", 0) for p in batches)
@@ -1851,11 +1847,11 @@ def streaming_recovery_probe(ns: list[int]) -> None:
     import tempfile  # noqa: PLC0415
 
     from etl_cloud_logistics_spark.streaming.jobs import (  # noqa: PLC0415
-        _PROVIDER_CONF,
         ROCKSDB_PROVIDER,
         dedup_stream,
         latest_status_stream_agg,
         read_event_stream,
+        start_with_provider,
     )
 
     spark = get_spark("scaling-probe-streamrec")
@@ -1863,31 +1859,25 @@ def streaming_recovery_probe(ns: list[int]) -> None:
     def start_query(src, job_fn, output_mode, provider, ckpt):
         stream = read_event_stream(spark, src, max_files_per_trigger=2)
         out = job_fn(stream)
-        prev = spark.conf.get(_PROVIDER_CONF, None) if provider else None
-        if provider:
-            spark.conf.set(_PROVIDER_CONF, provider)
-        try:
-            return (
-                out.writeStream.outputMode(output_mode)
-                .format("noop")
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-        finally:
-            if provider:
-                if prev is None:
-                    spark.conf.unset(_PROVIDER_CONF)
-                else:
-                    spark.conf.set(_PROVIDER_CONF, prev)
+        writer = (
+            out.writeStream.outputMode(output_mode)
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+        )
+        return start_with_provider(spark, writer, provider)
 
     def drain(q):
-        t0 = time.perf_counter()
-        q.processAllAvailable()
-        wall = time.perf_counter() - t0
-        progress = [
-            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
-        ]
-        q.stop()
+        try:
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            wall = time.perf_counter() - t0
+            progress = [
+                json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+            ]
+        finally:
+            # stop even on a mid-drain failure: the caller's rmtree must not
+            # delete the source/checkpoint under a still-running query
+            q.stop()
         batches = [p for p in progress if p.get("numInputRows", 0) > 0]
         out_rows = sum(p.get("sink", {}).get("numOutputRows", 0) for p in batches)
         state_rows = 0
@@ -1909,37 +1899,54 @@ def streaming_recovery_probe(ns: list[int]) -> None:
         f"{'pin':>5}"
     )
     for n in ns:
-        for job_name, fn, mode in jobs:
-            for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
-                root = tempfile.mkdtemp(prefix=f"streamrec_{n}_")
-                try:
-                    src, n_users, n_distinct = _stream_event_chunks(
-                        spark, root, n, end=12
-                    )
-                    ckpt = os.path.join(root, "ckpt")
-                    q = start_query(src, fn, mode, prov, ckpt)
-                    w1, _t1, out1, rows1 = drain(q)
-                    _stream_event_chunks(spark, root, n, begin=12)
-                    t0 = time.perf_counter()
-                    q2 = start_query(src, fn, mode, prov, ckpt)
-                    w2, trig2, out2, rows2 = drain(q2)
-                    restart_wall = time.perf_counter() - t0
-                    first_b = trig2[0] if trig2 else 0.0
-                    rest = sorted(trig2[1:])
-                    rest_p50 = rest[len(rest) // 2] if rest else 0.0
-                    pin = "-"
-                    if job_name == "dedup":
-                        pin = str(out1 + out2 == n_distinct)
-                    elif job_name == "latestagg":
-                        pin = str(rows2 == n_users)
-                    print(
-                        f"{n:>9} {job_name:>9} {prov_name:>8} {w1:>8.2f} "
-                        f"{rows1:>10} {restart_wall:>9.2f} {first_b:>7.2f} "
-                        f"{rest_p50:>8.2f} {pin:>5}"
-                    )
-                    assert pin in ("-", "True"), (job_name, prov_name, pin)
-                finally:
-                    shutil.rmtree(root, ignore_errors=True)
+        # synthesize the deterministic corpus ONCE per tier; each combo
+        # gets cheap file copies (copy order re-establishes the mtime
+        # chronology) instead of 4x redundant Spark synthesis jobs
+        stage_root = tempfile.mkdtemp(prefix=f"streamrec_stage_{n}_")
+        try:
+            stage_src, n_users, n_distinct = _stream_event_chunks(
+                spark, stage_root, n
+            )
+            chunk_files = sorted(os.listdir(stage_src))
+
+            def copy_chunks(dst: str, names: list[str]) -> None:
+                for f in names:
+                    shutil.copy(os.path.join(stage_src, f), os.path.join(dst, f))
+                    time.sleep(0.02)
+
+            for job_name, fn, mode in jobs:
+                for prov_name, prov in (("heap", None), ("rocksdb", ROCKSDB_PROVIDER)):
+                    root = tempfile.mkdtemp(prefix=f"streamrec_{n}_")
+                    try:
+                        src = os.path.join(root, "events")
+                        os.makedirs(src)
+                        copy_chunks(src, chunk_files[:12])
+                        ckpt = os.path.join(root, "ckpt")
+                        q = start_query(src, fn, mode, prov, ckpt)
+                        w1, _t1, out1, rows1 = drain(q)
+                        copy_chunks(src, chunk_files[12:])
+                        t0 = time.perf_counter()
+                        q2 = start_query(src, fn, mode, prov, ckpt)
+                        w2, trig2, out2, rows2 = drain(q2)
+                        restart_wall = time.perf_counter() - t0
+                        first_b = trig2[0] if trig2 else 0.0
+                        rest = sorted(trig2[1:])
+                        rest_p50 = rest[len(rest) // 2] if rest else 0.0
+                        pin = "-"
+                        if job_name == "dedup":
+                            pin = str(out1 + out2 == n_distinct)
+                        elif job_name == "latestagg":
+                            pin = str(rows2 == n_users)
+                        print(
+                            f"{n:>9} {job_name:>9} {prov_name:>8} {w1:>8.2f} "
+                            f"{rows1:>10} {restart_wall:>9.2f} {first_b:>7.2f} "
+                            f"{rest_p50:>8.2f} {pin:>5}"
+                        )
+                        assert pin in ("-", "True"), (job_name, prov_name, pin)
+                    finally:
+                        shutil.rmtree(root, ignore_errors=True)
+        finally:
+            shutil.rmtree(stage_root, ignore_errors=True)
 
 
 def main() -> None:
