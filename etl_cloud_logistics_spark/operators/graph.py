@@ -544,3 +544,115 @@ def connected_components_star(
     )
     chk.cleanup_stale(returning=labels)
     return labels
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient by
+    degree-ordered edge orientation (the MapReduce triangle scheme of
+    Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
+    Last Reducer") — transitivity of the near-dup graph, cohesion of the
+    co-purchase graph.
+
+    The naive wedge join keys on each wedge CENTER, so a degree-d hub
+    emits d² candidate wedges — the "last reducer" that stalls the job on
+    any power-law graph.  Orienting every edge from its (degree, id)-
+    lexicographic smaller endpoint to its larger caps every node's
+    OUT-degree at O(√m): a hub's wedges are generated by its low-degree
+    neighbors, never by the hub, bounding total wedge volume at O(m^{3/2})
+    (the arboricity bound) independent of the degree distribution.  Each
+    triangle {a, b, c} with rank(a) < rank(b) < rank(c) survives exactly
+    once, as wedge (a; b, c) closed by oriented edge b→c.
+
+    Plan shape — every stage an equi-join or map-side-combinable agg, all
+    JVM-side:
+
+    1. canonicalize + distinct (one shuffle on the edge pair);
+    2. degrees: groupBy over the symmetrized endpoint list (O(V) rows out);
+    3. orient: two broadcast-eligible joins of degrees onto edges (AQE
+       picks broadcast while degrees fit, hash-join beyond);
+    4. wedges ⋈ closure: self-join on the wedge center, then ONE equi-join
+       of the (b, c)-keyed wedge stream against the oriented edge set —
+       no cartesian, no driver-side adjacency;
+    5. per-node counts: explode each triangle's three corners, groupBy.
+
+    With ``checkpoint`` (default), the canonical edge set and the oriented
+    edge set are eagerly ``localCheckpoint``-ed: edges feed degree + both
+    orientation joins, oriented feeds three consumers (both wedge sides +
+    closure) — without truncation the upstream derivation (for the
+    near-dup caller: the whole SimHash subtree) re-executes per consumer.
+    Same multi-consumer discipline as ``pagerank_copurchase``'s mined-pair
+    checkpoint; at cluster scale the materialization is executor-local
+    blocks, never a driver collect.
+
+    Returns (node, degree, triangles, clustering): degree over the simple
+    undirected graph, triangles the node participates in, clustering =
+    2·T / (deg·(deg−1)) — both operands exact integers, so the single
+    IEEE division is engine-exact (the registry's integer-operand
+    division doctrine) — and 0.0 for degree-1 nodes.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter("x <> y")
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("node").alias("lo"), F.col("degree").alias("dlo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("degree").alias("dhi")), "hi")
+        # rank(lo) < rank(hi) ⟺ dlo < dhi, or degree tie broken by the
+        # canonical lo < hi — so the tie case is exactly dlo <= dhi
+        .select(
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("u"),
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("v"),
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("dhi"))
+            .otherwise(F.col("dlo"))
+            .alias("dv"),
+        )
+    )
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=True)
+    e1 = oriented.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    e2 = oriented.select("u", F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closure = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closure, ["b", "c"]).select(
+        F.col("u").alias("a"), "b", "c"
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    return deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles"),
+        F.when(
+            F.col("degree") > 1,
+            (F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0)))
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

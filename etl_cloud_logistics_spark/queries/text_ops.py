@@ -185,10 +185,12 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash_near_pairs",
-    oracle=f"""
-    WITH tok AS (
+# DuckDB twin of simhash64 → simhash_near_pairs (60-bit SimHash, 4×15-bit
+# pigeonhole banding, Hamming ≤ 3 verify), ending in the verified pair set
+# ``sp`` — shared by the pair row and the triangle/transitivity row built
+# on the same graph (MATERIALIZED: sp feeds one consumer there but THREE
+# in the triangle oracle's self-joins)
+_SIMHASH_PAIR_CTES = f"""tok AS (
         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS w
         FROM documents
     ), hs AS (
@@ -207,13 +209,21 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), blocked AS (
         SELECT doc_id, simhash, b.blk, (simhash >> (15 * b.blk)) & 32767 AS block_val
         FROM sig, (SELECT unnest(range(4)) AS blk) b
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM blocked a
-    JOIN blocked b ON a.blk = b.blk AND a.block_val = b.block_val
-                  AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), sp AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM blocked a
+        JOIN blocked b ON a.blk = b.blk AND a.block_val = b.block_val
+                      AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )"""
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_PAIR_CTES}
+    SELECT doc_a, doc_b, hamming FROM sp
     """,
     # r9 window rotation: promoted INTO the driver window (zero prior
     # driver history; X2's SimHash half gets external verification)
@@ -228,6 +238,64 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_extensions.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(simhash64(docs), max_hamming=3)
+
+
+@register(
+    "neardup_triangle_stats",
+    oracle=f"""
+    WITH {_SIMHASH_PAIR_CTES},
+    und AS (SELECT doc_a AS node FROM sp UNION ALL SELECT doc_b AS node FROM sp),
+    deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node),
+    tri AS MATERIALIZED (
+        -- canonical doc_a < doc_b pairs ⇒ each triangle a < b < c appears
+        -- exactly once as (a,b) ⋈ (b,c) closed by (a,c)
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM sp e1
+        JOIN sp e2 ON e2.doc_a = e1.doc_b
+        JOIN sp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+    ),
+    tc AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node)
+    SELECT d.node AS doc_id,
+           d.degree,
+           COALESCE(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree > 1
+                THEN (CAST(2 AS DOUBLE) * COALESCE(t.triangles, 0))
+                     / (d.degree * (d.degree - 1))
+                ELSE CAST(0 AS DOUBLE) END AS clustering
+    FROM deg d LEFT JOIN tc t ON t.node = d.node
+    ORDER BY doc_id
+    """,
+    extra=True,  # new r11: zero driver history — rotation candidate; the
+    # graph family's driver rows stay pagerank_copurchase + components
+)
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count + local clustering coefficient of the
+    SimHash near-dup graph (X2 diagnostic): transitivity distinguishes
+    tight duplication cliques (template families, mirrored sites —
+    clustering → 1.0) from chain-shaped borderline matches that connected-
+    components would over-merge (clustering → 0).  Exact counting via
+    degree-ordered orientation (``operators.graph.triangle_stats`` — the
+    O(m^{3/2}) wedge bound that survives power-law hubs); the oracle
+    re-derives the identical pair set and enumerates canonical-ordered
+    triangles directly, so counts AND the integer-division-exact
+    coefficients are bit-comparable.  Clustering doctrine per the module
+    header: both division operands are exact integers, one IEEE op."""
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(simhash64(docs), max_hamming=3)
+    return (
+        triangle_stats(pairs, src_col="doc_a", dst_col="doc_b")
+        .select(
+            F.col("node").alias("doc_id"), "degree", "triangles", "clustering"
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -1149,3 +1149,65 @@ def test_partitioning_pin_reliable_mode_semantics(spark, monkeypatch, tmp_path):
     (run_dir,) = os.listdir(chk_b)
     slots = sorted(os.listdir(os.path.join(chk_b, run_dir)))
     assert slots and all(p.startswith("slot-") for p in slots), slots
+
+
+def test_triangle_stats_planted_k4_with_pendant(spark):
+    """K4 plus a pendant hanging off node 1 — hand-checkable: every K4
+    vertex sits in 3 of the 4 triangles; the hub (node 1, degree 4) has
+    clustering 2·3/(4·3) = 0.5, the pure K4 vertices 1.0, the pendant 0.0.
+    Edges arrive in mixed orientation with a duplicate and a self-loop to
+    exercise canonicalization."""
+    from etl_cloud_logistics_spark.operators.graph import triangle_stats
+
+    edges = [
+        (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (4, 2), (3, 4),
+        (5, 1), (3, 3),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in triangle_stats(df).collect()
+    }
+    assert got == {
+        1: (4, 3, 0.5),
+        2: (3, 3, 1.0),
+        3: (3, 3, 1.0),
+        4: (3, 3, 1.0),
+        5: (1, 0, 0.0),
+    }
+
+
+def test_triangle_stats_matches_bruteforce_random_graph(spark):
+    """Seeded Erdős–Rényi graph: the oriented-wedge counts equal the
+    itertools brute force exactly, node for node — including nodes in no
+    triangle (count 0) and the coefficient arithmetic."""
+    import itertools
+    import random
+
+    from etl_cloud_logistics_spark.operators.graph import triangle_stats
+
+    rng = random.Random(411)
+    n = 40
+    und = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+    )
+    adj = {v: set() for v in range(n)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    exp_tri = {v: 0 for v in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                exp_tri[v] += 1
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.triangles, r.clustering)
+        for r in triangle_stats(df, checkpoint=False).collect()
+    }
+    touched = {v for v in range(n) if adj[v]}
+    assert set(got) == touched
+    for v in touched:
+        d = len(adj[v])
+        exp_c = (2.0 * exp_tri[v]) / (d * (d - 1)) if d > 1 else 0.0
+        assert got[v] == (d, exp_tri[v], exp_c), v

@@ -26,6 +26,10 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            components label-prop AND star on synthesized Zipf-endpoint
            graphs at E edges, BOTH checkpoint modes, wall + measured
            shuffle; default 1e5 1e6 1e7)
+       python tools/scaling_probe.py --triangles [E ...] (exact triangle
+           counts on Zipf graphs at E edges: degree-ordered orientation
+           vs the id-ordered wedge blowup, analytic wedge totals + an
+           equal-count pin; default 1e5 1e6 4e6)
        python tools/scaling_probe.py --diameter [N ...] (path/grid graphs
            at N nodes: label propagation's O(diameter) pathology vs the
            star algorithm's O(log n) rounds; default 1e4 1e5 1e6)
@@ -331,6 +335,34 @@ def graph_probe(ks: list[int]) -> None:
         spark.catalog.clearCache()
 
 
+def _powerlaw_edges(spark, n_edges: int):
+    """Deterministic Zipf-endpoint edge list (no RNG): both endpoints of
+    edge i are ``floor(exp(u · ln N))`` with u an md5-derived uniform of i
+    — endpoint probability p(id) ∝ 1/id, N = E/10 nodes.  Shared by the
+    --powerlaw and --triangles probes (same hub-skew shape, so their
+    records are cross-readable)."""
+    import math
+
+    n_nodes = max(n_edges // 10, 1000)
+    ln_n = math.log(n_nodes)
+
+    def zipf(tag: str):
+        h = F.substring(
+            F.md5(F.concat(F.lit(tag), F.col("i").cast("string"))), 1, 8
+        )
+        u = (F.conv(h, 16, 10).cast("double") + 0.5) / 4294967296.0
+        return F.floor(F.exp(u * F.lit(ln_n))).cast("long")
+
+    return (
+        spark.range(n_edges)
+        .toDF("i")
+        .select(zipf("s:").alias("src"), zipf("d:").alias("dst"))
+        .filter("src <> dst")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+
+
 def powerlaw_probe(es: list[int]) -> None:
     """Graph family under REAL graph load (r8, VERDICT r7 item 1): the
     registry's co-purchase graph mines to 2 frequent pairs at sf0.1, so
@@ -349,8 +381,6 @@ def powerlaw_probe(es: list[int]) -> None:
     sought: per-round PageRank shuffle grows ~O(E) (column pr_MB/rnd),
     BFS shuffle is frontier/edge-bounded, not walk-enumeration-bounded,
     and no super-linear wall blowup appears across 1e5 -> 1e7."""
-    import math
-
     from shuffle_audit import _execution_metrics  # noqa: PLC0415
 
     from etl_cloud_logistics_spark.operators.dedup import (  # noqa: PLC0415
@@ -369,24 +399,7 @@ def powerlaw_probe(es: list[int]) -> None:
         return {listed.apply(i).executionId() for i in range(listed.size())}
 
     def powerlaw_edges(n_edges: int):
-        n_nodes = max(n_edges // 10, 1000)
-        ln_n = math.log(n_nodes)
-
-        def zipf(tag: str):
-            h = F.substring(
-                F.md5(F.concat(F.lit(tag), F.col("i").cast("string"))), 1, 8
-            )
-            u = (F.conv(h, 16, 10).cast("double") + 0.5) / 4294967296.0
-            return F.floor(F.exp(u * F.lit(ln_n))).cast("long")
-
-        return (
-            spark.range(n_edges)
-            .toDF("i")
-            .select(zipf("s:").alias("src"), zipf("d:").alias("dst"))
-            .filter("src <> dst")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .localCheckpoint(eager=True)
-        )
+        return _powerlaw_edges(spark, n_edges)
 
     import shutil
     import tempfile
@@ -481,6 +494,150 @@ def powerlaw_probe(es: list[int]) -> None:
                 f"{r['components'][0]:>7.2f} {r['components'][1]:>8.1f} "
                 f"{r['components_star'][0]:>7.2f} {r['components_star'][1]:>8.1f}"
             )
+        spark.catalog.clearCache()
+
+
+def triangle_probe(es: list[int]) -> None:
+    """Triangle counting under hub skew (r11): the operator's 100 TB claim
+    is degree-ordered orientation (Suri & Vassilvitskii's "curse of the
+    last reducer") — wedges are generated by each edge's LOWER-ranked
+    endpoint, capping wedge volume near O(m^{3/2}) where id-ordered
+    orientation lets a hub emit deg² candidates.  On the same
+    Zipf-endpoint graphs as --powerlaw, per tier:
+
+    - compute BOTH orientations' wedge totals Σ od·(od−1)/2 and max
+      out-degree analytically from their out-degree distributions (exact,
+      no wedge join executed) — the blowup read directly;
+    - run the full degree-ordered operator (wall + measured shuffle);
+    - run an id-ordered twin inline ONLY where its computed wedge total
+      is feasible (≤ WEDGE_CAP; above that the skip prints the computed
+      wedge count — no silent cap) and pin its triangle total to the
+      oriented run's: the two enumerations must agree exactly.
+    """
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.operators.graph import (  # noqa: PLC0415
+        triangle_stats,
+    )
+
+    WEDGE_CAP = 300_000_000
+
+    spark = get_spark("scaling-probe-triangles")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    def canonical(edges):
+        return (
+            edges.filter("src <> dst")
+            .select(
+                F.least("src", "dst").alias("lo"),
+                F.greatest("src", "dst").alias("hi"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    def wedge_stats(out_keys, key):
+        """(Σ od·(od−1)/2, max od) of an orientation, from its out-key
+        column alone — BIGINT arithmetic, one aggregation."""
+        od = out_keys.groupBy(key).agg(F.count(F.lit(1)).alias("od"))
+        row = od.agg(
+            F.sum(
+                (F.col("od") * (F.col("od") - F.lit(1))).cast("long") / F.lit(2)
+            ).alias("w"),
+            F.max("od").alias("m"),
+        ).collect()[0]
+        return int(row["w"] or 0), int(row["m"] or 0)
+
+    def degree_out_keys(e):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        return (
+            e.join(
+                deg.select(F.col("node").alias("lo"), F.col("d").alias("dlo")),
+                "lo",
+            )
+            .join(
+                deg.select(F.col("node").alias("hi"), F.col("d").alias("dhi")),
+                "hi",
+            )
+            .select(
+                F.when(F.col("dlo") <= F.col("dhi"), F.col("lo"))
+                .otherwise(F.col("hi"))
+                .alias("u")
+            )
+        ), deg
+
+    def run_id_oriented(e) -> int:
+        # canonical lo < hi IS the id orientation: lo generates the wedge
+        e1 = e.select(F.col("lo").alias("u"), F.col("hi").alias("b"))
+        e2 = e.select(F.col("lo").alias("u"), F.col("hi").alias("c"))
+        wedges = e1.join(e2, "u").where(F.col("b") < F.col("c"))
+        closed = wedges.join(
+            e.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+            ["b", "c"],
+        )
+        return closed.count()
+
+    # warm the plan shapes once at a small size
+    warm = canonical(_powerlaw_edges(spark, 10_000))
+    triangle_stats(warm, src_col="lo", dst_col="hi").agg(
+        F.sum("triangles")
+    ).collect()
+    run_id_oriented(warm)
+
+    print(
+        "triangle probe (Zipf-endpoint graphs, N = E/10): degree-ordered "
+        f"orientation vs id-ordered twin (twin runs when wedges <= {WEDGE_CAP:.0e})"
+    )
+    print(
+        f"{'E_dist':>9} {'N':>8} {'max_deg':>8} {'wedg_deg':>10} {'od_deg':>7} "
+        f"{'wedg_id':>11} {'od_id':>7} {'triangles':>10} {'deg_s':>7} "
+        f"{'deg_MB':>7} {'id_s':>7}   pin"
+    )
+    for raw_e in es:
+        e = canonical(_powerlaw_edges(spark, raw_e))
+        n_edges = e.count()
+        out_deg, deg = degree_out_keys(e)
+        w_deg, od_deg = wedge_stats(out_deg, "u")
+        w_id, od_id = wedge_stats(e.select(F.col("lo").alias("u")), "u")
+        drow = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.max("d").alias("m")
+        ).collect()[0]
+
+        before = exec_ids()
+        t0 = time.perf_counter()
+        srow = (
+            triangle_stats(e, src_col="lo", dst_col="hi")
+            .agg(F.sum("triangles").alias("t"))
+            .collect()[0]
+        )
+        deg_s = time.perf_counter() - t0
+        deg_mb = _execution_metrics(store, exec_ids() - before).get(
+            "shuffle bytes written", 0.0
+        ) / 2**20
+        tri_total = int(srow["t"]) // 3
+
+        if w_id <= WEDGE_CAP:
+            t0 = time.perf_counter()
+            tri_naive = run_id_oriented(e)
+            id_s = f"{time.perf_counter() - t0:>7.2f}"
+            pin = str(tri_naive == tri_total)
+        else:
+            id_s = "   skip"
+            pin = "-"
+        print(
+            f"{n_edges:>9} {drow['n']:>8} {drow['m']:>8} {w_deg:>10} "
+            f"{od_deg:>7} {w_id:>11} {od_id:>7} {tri_total:>10} "
+            f"{deg_s:>7.2f} {deg_mb:>7.1f} {id_s}   {pin}"
+        )
         spark.catalog.clearCache()
 
 
@@ -1969,6 +2126,11 @@ def main() -> None:
     if args and args[0] == "--powerlaw":
         powerlaw_probe(
             [int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000]
+        )
+        return
+    if args and args[0] == "--triangles":
+        triangle_probe(
+            [int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 4_000_000]
         )
         return
     if args and args[0] == "--diameter":
