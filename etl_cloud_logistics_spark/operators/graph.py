@@ -638,11 +638,12 @@ def triangle_stats(
     tri = wedges.join(closure, ["b", "c"]).select(
         F.col("u").alias("a"), "b", "c"
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    # ONE generator pass over the triangle stream — a three-branch union
+    # would give tri three consumers and re-execute the wedge+closure
+    # subtree once per corner (probe-caught at the 4e6-edge tier: three
+    # 36M-row closure joins, ~4.7× the necessary shuffle;
+    # TRIANGLE_PROBE_r11.txt)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
     return deg.join(tcount, "node", "left").select(
         "node",
