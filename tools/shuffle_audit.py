@@ -41,8 +41,20 @@ def _parse_bytes(s: str) -> float:
 
 
 def _execution_metrics(store, exec_ids) -> dict[str, float]:
-    """Sum size-type metrics by name across all accumulators of the given
-    executions (one metric name appears once per plan node)."""
+    """Sum size-type metrics by name across the UNIQUE accumulators of the
+    given executions (one accumulator per physical plan node).
+
+    The per-accumulator dedup is load-bearing under AQE (r11):
+    ``SQLExecutionUIData.metrics`` accumulates one SQLPlanMetric entry per
+    ADAPTIVE PLAN VERSION — every runtime re-plan re-registers the whole
+    plan's metrics with the same accumulator ids — so summing occurrences
+    overcounts by the plan-update count.  Measured on the 13-stage
+    triangle aggregation at 2.7M edges: 39 occurrences over 6 unique
+    shuffle-write accumulators, 3989 "MB" summed vs 586 MB physical (the
+    per-stage task totals agree with the unique sum).  The inflation
+    factor is deterministic per plan shape, which is why round-over-round
+    artifact comparisons stayed coherent; absolute *_MB columns in
+    records drawn before the r11 fix carry that per-query factor."""
     out: dict[str, float] = {}
     listed = store.executionsList()
     for i in range(listed.size()):
@@ -50,11 +62,16 @@ def _execution_metrics(store, exec_ids) -> dict[str, float]:
         if e.executionId() not in exec_ids:
             continue
         values = store.executionMetrics(e.executionId())
+        seen: set[int] = set()
         mets = e.metrics()
         it = mets.iterator()
         while it.hasNext():
             m = it.next()
-            v = values.get(m.accumulatorId())
+            acc = m.accumulatorId()
+            if acc in seen:
+                continue
+            seen.add(acc)
+            v = values.get(acc)
             if not v.isDefined():
                 continue
             name = m.name()
