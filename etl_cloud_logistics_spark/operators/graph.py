@@ -546,6 +546,58 @@ def connected_components_star(
     return labels
 
 
+def _oriented_triangle_stream(
+    edges: DataFrame, src_col: str, dst_col: str, checkpoint: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared core of ``triangle_stats`` / ``triangle_support``: canonical
+    edge set ``e`` (lo < hi, distinct), per-node ``deg``, and the exact
+    once-per-triangle stream ``tri`` (a, b, c in (degree, id)-rank order —
+    NOT id order) via degree-ordered orientation.  See ``triangle_stats``
+    for the algorithm and its scale argument."""
+    e = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter("x <> y")
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("node").alias("lo"), F.col("degree").alias("dlo")), "lo")
+        .join(deg.select(F.col("node").alias("hi"), F.col("degree").alias("dhi")), "hi")
+        # rank(lo) < rank(hi) ⟺ dlo < dhi, or degree tie broken by the
+        # canonical lo < hi — so the tie case is exactly dlo <= dhi
+        .select(
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("lo"))
+            .otherwise(F.col("hi"))
+            .alias("u"),
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("hi"))
+            .otherwise(F.col("lo"))
+            .alias("v"),
+            F.when(F.col("dlo") <= F.col("dhi"), F.col("dhi"))
+            .otherwise(F.col("dlo"))
+            .alias("dv"),
+        )
+    )
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=True)
+    e1 = oriented.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    e2 = oriented.select("u", F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = e1.join(e2, "u").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closure = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closure, ["b", "c"]).select(F.col("u").alias("a"), "b", "c")
+    return e, deg, tri
+
+
 def triangle_stats(
     edges: DataFrame,
     src_col: str = "src",
@@ -595,49 +647,7 @@ def triangle_stats(
     IEEE division is engine-exact (the registry's integer-operand
     division doctrine) — and 0.0 for degree-1 nodes.
     """
-    e = (
-        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
-        .filter("x <> y")
-        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
-        .distinct()
-    )
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
-    deg = (
-        e.select(F.col("lo").alias("node"))
-        .unionAll(e.select(F.col("hi").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    oriented = (
-        e.join(deg.select(F.col("node").alias("lo"), F.col("degree").alias("dlo")), "lo")
-        .join(deg.select(F.col("node").alias("hi"), F.col("degree").alias("dhi")), "hi")
-        # rank(lo) < rank(hi) ⟺ dlo < dhi, or degree tie broken by the
-        # canonical lo < hi — so the tie case is exactly dlo <= dhi
-        .select(
-            F.when(F.col("dlo") <= F.col("dhi"), F.col("lo"))
-            .otherwise(F.col("hi"))
-            .alias("u"),
-            F.when(F.col("dlo") <= F.col("dhi"), F.col("hi"))
-            .otherwise(F.col("lo"))
-            .alias("v"),
-            F.when(F.col("dlo") <= F.col("dhi"), F.col("dhi"))
-            .otherwise(F.col("dlo"))
-            .alias("dv"),
-        )
-    )
-    if checkpoint:
-        oriented = oriented.localCheckpoint(eager=True)
-    e1 = oriented.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
-    e2 = oriented.select("u", F.col("v").alias("c"), F.col("dv").alias("dc"))
-    wedges = e1.join(e2, "u").where(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
-    closure = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    tri = wedges.join(closure, ["b", "c"]).select(
-        F.col("u").alias("a"), "b", "c"
-    )
+    e, deg, tri = _oriented_triangle_stream(edges, src_col, dst_col, checkpoint)
     # ONE generator pass over the triangle stream — a three-branch union
     # would give tri three consumers and re-execute the wedge+closure
     # subtree once per corner (probe-caught at the 4e6-edge tier: three
@@ -656,4 +666,50 @@ def triangle_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("clustering"),
+    )
+
+
+def triangle_support(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-EDGE triangle support: for every canonical edge (lo < hi), the
+    number of triangles it participates in — the single-round core of
+    k-truss peeling, and the standard bridge detector for near-dup graph
+    denoising: an edge closing zero triangles is unsupported transitive
+    evidence (a chain of borderline matches), while edges inside template-
+    family cliques carry support ≈ clique size − 2.  Filtering on support
+    BEFORE connected components stops the over-merge chains that min-label
+    propagation would otherwise glue into giant clusters.
+
+    Same oriented enumeration as ``triangle_stats`` (degree-ordered
+    orientation, O(m^{3/2}) wedge bound — see its docstring); each
+    triangle credits its three edges via one generator pass (the
+    explode discipline from TRIANGLE_PROBE_r11), re-canonicalized to
+    (lo, hi) because the stream is rank-ordered, then one groupBy.
+
+    Returns every canonical edge with its support, INCLUDING support-0
+    edges (left join — the denoiser must see the bridges to drop them):
+    (lo, hi, support).
+    """
+    e, _deg, tri = _oriented_triangle_stream(edges, src_col, dst_col, checkpoint)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("x"), F.col("b").alias("y")),
+                F.struct(F.col("a").alias("x"), F.col("c").alias("y")),
+                F.struct(F.col("b").alias("x"), F.col("c").alias("y")),
+            )
+        ).alias("te")
+    ).select(
+        F.least("te.x", "te.y").alias("lo"),
+        F.greatest("te.x", "te.y").alias("hi"),
+    )
+    sup = tri_edges.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("support"))
+    return e.join(sup, ["lo", "hi"], "left").select(
+        "lo",
+        "hi",
+        F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
     )

@@ -80,9 +80,12 @@ driver history: nine TPC-H rows (``tpch_q1/q3/q4/q5/q6/q7/q10/q14/q19``),
 ``multimodal_image_header_roundtrip``, ``containment_excerpt_pairs``,
 ``remove_duplicated_spans``, ``semi_join_urgent_customers`` (numeric-kind
 gate re-verified r11), ``zorder_key_events`` (new r11 — the Morton
-clustering key proven against SQL), and ``neardup_triangle_stats`` (new
+clustering key proven against SQL), ``neardup_triangle_stats`` (new
 r11 — exact triangle/clustering counts over the SimHash graph, oracle
-shares the pair CTEs with the long-driver-green ``simhash_near_pairs``).
+shares the pair CTEs with the long-driver-green ``simhash_near_pairs``),
+and ``neardup_truss_components`` (new r11 — bridge-edge denoised
+clustering: support-0 pairs dropped before the min-label closure, 9 →
+46 components at sf0.01, recursive-CTE oracle).
 
 Original (r9) shortlist note, for history — oracle-bearing rows with ZERO driver history.
 Added in r9 (all locally green on first verification): the eleven TPC-H

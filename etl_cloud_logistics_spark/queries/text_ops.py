@@ -241,6 +241,76 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_truss_components",
+    oracle=f"""
+    WITH RECURSIVE {_SIMHASH_PAIR_CTES},
+    tri AS MATERIALIZED (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM sp e1
+        JOIN sp e2 ON e2.doc_a = e1.doc_b
+        JOIN sp e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    sup AS (
+        SELECT u, v, COUNT(*) AS s FROM (
+            SELECT a AS u, b AS v FROM tri
+            UNION ALL SELECT a AS u, c AS v FROM tri
+            UNION ALL SELECT b AS u, c AS v FROM tri
+        ) GROUP BY u, v
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM sup WHERE s >= 1
+        UNION
+        SELECT v AS src, u AS dst FROM sup WHERE s >= 1
+    ),
+    enodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+        SELECT node, node FROM enodes
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    allnodes AS (SELECT doc_a AS node FROM sp UNION SELECT doc_b AS node FROM sp)
+    SELECT n.node AS doc_id, COALESCE(MIN(r.lbl), n.node) AS component
+    FROM allnodes n LEFT JOIN reach r ON r.node = n.node
+    GROUP BY n.node
+    ORDER BY doc_id
+    """,
+    extra=True,  # new r11: zero driver history — rotation candidate
+)
+def neardup_truss_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denoised near-dup clustering (X2): drop every SimHash pair that
+    closes ZERO triangles (``operators.graph.triangle_support`` — the
+    single-round core of k-truss peeling), then canonicalize components
+    over the surviving edges.  Bridge edges are unsupported transitive
+    evidence — one borderline match chaining two template families — and
+    min-label propagation would glue everything they touch: on the sf0.01
+    graph the raw 2932 edges merge into 9 giant clusters, while removing
+    the 52 support-0 bridges yields 46.  Every document of the ORIGINAL
+    pair graph stays in the output (denoised-out docs become singletons —
+    a denoiser must not silently drop rows).  The oracle re-derives the
+    pair set, enumerates canonical triangles, filters by support, and
+    closes components with the same recursive min-label CTE the
+    components row uses."""
+    from ..operators.dedup import neardup_components
+    from ..operators.graph import triangle_support
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(simhash64(docs), max_hamming=3)
+    kept = triangle_support(pairs, src_col="doc_a", dst_col="doc_b").filter(
+        F.col("support") >= 1
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = neardup_components(
+        kept.select(F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b")),
+        nodes,
+    )
+    return comp.select("doc_id", "component").orderBy("doc_id")
+
+
+@register(
     "neardup_triangle_stats",
     oracle=f"""
     WITH {_SIMHASH_PAIR_CTES},

@@ -1211,3 +1211,50 @@ def test_triangle_stats_matches_bruteforce_random_graph(spark):
         d = len(adj[v])
         exp_c = (2.0 * exp_tri[v]) / (d * (d - 1)) if d > 1 else 0.0
         assert got[v] == (d, exp_tri[v], exp_c), v
+
+
+def test_triangle_support_flags_bridge_edges(spark):
+    """Two triangles joined by one bridge edge: every clique edge closes
+    exactly one triangle, the bridge closes none — the denoiser's
+    keep/drop signal, with support-0 edges present in the output."""
+    from etl_cloud_logistics_spark.operators.graph import triangle_support
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r.lo, r.hi): r.support for r in triangle_support(df).collect()}
+    assert got == {
+        (1, 2): 1, (2, 3): 1, (1, 3): 1,
+        (4, 5): 1, (5, 6): 1, (4, 6): 1,
+        (3, 4): 0,
+    }
+
+
+def test_triangle_support_consistent_with_triangle_stats(spark):
+    """Same seeded random graph as the stats differential: Σ support =
+    3·T (each triangle credits three edges), and per node Σ support over
+    incident edges = 2·T(v) (each triangle at v covers two of v's edges)
+    — ties the edge-level and node-level enumerations together exactly."""
+    import random
+    from collections import defaultdict
+
+    from etl_cloud_logistics_spark.operators.graph import (
+        triangle_stats,
+        triangle_support,
+    )
+
+    rng = random.Random(411)
+    n = 40
+    und = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+    )
+    df = spark.createDataFrame(und, "src long, dst long")
+    sup = {(r.lo, r.hi): r.support for r in triangle_support(df, checkpoint=False).collect()}
+    stats = {r.node: r.triangles for r in triangle_stats(df, checkpoint=False).collect()}
+    assert set(sup) == set(und)
+    assert sum(sup.values()) == 3 * (sum(stats.values()) // 3) == sum(stats.values())
+    per_node = defaultdict(int)
+    for (a, b), s in sup.items():
+        per_node[a] += s
+        per_node[b] += s
+    for v, t in stats.items():
+        assert per_node[v] == 2 * t, v
