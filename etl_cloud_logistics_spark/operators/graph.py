@@ -713,3 +713,75 @@ def triangle_support(
         "hi",
         F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
     )
+
+
+def truss_peel(
+    edges: DataFrame,
+    k: int = 4,
+    n_rounds: int | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008): iteratively delete every edge closing
+    fewer than k−2 triangles until fixpoint — the maximal subgraph where
+    each edge is embedded in at least k−2 triangles.  The graded version
+    of ``triangle_support``'s one-shot bridge filter: peeling re-measures
+    support on the SURVIVORS, so a chain of weakly-supported cliques
+    unravels even when every edge individually clears the bar on the raw
+    graph.
+
+    ``n_rounds`` fixed (the ``pagerank_fixed`` pattern) makes the result
+    a pure function of (edge set, k, n_rounds) with a statically
+    unrollable SQL twin — the registry row runs 3 rounds, converged on
+    its graph, and stays deterministic at any scale whether or not 3
+    rounds converge there.  ``n_rounds=None`` peels to fixpoint
+    (production mode): each round is one oriented triangle enumeration
+    (O(m^{3/2}) wedges, see ``triangle_stats``) over a monotonically
+    shrinking edge set, with convergence read from the per-round edge
+    count the round must materialize anyway; raises after ``max_iter``
+    non-converged rounds like the star components loop.
+
+    Returns the surviving canonical edges with support measured ON the
+    surviving set: (lo, hi, support) — under fixed ``n_rounds`` a
+    support may still sit below k−2 if the graph needed more rounds,
+    which is readable from the output rather than papered over.
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3 (every edge is a 2-truss); got {k}")
+    e = (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .filter("x <> y")
+        .select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = e.count() if n_rounds is None else None
+    rounds = 0
+    while True:
+        if n_rounds is not None:
+            if rounds >= n_rounds:
+                break
+        elif rounds >= max_iter:
+            raise RuntimeError(
+                f"truss_peel(k={k}) did not converge in {max_iter} rounds — "
+                "each round deletes at least one edge, so this graph needs "
+                "a larger max_iter (or the fixed n_rounds mode)"
+            )
+        kept = (
+            triangle_support(e, src_col="lo", dst_col="hi")
+            .filter(F.col("support") >= k - 2)
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if n_rounds is None:
+            n_kept = kept.count()
+            if n_kept == n_prev:
+                e = kept
+                break
+            n_prev = n_kept
+        e = kept
+        if n_rounds is None and n_prev == 0:
+            break
+    return triangle_support(e, src_col="lo", dst_col="hi")

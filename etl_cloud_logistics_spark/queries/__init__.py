@@ -83,9 +83,11 @@ gate re-verified r11), ``zorder_key_events`` (new r11 — the Morton
 clustering key proven against SQL), ``neardup_triangle_stats`` (new
 r11 — exact triangle/clustering counts over the SimHash graph, oracle
 shares the pair CTEs with the long-driver-green ``simhash_near_pairs``),
-and ``neardup_truss_components`` (new r11 — bridge-edge denoised
+``neardup_truss_components`` (new r11 — bridge-edge denoised
 clustering: support-0 pairs dropped before the min-label closure, 9 →
-46 components at sf0.01, recursive-CTE oracle).
+46 components at sf0.01, recursive-CTE oracle), and
+``neardup_truss_peel`` (new r11 — fixed-3-round 4-truss, the
+pagerank_fixed unrolled-oracle pattern applied to an edge-peeling loop).
 
 Original (r9) shortlist note, for history — oracle-bearing rows with ZERO driver history.
 Added in r9 (all locally green on first verification): the eleven TPC-H

@@ -310,6 +310,99 @@ def neardup_truss_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("doc_id", "component").orderBy("doc_id")
 
 
+def _truss_peel_oracle_sql(k: int, n_rounds: int) -> str:
+    """Unroll ``truss_peel``'s fixed peel rounds as chained CTEs (the
+    ``_pagerank_oracle_sql`` discipline): each round enumerates canonical
+    triangles over the current edge set, counts per-edge support, and
+    keeps edges with support ≥ k−2; a final support pass prices the
+    survivors.  Every CTE is MATERIALIZED — each e{{r}} feeds the next
+    round's three-way self-join (plain CTEs would inline the whole
+    upstream subtree per reference)."""
+    parts = [
+        f"WITH {_SIMHASH_PAIR_CTES},",
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM sp)",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = f"e{r - 1}"
+        parts.append(
+            f""",
+t{r} AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM {p} e1
+    JOIN {p} e2 ON e2.u = e1.v
+    JOIN {p} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+s{r} AS MATERIALIZED (
+    SELECT u, v, COUNT(*) AS s FROM (
+        SELECT a AS u, b AS v FROM t{r}
+        UNION ALL SELECT a AS u, c AS v FROM t{r}
+        UNION ALL SELECT b AS u, c AS v FROM t{r}
+    ) GROUP BY u, v
+),
+e{r} AS MATERIALIZED (
+    SELECT e.u, e.v FROM {p} e
+    JOIN s{r} s ON s.u = e.u AND s.v = e.v
+    WHERE s.s >= {k - 2}
+)"""
+        )
+    last = f"e{n_rounds}"
+    parts.append(
+        f""",
+tf AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM {last} e1
+    JOIN {last} e2 ON e2.u = e1.v
+    JOIN {last} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+sf AS (
+    SELECT u, v, COUNT(*) AS s FROM (
+        SELECT a AS u, b AS v FROM tf
+        UNION ALL SELECT a AS u, c AS v FROM tf
+        UNION ALL SELECT b AS u, c AS v FROM tf
+    ) GROUP BY u, v
+)
+SELECT e.u AS doc_a, e.v AS doc_b, COALESCE(sf.s, 0) AS support
+FROM {last} e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v
+ORDER BY doc_a, doc_b"""
+    )
+    return "".join(parts)
+
+
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 3  # converged on the sf0.01 graph (2932 → 2828 → 2827 →
+# fixpoint); the row's semantics are the FIXED 3 rounds, deterministic at
+# any scale whether or not 3 rounds converge there (pagerank_fixed model)
+
+
+@register(
+    "neardup_truss_peel",
+    oracle=_truss_peel_oracle_sql(_TRUSS_K, _TRUSS_ROUNDS),
+    extra=True,  # new r11: zero driver history — rotation candidate
+)
+def neardup_truss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the SimHash near-dup graph by 3 fixed peel rounds
+    (X2 denoising, graded): every surviving pair is embedded in ≥ 2
+    triangles OF THE SURVIVING GRAPH — peeling re-measures support on
+    survivors, so weakly-chained cliques unravel where the one-shot
+    support filter (``neardup_truss_components``) would keep them.
+    Iterative like pagerank/components (one oriented triangle enumeration
+    per round, lineage truncated); fixed rounds make it oracle-exact:
+    the DuckDB twin unrolls the same 3 rounds + final support pass as
+    chained CTEs.  Survivor support lands in the output, so a
+    not-yet-converged graph is readable, not hidden."""
+    from ..operators.graph import truss_peel
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(simhash64(docs), max_hamming=3)
+    out = truss_peel(
+        pairs, k=_TRUSS_K, n_rounds=_TRUSS_ROUNDS,
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return out.select(
+        F.col("lo").alias("doc_a"), F.col("hi").alias("doc_b"), "support"
+    ).orderBy("doc_a", "doc_b")
+
+
 @register(
     "neardup_triangle_stats",
     oracle=f"""

@@ -1258,3 +1258,70 @@ def test_triangle_support_consistent_with_triangle_stats(spark):
         per_node[b] += s
     for v, t in stats.items():
         assert per_node[v] == 2 * t, v
+
+
+def test_truss_peel_planted_k5_with_pendant_triangle(spark):
+    """K5 plus a pendant triangle {10,11,12} attached by bridge (5,10):
+    at k=4 the bridge (support 0) and the pendant triangle (each edge in
+    exactly 1 triangle < 2) peel away, leaving exactly K5 with every edge
+    at support 3; at k=3 only the bridge peels.  Until-convergence and a
+    generous fixed n_rounds agree."""
+    import itertools
+
+    from etl_cloud_logistics_spark.operators.graph import truss_peel
+
+    k5 = list(itertools.combinations(range(1, 6), 2))
+    edges = k5 + [(10, 11), (11, 12), (10, 12), (5, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    got4 = {(r.lo, r.hi): r.support for r in truss_peel(df, k=4).collect()}
+    assert got4 == {(a, b): 3 for a, b in k5}
+
+    got3 = {(r.lo, r.hi): r.support for r in truss_peel(df, k=3).collect()}
+    assert set(got3) == set(k5) | {(10, 11), (11, 12), (10, 12)}
+    assert got3[(10, 11)] == 1
+
+    fixed = {(r.lo, r.hi): r.support
+             for r in truss_peel(df, k=4, n_rounds=6).collect()}
+    assert fixed == got4
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        truss_peel(df, k=2)
+
+
+def test_truss_peel_matches_bruteforce_random_graph(spark):
+    """Seeded random graph: distributed peel == the driver-side peel loop
+    (recompute support, drop < k-2, repeat to fixpoint), edges AND final
+    supports, for k=3,4,5 — including the k where everything dies."""
+    import itertools
+    import random
+
+    from etl_cloud_logistics_spark.operators.graph import truss_peel
+
+    rng = random.Random(1107)
+    n = 30
+    und = sorted(
+        {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.18}
+    )
+
+    def brute(k):
+        cur = set(und)
+        while True:
+            sup = {e: 0 for e in cur}
+            for a, b, c in itertools.combinations(range(n), 3):
+                if (a, b) in cur and (a, c) in cur and (b, c) in cur:
+                    sup[(a, b)] += 1
+                    sup[(a, c)] += 1
+                    sup[(b, c)] += 1
+            nxt = {e for e in cur if sup[e] >= k - 2}
+            if nxt == cur:
+                return {e: sup[e] for e in cur}
+            cur = nxt
+
+    df = spark.createDataFrame(und, "src long, dst long")
+    for k in (3, 4, 5):
+        exp = brute(k)
+        got = {(r.lo, r.hi): r.support for r in truss_peel(df, k=k).collect()}
+        assert got == exp, k
