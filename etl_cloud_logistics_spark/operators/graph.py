@@ -785,3 +785,80 @@ def truss_peel(
         if n_rounds is None and n_prev == 0:
             break
     return triangle_support(e, src_col="lo", dst_col="hi")
+
+
+def sssp_fixed(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Hop-bounded cheapest distance from ``sources`` (one ``node``
+    column) by ``n_rounds`` Bellman-Ford min-plus relaxations: after
+    round R, ``dist(v)`` is the exact minimum weight over all paths of
+    ≤ R edges — the fixed-round member of the family (``pagerank_fixed``,
+    ``truss_peel``), so with INTEGRAL weights the result is a pure
+    function of (edges, sources, n_rounds) and carries a bit-exact
+    unrolled SQL twin.  Semantics are stated as hop-bounded rather than
+    "converged": a weighted shortest path can use more hops than the
+    unweighted diameter (three w=1 hops beat one w=10 edge), so callers
+    choose R for the path depth they mean; rounds past the true shortest-
+    path depth are exact no-ops (min-plus is monotone), changing nothing
+    but wall time.
+
+    Per round — the PageRank shuffle shape: ONE frontier⋈edges equi-join
+    emitting (dst, dist+w) candidates, one union with the carried
+    distances, one map-side-combinable MIN aggregation; lineage truncates
+    per round via RoundCheckpointer (``checkpoint_dir`` switches to the
+    reliable two-slot parquet scheme), and the static edge list is pinned
+    to its join key past the BFS gate so big graphs exchange only the
+    O(|V|) distance side per round.
+
+    Unreached nodes have NO row (sparse frontier — the 100 TB form;
+    total rows ≤ reachable set, never |V|×rounds).  Returns
+    (node, dist: long).
+    """
+    if not isinstance(
+        edges.schema[weight_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise TypeError(
+            "sssp_fixed needs integral edge weights (min-plus must be "
+            f"engine-exact for the unrolled oracle); got "
+            f"{edges.schema[weight_col]} — scale fixed-point weights to "
+            "integers first (the pagerank_fixed doctrine)"
+        )
+    chk = RoundCheckpointer(checkpoint_dir, prefix="sssp-fixed")
+    edges_frame = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).distinct()
+    # same pin discipline as bfs_min_hops: count once off the persisted
+    # frame (local mode only — reliable parquet statics let AQE broadcast
+    # the distance side below the higher threshold)
+    if chk.run_dir is None:
+        pre = edges_frame.persist()
+        n_e = pre.count()
+        pin = "src" if n_e >= 10 * PIN_PARTITIONING_MIN_NODES else None
+        e = chk.static(pre, "edges", pin_key=pin)
+        pre.unpersist()
+    else:
+        e = chk.static(edges_frame, "edges")
+    d = chk(
+        sources.select("node").distinct().withColumn(
+            "dist", F.lit(0).cast("long")
+        )
+    )
+    for _ in range(n_rounds):
+        cand = d.join(e, d["node"] == e["src"]).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        d = chk(
+            d.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    chk.cleanup_stale(returning=d)
+    return d

@@ -87,7 +87,10 @@ shares the pair CTEs with the long-driver-green ``simhash_near_pairs``),
 clustering: support-0 pairs dropped before the min-label closure, 9 →
 46 components at sf0.01, recursive-CTE oracle), and
 ``neardup_truss_peel`` (new r11 — fixed-3-round 4-truss, the
-pagerank_fixed unrolled-oracle pattern applied to an edge-peeling loop).
+pagerank_fixed unrolled-oracle pattern applied to an edge-peeling loop),
+and ``cheapest_copurchase_route`` (new r11 — 6-round Bellman-Ford over
+association-weighted edges, the third iterative op with a bit-exact
+unrolled oracle).
 
 Original (r9) shortlist note, for history — oracle-bearing rows with ZERO driver history.
 Added in r9 (all locally green on first verification): the eleven TPC-H

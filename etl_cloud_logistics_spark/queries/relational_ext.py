@@ -1032,6 +1032,96 @@ def reachable_parts_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SSSP_ROUNDS = 6  # ≥ the weighted-path depth on this graph (BFS reaches
+# everything in ≤4 unweighted hops; cheap multi-hop detours may use a few
+# more edges) — and the semantics are the FIXED 6 rounds regardless, so
+# the row is deterministic at any scale (sssp_fixed docstring)
+
+
+def _sssp_oracle_sql(n_rounds: int) -> str:
+    """Unroll ``sssp_fixed``'s Bellman-Ford rounds as chained CTEs over
+    the weighted co-purchase graph (weight = 1 + 1000 // pair_orders —
+    stronger association ⇒ cheaper edge, BIGINT-exact in both engines).
+    Same discipline as ``_pagerank_oracle_sql``: MATERIALIZED per round
+    (each d{{r}} feeds the next round's join AND carry-over)."""
+    parts = [
+        """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+ic AS (SELECT item, COUNT(*) AS c FROM li GROUP BY item),
+freq AS (SELECT item FROM ic WHERE c >= 3),
+lf AS MATERIALIZED (SELECT li.basket, li.item FROM li JOIN freq ON freq.item = li.item),
+wpairs AS MATERIALIZED (
+    SELECT a.item AS pa, b.item AS pb, COUNT(*) AS c
+    FROM lf a JOIN lf b ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+),
+edges AS MATERIALIZED (
+    SELECT pa AS src, pb AS dst, 1 + 1000 // c AS w FROM wpairs
+    UNION ALL
+    SELECT pb AS src, pa AS dst, 1 + 1000 // c AS w FROM wpairs
+),
+seed AS (SELECT MIN(src) AS s FROM edges),
+d0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM seed)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        p = f"d{r - 1}"
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+    SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {p}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM {p} d JOIN edges e ON e.src = d.node
+    ) GROUP BY node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node AS part, CAST(dist AS BIGINT) AS dist "
+        f"FROM d{n_rounds} ORDER BY part"
+    )
+    return "".join(parts)
+
+
+@register(
+    "cheapest_copurchase_route",
+    oracle=_sssp_oracle_sql(_SSSP_ROUNDS),
+    extra=True,  # new r11: zero driver history — rotation candidate
+)
+def cheapest_copurchase_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded cheapest route from the smallest co-purchased part
+    over association-weighted edges (w = 1 + 1000 // pair_orders: parts
+    co-ordered more often are "closer") — 6 fixed Bellman-Ford rounds
+    via ``operators.graph.sssp_fixed``, the third iterative operator to
+    carry a bit-exact unrolled SQL oracle (after pagerank_fixed and
+    truss_peel).  Unlike BFS hops, a cheap multi-hop detour can beat a
+    direct weak edge, which is what makes the weighted variant worth
+    having next to ``reachable_parts_bfs``."""
+    from ..operators.cooccurrence import frequent_pairs
+    from ..operators.graph import sssp_fixed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        frequent_pairs(li, "l_orderkey", "l_partkey", minsup=3)
+        .select(
+            "item_a",
+            "item_b",
+            (F.lit(1) + F.expr("div(1000, pair_orders)")).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # two union consumers, like pagerank
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("src"), F.col("item_a").alias("dst"), "w"
+        )
+    )
+    seeds = edges.agg(F.min("src").alias("node"))
+    return sssp_fixed(edges, seeds, n_rounds=_SSSP_ROUNDS).select(
+        F.col("node").alias("part"), "dist"
+    ).orderBy("part")
+
+
 @register(
     "bloom_semi_reduced_join",
     extra=True,  # r11 rotation: driver-green since r4 (long green); the

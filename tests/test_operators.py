@@ -1325,3 +1325,65 @@ def test_truss_peel_matches_bruteforce_random_graph(spark):
         exp = brute(k)
         got = {(r.lo, r.hi): r.support for r in truss_peel(df, k=k).collect()}
         assert got == exp, k
+
+
+def test_sssp_fixed_hop_bounded_semantics(spark):
+    """Direct w=10 edge vs a three-hop w=1+1+1 detour: round counts gate
+    exactly which paths exist — R=1 sees 10, R=3 sees 3 — and rounds past
+    convergence are exact no-ops."""
+    from etl_cloud_logistics_spark.operators.graph import sssp_fixed
+
+    edges = [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    def run(r):
+        return {x.node: x.dist for x in sssp_fixed(df, seeds, n_rounds=r).collect()}
+
+    assert run(1) == {1: 0, 2: 10, 3: 1}
+    assert run(2) == {1: 0, 2: 10, 3: 1, 4: 2}
+    assert run(3) == {1: 0, 2: 3, 3: 1, 4: 2}
+    assert run(5) == run(3)
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(1, 2, 0.5)], "src long, dst long, w double")
+    with _pytest.raises(TypeError):
+        sssp_fixed(bad, seeds, n_rounds=1)
+
+
+def test_sssp_fixed_matches_dijkstra_random_graph(spark):
+    """Seeded random weighted digraph: n rounds ≥ any shortest-path depth,
+    so the fixed-round result equals driver-side Dijkstra on the exact
+    reachable set (sparse output — unreached nodes absent)."""
+    import heapq
+    import random
+
+    from etl_cloud_logistics_spark.operators.graph import sssp_fixed
+
+    rng = random.Random(2026)
+    n = 35
+    edges = [
+        (a, b, rng.randint(1, 20))
+        for a in range(n)
+        for b in range(n)
+        if a != b and rng.random() < 0.08
+    ]
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {0: 0}
+    heap = [(0, 0)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in sssp_fixed(df, seeds, n_rounds=n).collect()}
+    assert got == dist
