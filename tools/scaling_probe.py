@@ -26,6 +26,9 @@ Usage: python tools/scaling_probe.py [K ...]            (default 1 5 10)
            components label-prop AND star on synthesized Zipf-endpoint
            graphs at E edges, BOTH checkpoint modes, wall + measured
            shuffle; default 1e5 1e6 1e7)
+       python tools/scaling_probe.py --sssp [E ...]     (fixed-round
+           Bellman-Ford on Zipf graphs: wall + true shuffle per round,
+           local==reliable checksum pin; default 1e5 1e6 1e7)
        python tools/scaling_probe.py --triangles [E ...] (exact triangle
            counts on Zipf graphs at E edges: degree-ordered orientation
            vs the id-ordered wedge blowup, analytic wedge totals + an
@@ -495,6 +498,95 @@ def powerlaw_probe(es: list[int]) -> None:
                 f"{r['components_star'][0]:>7.2f} {r['components_star'][1]:>8.1f}"
             )
         spark.catalog.clearCache()
+
+
+def sssp_probe(es: list[int]) -> None:
+    """Fixed-round Bellman-Ford under graph load (r11): sssp_fixed's
+    per-round plan is the pagerank_fixed shape (frontier⋈pinned-static
+    join + one MIN aggregation), so the expected evidence is the same —
+    ~O(E)-bounded per-round shuffle, no super-linear wall blowup — now
+    MEASURED rather than argued by shape.  Zipf graphs as --powerlaw,
+    deterministic hash weights (w = 1 + hash(src,dst) mod 9), 8 rounds
+    from the min-id node, both durability modes; the reached-count and
+    min-plus checksum pin local == reliable (bit-exact independence from
+    the checkpoint mechanism)."""
+    from shuffle_audit import _execution_metrics  # noqa: PLC0415
+
+    from etl_cloud_logistics_spark.operators.graph import sssp_fixed  # noqa: PLC0415
+
+    N_ROUNDS = 8
+    spark = get_spark("scaling-probe-sssp")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
+    def weighted(edges):
+        return edges.select(
+            "src",
+            "dst",
+            (
+                F.lit(1)
+                + F.pmod(F.hash(F.col("src"), F.col("dst")), F.lit(9))
+            ).cast("long").alias("w"),
+        )
+
+    def run(edges, seeds, chk_dir):
+        before = exec_ids()
+        t0 = time.perf_counter()
+        row = (
+            sssp_fixed(edges, seeds, n_rounds=N_ROUNDS, checkpoint_dir=chk_dir)
+            .agg(
+                F.count(F.lit(1)).alias("reached"),
+                F.sum(F.col("dist") * F.col("dist")).alias("chk"),
+            )
+            .collect()[0]
+        )
+        wall = time.perf_counter() - t0
+        mb = _execution_metrics(store, exec_ids() - before).get(
+            "shuffle bytes written", 0.0
+        ) / 2**20
+        spark.catalog.clearCache()
+        return wall, mb, int(row["reached"]), int(row["chk"])
+
+    import shutil
+    import tempfile
+
+    warm = weighted(_powerlaw_edges(spark, 10_000))
+    run(warm, warm.agg(F.min("src").alias("node")), None)
+
+    print(
+        f"sssp probe (Zipf graphs, hash weights 1-9, {N_ROUNDS} fixed "
+        "Bellman-Ford rounds from the min-id node)"
+    )
+    print(
+        f"{'E':>9} {'mode':>8} {'wall_s':>7} {'MB':>8} {'MB/rnd':>7} "
+        f"{'reached':>8}   local==reliable"
+    )
+    for e_raw in es:
+        edges = weighted(_powerlaw_edges(spark, e_raw))
+        n_edges = edges.count()
+        seeds = edges.agg(F.min("src").alias("node"))
+        results = {}
+        for mode in ("local", "reliable"):
+            chk = None if mode == "local" else tempfile.mkdtemp(prefix="ssspchk-")
+            try:
+                wall, mb, reached, chksum = run(edges, seeds, chk)
+            finally:
+                if chk is not None:
+                    shutil.rmtree(chk, ignore_errors=True)
+            results[mode] = (reached, chksum)
+            pin = (
+                str(results["local"] == results["reliable"])
+                if mode == "reliable"
+                else ""
+            )
+            print(
+                f"{n_edges:>9} {mode:>8} {wall:>7.2f} {mb:>8.1f} "
+                f"{mb / N_ROUNDS:>7.1f} {reached:>8}   {pin}"
+            )
+        assert results["local"] == results["reliable"], results
 
 
 def triangle_probe(es: list[int]) -> None:
@@ -2125,6 +2217,11 @@ def main() -> None:
         return
     if args and args[0] == "--powerlaw":
         powerlaw_probe(
+            [int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000]
+        )
+        return
+    if args and args[0] == "--sssp":
+        sssp_probe(
             [int(float(a)) for a in args[1:]] or [100_000, 1_000_000, 10_000_000]
         )
         return
