@@ -164,7 +164,11 @@ class RoundCheckpointer:
         return out
 
     def static(
-        self, df: DataFrame, name: str, pin_key: str | None = None
+        self,
+        df: DataFrame,
+        name: str,
+        pin_key: str | None = None,
+        lazy: bool = False,
     ) -> DataFrame:
         """Materialize a LOOP-INVARIANT frame (edge lists, out-degrees):
         one dedicated slot per name, written once, never alternated —
@@ -199,11 +203,29 @@ class RoundCheckpointer:
         measurably more per round than an RDD scan on floor-sized graphs
         (+15% per invocation on the registry graph) — callers gate it on
         size per mode.  Pinned blocks are unpersisted by
-        ``cleanup_stale``/``cleanup_all``."""
+        ``cleanup_stale``/``cleanup_all``.
+
+        ``lazy`` (r11 optimization round — guide §2.4, remove jobs
+        outright): in LOCAL mode with no ``pin_key``, ``persist()`` the
+        frame instead of eagerly localCheckpointing it, so its
+        materialization folds into the first action that already has to
+        read it (a count, round 1 of the loop) instead of being its own
+        scheduled job.  On floor-sized graphs the per-JOB floor, not data,
+        dominates iterative walls (13 SQL executions measured on the
+        registry PageRank row), so every folded job is wall time off; the
+        cached blocks serve every later round exactly like the checkpoint
+        blocks did, and the cache entry is released by
+        ``cleanup_stale``/``cleanup_all`` as with pinned statics.  Ignored
+        in RELIABLE mode (the eager parquet write IS the durability
+        contract) and with ``pin_key`` (the pin's repartition+count is the
+        measured big-graph path, where one extra job is noise)."""
         if self.run_dir is None:
             if pin_key is not None:
                 out = df.repartition(pin_key).persist()
                 out.count()  # eager, like the checkpoint path
+                self._persisted_statics.append(out)
+            elif lazy:
+                out = df.persist()
                 self._persisted_statics.append(out)
             else:
                 out = df.localCheckpoint(eager=True)

@@ -174,10 +174,34 @@ def pagerank_fixed(
 
     Returns (node, rank_fp: long)."""
     chk = RoundCheckpointer(checkpoint_dir, prefix="pagerank-fixed")
+    # r11 optimization round (guide §2.4 — remove jobs outright): the
+    # pre-loop section used to schedule SIX actions (edges static, nodes
+    # static, nodes.count, edges-od static, dangling count, ranks-init
+    # checkpoint) before the first iteration ran — measured 13 SQL
+    # executions on the registry row, nearly all per-job scheduling floor
+    # (18.7 MB total shuffle).  Three of those barriers fold away with the
+    # per-round plans left bit-identical:
+    #
+    # - ``e`` has no in-loop consumer (rounds read ``e_od``/``nodes``), so
+    #   it becomes a LAZY persist whose materialization rides the nodes
+    #   static's job — its own execution disappears;
+    # - n and n_dangling come from ONE aggregate over the nodes static
+    #   (left join against the distinct src set) instead of two counts;
+    # - the ranks seed is a narrow map over the nodes static — no
+    #   checkpoint of its own; round 1's in-loop checkpoint truncates
+    #   lineage exactly as before.
+    #
+    # Statics the ROUNDS join against (``nodes``, ``e_od``) deliberately
+    # keep the eager RDD localCheckpoint: a lazy-persist variant was
+    # measured and REJECTED — the per-round joins then read the columnar
+    # cache instead of RDD blocks, +25-30% per round on the registry graph
+    # (the same columnar-cache round-trip cost documented on the pin path
+    # in RoundCheckpointer.static), which ate the folded jobs' savings.
     e = chk.static(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct(),
         "edges",
+        lazy=True,
     )
     nodes = chk.static(
         e.select(F.col("src").alias("node"))
@@ -185,7 +209,24 @@ def pagerank_fixed(
         .distinct(),
         "nodes",
     )
-    n = nodes.count()
+    # one action for BOTH graph constants: n (node count) and n_dangling
+    # (nodes with no out-edge) — previously nodes.count() plus a separate
+    # anti-join count.  Every src IS a node by construction, so
+    # n_dangling = n − |distinct srcs|; a two-group union count gets both
+    # in one job whose only exchange is the src-distinct (map-side
+    # partial counts reduce the union to 2 rows) — strictly less shuffle
+    # than the old nodes⋈srcs anti-join, measured −16 MB at 1e7 edges.
+    srcs = e.select(F.col("src").alias("node")).distinct()
+    counts = {
+        r["k"]: r["c"]
+        for r in nodes.select(F.lit("n").alias("k"))
+        .unionAll(srcs.select(F.lit("s").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n = counts.get("n", 0)
+    n_dangling = n - counts.get("s", 0)
     if n == 0:
         # empty graph: in reliable mode `nodes` is backed by a static slot
         # under a possibly-shared checkpoint_dir — returning it would leak
@@ -225,18 +266,22 @@ def pagerank_fixed(
     )
     pin_key = "e_src" if n >= pin_min else None
     e_od = chk.static(e_od_frame, "edges-od", pin_key=pin_key)
-    # nodes with no out-edges — static, so detected once before the loop
-    dangling = nodes.join(
-        e.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
-    )
-    n_dangling = dangling.count()
     if n_dangling:
         # hoist the SET too, not just the count: the per-round dang
         # aggregate semi-joins against it, and a lazy frame would re-run
         # the distinct + anti-join inside every round (review, r7)
+        dangling = nodes.join(srcs, "node", "left_anti")
         dangling = chk.static(dangling.select("node"), "dangling")
+    else:
+        dangling = None
     base = (100 - damping_pct) * scale // (100 * n)
-    ranks = chk(nodes.withColumn("r", F.lit(scale // n).cast("long")))
+    # seed ranks as a narrow map over the nodes static — no checkpoint of
+    # its own; the first in-loop checkpoint truncates lineage as before
+    ranks = nodes.withColumn("r", F.lit(scale // n).cast("long"))
+    if n_iter == 0:
+        # degenerate call: the loop never checkpoints, but cleanup_stale
+        # requires (and the caller receives) a round-slot frame
+        ranks = chk(ranks)
     for it in range(n_iter):
         contribs = (
             ranks.join(e_od, ranks["node"] == e_od["e_src"])
