@@ -560,12 +560,35 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = F.col("l_shipdate") <= F.col("o_orderdate") + F.expr(
         f"INTERVAL {DELAY_DAYS} DAYS"
     )
-    metricas = (
-        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", F.col("c_name").alias("nombre"))
+    # r11 optimization round (guide §3.1/§2.3 — pick the broadcast side
+    # deliberately, aggregate before you shuffle): the original
+    # orders LEFT JOIN lineitem could only build its hash relation from
+    # the RIGHT side, so the planner broadcast the ENTIRE lineitem fact
+    # (plans/r11/q10_customer_ranking_before.txt, BroadcastExchange over
+    # all 5 lineitem columns) — the one side that can never broadcast at
+    # scale, and the build cost that made q10 the most expensive core-12
+    # row.  Equivalent decomposition with identical output:
+    #
+    # - viajes = COUNT(DISTINCT o_orderkey) over the left join ==
+    #   COUNT(*) per customer over orders alone (o_orderkey is unique in
+    #   orders; left join preserves every order) — no countDistinct
+    #   expand, no lineitem involvement;
+    # - the per-line aggregates come from lineitem INNER JOIN the
+    #   date-filtered orders with ORDERS as the broadcast side (legal for
+    #   inner joins, and the filtered order set is the small side),
+    #   partially aggregated per customer before the exchange;
+    # - customers whose orders have no lineitems get entregas=0 and NULL
+    #   ratio metrics from the left join below — exactly what
+    #   count/sum over the all-NULL line columns produced before.
+    per_cust_orders = orders.groupBy(F.col("o_custkey")).agg(
+        F.count(F.lit(1)).alias("viajes")
+    )
+    per_cust_lines = (
+        lineitem.join(
+            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_custkey")
         .agg(
-            F.countDistinct("o_orderkey").alias("viajes"),
             F.count("l_linenumber").alias("entregas"),
             (
                 sum_exact(
@@ -581,7 +604,19 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.when(F.count("l_linenumber") != 0, F.count("l_linenumber"))
             ).alias("puntualidad_raw"),
         )
-        .filter(F.col("viajes") >= 2)
+    )
+    metricas = (
+        per_cust_orders.filter(F.col("viajes") >= 2)
+        .join(per_cust_lines, "o_custkey", "left")
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("nombre"),
+            "viajes",
+            F.coalesce(F.col("entregas"), F.lit(0)).alias("entregas"),
+            "consumo_raw",
+            "puntualidad_raw",
+        )
     )
     w_punt = W.orderBy(F.desc_nulls_last("puntualidad_raw"))
     w_eff = W.orderBy(F.asc_nulls_last("consumo_raw"))
