@@ -204,14 +204,24 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = load_table(spark, sf_dir, "orders")
+    # r11 optimization round (guide §3.1 — pick the broadcast side
+    # deliberately): the LEFT JOIN form could only hash-build its RIGHT
+    # side, so the planner broadcast the orders FACT (600k rows) under the
+    # small filtered dim.  The trailing HAVING total_orders > 0 makes the
+    # outer join semantically INNER (null-matched customers are dropped,
+    # and groups only exist where at least one order row joined), so the
+    # equivalent inner join broadcasts the pruned customer dim instead and
+    # the fact partial-aggregates per customer before one exchange — the
+    # shape that survives 100 TB.  Output bit-identical (oracle-verified).
     return (
-        customer.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("total_orders"),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("completed_orders"),
         )
-        .filter(F.col("total_orders") > 0)
         .orderBy(F.desc("completed_orders"), "c_custkey")
     )
 
