@@ -345,13 +345,30 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path for high-cardinality keys is approx_percentile (t-digest),
     same call shape."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    # r11 optimization round (guide §1.2 per-task work): three scalar
+    # percentile() aggregates each buffered and SORTED the group's values
+    # independently — 3× the memory and 3 sorts per group for one ordered
+    # pass's worth of answers (measured ~1.7-2.1 s exec on a 150k-row
+    # scan whose build is 0.05 s).  One array-argument percentile keeps a
+    # single buffer and one sort, interpolating all three ranks from it;
+    # the interpolation arithmetic is identical, so the rounded outputs
+    # are bit-identical (oracle-verified).
+    pcts = (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
-            F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+            ).alias("pct"),
             F.count("*").alias("n_orders"),
+        )
+    )
+    return (
+        pcts.select(
+            "o_orderpriority",
+            F.round(F.col("pct")[0], 4).alias("p25"),
+            F.round(F.col("pct")[1], 4).alias("p50"),
+            F.round(F.col("pct")[2], 4).alias("p75"),
+            "n_orders",
         )
         .orderBy("o_orderpriority")
     )
