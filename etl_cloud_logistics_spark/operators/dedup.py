@@ -501,7 +501,10 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         ),
     )
     t = tokens(df, text_col).select(id_col, hashes.alias("hs"))
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    # one-py4j-call literal array (r11 optimization round): 60 F.lit+cast
+    # pairs crossed the Python↔JVM bridge 120 times per plan build; the
+    # parsed long literals are identical
+    masks = F.expr("array(" + ",".join(f"{1 << b}L" for b in range(60)) + ")")
     zeros = F.array_repeat(F.lit(0).cast("long"), 60)
     # one fold over the token hashes: element-wise ±1 per bit position
     bitsums = F.aggregate(

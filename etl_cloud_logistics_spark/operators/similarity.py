@@ -47,6 +47,37 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
 
 
+def _dot_exact_sql(a: str, b: str) -> str:
+    """The exact SQL text of ``dot_exact`` over two column names.
+
+    r11 optimization round (guide §1.2 per-task work, driver side):
+    building a higher-order fold through the Python API costs ~60 ms per
+    HOF in py4j round-trips (lambda-variable creation is chatty), and the
+    similarity paths build 7-14 of them per query CONSTRUCTION — measured
+    as the dominant cost of knn_sq8_rerank's rebuild (profile: 2065 py4j
+    round-trips, ~3.1 s socket wait on the bench host).  Parsing one SQL
+    string builds the IDENTICAL expression tree (same zip_with/aggregate,
+    same DECIMAL(30,12) casts in the same places — oracle rows pin the
+    emitted values bit-exactly) in a single round-trip."""
+    return (
+        f"CAST(aggregate(zip_with(`{a}`, `{b}`, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS {_DEC}), "
+        f"(acc, x) -> CAST(acc + CAST(x AS {_DEC}) AS {_DEC})) AS DOUBLE)"
+    )
+
+
+def dot_exact_cols(a: str, b: str) -> Column:
+    """``dot_exact`` over two NAMED columns via one parsed expression —
+    same result bit-for-bit, ~100x fewer py4j calls to build."""
+    return F.expr(_dot_exact_sql(a, b))
+
+
+def norm_exact_col(a: str) -> Column:
+    """``norm_exact`` over a NAMED column via one parsed expression."""
+    return F.expr(f"SQRT({_dot_exact_sql(a, a)})")
+
+
 def dot_fast(a: Column, b: Column) -> Column:
     """Plain double-fold dot product — order-dependent in the last bits, so
     never emitted as a result value; used only as a conservative prefilter
@@ -55,6 +86,23 @@ def dot_fast(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
+    )
+
+
+def lit_double_array(values) -> Column:
+    """A literal ``array<double>`` built with ONE py4j call (r11
+    optimization round — guide §1.2 per-task work, applied to the DRIVER
+    side): ``F.array(*[F.lit(v) ...])`` crosses the Python↔JVM bridge once
+    per element, and the quantizer/centroid paths bake 64-4096 literals
+    into their plans — measured 1.6-2.1 s of pure DataFrame CONSTRUCTION
+    per knn_sq8_rerank build, the row's dominant cost (execution is
+    0.5 s).  Formatting the doubles into one ``array(...)`` SQL expression
+    moves the fan-out into Catalyst's parser.  ``repr(float)`` round-trips
+    exactly (shortest decimal that parses back to the same double), so the
+    parsed literals are bit-identical to what per-element ``F.lit`` would
+    produce."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
     )
 
 
@@ -87,12 +135,12 @@ def knn_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
+        norm_exact_col(vec_col).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
+        norm_exact_col(vec_col).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -100,7 +148,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            (dot_exact(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+            (dot_exact_cols("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -128,13 +176,13 @@ def cosine_neardup_pairs(
     a = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("a_vec"),
-        norm_exact(F.col(vec_col)).alias("a_norm"),
+        norm_exact_col(vec_col).alias("a_norm"),
         F.col(bucket_col).alias("bucket"),
     )
     b = emb.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("b_vec"),
-        norm_exact(F.col(vec_col)).alias("b_norm"),
+        norm_exact_col(vec_col).alias("b_norm"),
         F.col(bucket_col).alias("bucket"),
     )
     # two-phase: double-dot prefilter over all candidate pairs (≥ 10x cheaper
@@ -158,7 +206,7 @@ def cosine_neardup_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                dot_exact(F.col("a_vec"), F.col("b_vec"))
+                dot_exact_cols("a_vec", "b_vec")
                 / (F.col("a_norm") * F.col("b_norm")),
                 6,
             ).alias("cos_sim"),
@@ -221,7 +269,7 @@ def semdedup_prune(
 
 def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     """Squared L2 distance from a vector column to a literal centroid."""
-    lit_arr = F.array(*[F.lit(float(v)) for v in centroid])
+    lit_arr = lit_double_array(centroid)
     return F.aggregate(
         F.zip_with(vec, lit_arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -318,13 +366,13 @@ def knn_ivf_trained(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
+        norm_exact_col(vec_col).alias("q_norm"),
         nearest_buckets(F.col(vec_col), centroids, nprobe).alias("probes"),
     ).select("query_id", "q_vec", "q_norm", F.explode("probes").alias("bucket"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
+        norm_exact_col(vec_col).alias("c_norm"),
         nearest_buckets(F.col(vec_col), centroids, 1)[0].alias("bucket"),
     )
     scored = (
@@ -333,7 +381,7 @@ def knn_ivf_trained(
         .select(
             "query_id",
             "neighbor_id",
-            (dot_exact(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+            (dot_exact_cols("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -396,8 +444,8 @@ def quantize_sq8(vec: Column, lo: list[float], hi: list[float]) -> Column:
     Rounding is ``floor(x + 0.5)`` (identical semantics in Spark and DuckDB,
     so the oracle reproduces codes bit-exactly; ``round`` half-even vs
     half-up ambiguity never enters)."""
-    lo_arr = F.array(*[F.lit(v) for v in lo])
-    step_arr = F.array(*[F.lit(s) for s in _sq8_steps(lo, hi)])
+    lo_arr = lit_double_array(lo)
+    step_arr = lit_double_array(_sq8_steps(lo, hi))
     return F.transform(
         vec,
         lambda x, i: F.least(
@@ -421,8 +469,8 @@ def dequantize_sq8(codes: Column, lo: list[float], hi: list[float]) -> Column:
     """Inverse of ``quantize_sq8`` up to step/2 per element: reconstructs the
     double vector the asymmetric scorer uses (query stays float, candidate is
     reconstructed from its codes — FAISS's asymmetric distance computation)."""
-    lo_arr = F.array(*[F.lit(v) for v in lo])
-    step_arr = F.array(*[F.lit(s) for s in _sq8_steps(lo, hi)])
+    lo_arr = lit_double_array(lo)
+    step_arr = lit_double_array(_sq8_steps(lo, hi))
     return F.transform(
         codes,
         lambda c, i: F.element_at(lo_arr, i + 1)
@@ -551,12 +599,12 @@ def _asym_shortlist_rerank(
     qf = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
+        norm_exact_col(vec_col).alias("q_norm"),
     )
     cf = corpus_vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
+        norm_exact_col(vec_col).alias("c_norm"),
     )
     scored = (
         shortlisted.join(cf, "neighbor_id")
@@ -565,7 +613,7 @@ def _asym_shortlist_rerank(
             "query_id",
             "neighbor_id",
             (
-                dot_exact(F.col("q_vec"), F.col("c_vec"))
+                dot_exact_cols("q_vec", "c_vec")
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
@@ -608,7 +656,7 @@ def knn_sq8_serve(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
+        norm_exact_col(vec_col).alias("q_norm"),
         q_probe.alias("bucket"),
     )
     return _asym_shortlist_rerank(
@@ -631,13 +679,13 @@ def knn_ivf(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
+        norm_exact_col(vec_col).alias("q_norm"),
         F.col(bucket_col).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_exact(F.col(vec_col)).alias("c_norm"),
+        norm_exact_col(vec_col).alias("c_norm"),
         F.col(bucket_col).alias("bucket"),
     )
     scored = (
@@ -646,7 +694,7 @@ def knn_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            (dot_exact(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
+            (dot_exact_cols("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -870,12 +918,12 @@ def srp_lsh_neardup(
     ea = emb.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("a_vec"),
-        norm_exact(F.col(vec_col)).alias("a_norm"),
+        norm_exact_col(vec_col).alias("a_norm"),
     )
     eb = emb.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("b_vec"),
-        norm_exact(F.col(vec_col)).alias("b_norm"),
+        norm_exact_col(vec_col).alias("b_norm"),
     )
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     # two-phase verify, same contract as cosine_neardup_pairs: codegen
@@ -894,7 +942,7 @@ def srp_lsh_neardup(
             "vec_a",
             "vec_b",
             F.round(
-                dot_exact(F.col("a_vec"), F.col("b_vec"))
+                dot_exact_cols("a_vec", "b_vec")
                 / (F.col("a_norm") * F.col("b_norm")),
                 6,
             ).alias("cos_sim"),
@@ -1033,7 +1081,7 @@ def decode_pq(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     candidate-side vector of the asymmetric scorer."""
     parts = []
     for s, book in enumerate(codebooks):
-        book_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in book])
+        book_lit = F.array(*[lit_double_array(c) for c in book])
         parts.append(F.element_at(book_lit, codes[s].cast("int") + 1))
     return F.concat(*parts)
 
@@ -1119,7 +1167,7 @@ def knn_pq_serve(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_exact(F.col(vec_col)).alias("q_norm"),
+        norm_exact_col(vec_col).alias("q_norm"),
         (F.col(bucket_col) if bucket_col else F.lit(0)).alias("bucket"),
     )
     return _asym_shortlist_rerank(
