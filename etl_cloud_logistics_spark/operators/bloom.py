@@ -71,11 +71,16 @@ def build_bloom(
     the ~5.6 GB of per-key hash Rows + ~7×10⁸ Python bit-sets the r5
     implementation collected (r5 verdict "What's wrong #3" — fixed r6).
     At 10 bits/key, k=7 is the optimal hash count (~0.9% FP)."""
+    # one scan feeds both the count and the build aggregation; a lazy
+    # persist materialized by the count folds what used to be a separate
+    # eager-checkpoint job into it (r11 optimization round, guide §2.4 —
+    # the build was 3 scheduled actions for 2 actions' work), and the
+    # cache is released right after the collect: the returned model is
+    # plain numpy, nothing lazy ever reads `distinct` again
     distinct = (
         keys_df.select(F.col(key_col).cast("string").alias("k"))
         .distinct()
-        # one scan feeds both the count and the build aggregation
-        .localCheckpoint(eager=True)
+        .persist()
     )
     n_keys = max(distinct.count(), 1)
     m_bits = max(n_keys * bits_per_key, 64)
@@ -102,6 +107,7 @@ def build_bloom(
         .agg(F.expr("bit_or(wm.m)").alias("mask"))
         .collect()
     )
+    distinct.unpersist()
     bits = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
     for row in packed:
         bits[row["w"]] = np.uint64(row["mask"] & 0xFFFFFFFFFFFFFFFF)
