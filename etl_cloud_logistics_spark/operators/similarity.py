@@ -101,9 +101,12 @@ def lit_double_array(values) -> Column:
     exactly (shortest decimal that parses back to the same double), so the
     parsed literals are bit-identical to what per-element ``F.lit`` would
     produce."""
-    return F.expr(
-        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
-    )
+    return F.expr(_darray_sql(values))
+
+
+def _darray_sql(values) -> str:
+    """SQL text of a literal array<double> (see lit_double_array)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
@@ -436,14 +439,29 @@ def _sq8_steps(lo: list[float], hi: list[float]) -> list[float]:
     return [(h - l) / 255.0 if h > l else 1.0 for l, h in zip(lo, hi)]
 
 
-def quantize_sq8(vec: Column, lo: list[float], hi: list[float]) -> Column:
+def quantize_sq8(vec: Column | str, lo: list[float], hi: list[float]) -> Column:
     """8-bit scalar quantization: per-dimension affine map of a float vector
     onto ``array<tinyint>`` codes in [-128, 127].  This is the at-rest /
     in-memory index format — 1 byte per dimension instead of 4, the 4×
     footprint cut that makes a 100 TB corpus' index fit a cluster's RAM.
     Rounding is ``floor(x + 0.5)`` (identical semantics in Spark and DuckDB,
     so the oracle reproduces codes bit-exactly; ``round`` half-even vs
-    half-up ambiguity never enters)."""
+    half-up ambiguity never enters).
+
+    ``vec`` may be a column NAME: the whole transform then parses as one
+    SQL expression (r11 optimization round — the Python-API lambda costs
+    ~60 ms of py4j chatter per build; the parsed tree is identical, and
+    the oracle pins the codes bit-exactly).  A Column argument keeps the
+    API-built path."""
+    if isinstance(vec, str):
+        lo_sql = _darray_sql(lo)
+        step_sql = _darray_sql(_sq8_steps(lo, hi))
+        return F.expr(
+            f"transform(`{vec}`, (x, i) -> CAST(LEAST(127, GREATEST(-128, "
+            f"CAST(FLOOR((CAST(x AS DOUBLE) - element_at({lo_sql}, i + 1)) "
+            f"/ element_at({step_sql}, i + 1) + 0.5D) AS INT) - 128)) "
+            "AS TINYINT))"
+        )
     lo_arr = lit_double_array(lo)
     step_arr = lit_double_array(_sq8_steps(lo, hi))
     return F.transform(
@@ -465,10 +483,20 @@ def quantize_sq8(vec: Column, lo: list[float], hi: list[float]) -> Column:
     )
 
 
-def dequantize_sq8(codes: Column, lo: list[float], hi: list[float]) -> Column:
+def dequantize_sq8(codes: Column | str, lo: list[float], hi: list[float]) -> Column:
     """Inverse of ``quantize_sq8`` up to step/2 per element: reconstructs the
     double vector the asymmetric scorer uses (query stays float, candidate is
-    reconstructed from its codes — FAISS's asymmetric distance computation)."""
+    reconstructed from its codes — FAISS's asymmetric distance computation).
+
+    ``codes`` may be a column NAME for the one-parse build (see
+    quantize_sq8); a Column keeps the API-built path."""
+    if isinstance(codes, str):
+        lo_sql = _darray_sql(lo)
+        step_sql = _darray_sql(_sq8_steps(lo, hi))
+        return F.expr(
+            f"transform(`{codes}`, (c, i) -> element_at({lo_sql}, i + 1) + "
+            f"(CAST(c AS DOUBLE) + 128.0D) * element_at({step_sql}, i + 1))"
+        )
     lo_arr = lit_double_array(lo)
     step_arr = lit_double_array(_sq8_steps(lo, hi))
     return F.transform(
@@ -506,11 +534,11 @@ def build_sq8_index(
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         c_bucket.alias("bucket"),
-        quantize_sq8(F.col(vec_col), lo, hi).alias("codes"),
+        quantize_sq8(vec_col, lo, hi).alias("codes"),
     ).withColumn(
         "approx_norm",
         F.sqrt(F.aggregate(
-            dequantize_sq8(F.col("codes"), lo, hi),
+            dequantize_sq8("codes", lo, hi),
             F.lit(0.0),
             lambda acc, x: acc + x * x,
         )),
@@ -577,7 +605,7 @@ def _asym_shortlist_rerank(
     approx_dot = F.aggregate(
         F.zip_with(
             F.col("q_vec"),
-            recon(F.col("codes")),
+            recon("codes"),
             lambda qx, cx: qx.cast("double") * cx,
         ),
         F.lit(0.0),
@@ -1172,6 +1200,6 @@ def knn_pq_serve(
     )
     return _asym_shortlist_rerank(
         index, q, queries, corpus_vectors, k, shortlist,
-        recon=lambda codes: decode_pq(codes, codebooks),
+        recon=lambda codes: decode_pq(F.col(codes), codebooks),
         id_col=id_col, vec_col=vec_col,
     )
