@@ -892,18 +892,39 @@ def sssp_fixed(
         e = chk.static(pre, "edges", pin_key=pin)
         pre.unpersist()
     else:
+        pin = "src"  # reliable mode always checkpoints every round below
         e = chk.static(edges_frame, "edges")
     d = chk(
         sources.select("node").distinct().withColumn(
             "dist", F.lit(0).cast("long")
         )
     )
-    for _ in range(n_rounds):
+    # r12 optimization round (guide §2.4 — remove jobs outright), the
+    # stride-2 fold pagerank_fixed already runs, GATED to the job-floor
+    # regime: on local-mode graphs below the pin threshold, checkpoint
+    # every SECOND round (and the last).  Unlike pagerank's ranks, ``d``
+    # has TWO consumers per round (the relaxation join and the union
+    # carry), so an un-checkpointed round's MIN aggregate is read twice by
+    # the next round's plan — measured DETERMINISTIC (shuffle bytes
+    # constant across reps; exchange reuse shares the aggregate's
+    # exchange) but not free at scale: per-invocation shuffle 28.6→32.6 MB
+    # at 1e6 Zipf edges, 495→578 MB (+17%) at 1e7, while executions drop
+    # 12→8 (OPT_ATTR_r12.txt).  Below the pin gate the per-JOB floor
+    # dominates (registry row: 12→9 executions, −11% wall, results
+    # bit-equal); above it — and in RELIABLE mode, where each round's
+    # parquet slot is the executor-loss recovery contract — the +17%
+    # per-round shuffle is the scaling cost, so every round checkpoints
+    # exactly as before (plans unchanged above the gate).
+    stride2 = chk.run_dir is None and pin is None
+    for it in range(n_rounds):
         cand = d.join(e, d["node"] == e["src"]).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        d = chk(
-            d.unionByName(cand).groupBy("node").agg(F.min("dist").alias("dist"))
+        new = d.unionByName(cand).groupBy("node").agg(
+            F.min("dist").alias("dist")
         )
+        if not stride2 or it % 2 == 1 or it == n_rounds - 1:
+            new = chk(new)
+        d = new
     chk.cleanup_stale(returning=d)
     return d
