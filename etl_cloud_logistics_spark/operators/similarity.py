@@ -439,6 +439,62 @@ def _sq8_steps(lo: list[float], hi: list[float]) -> list[float]:
     return [(h - l) / 255.0 if h > l else 1.0 for l, h in zip(lo, hi)]
 
 
+def train_sq8_bounds_frame(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """The collect-free form of :func:`train_sq8_bounds` (r12 optimization
+    round, guide §2.4 — remove jobs outright): a ONE-ROW frame
+    ``(lo_arr: array<double>, step_arr: array<double>)`` meant to be
+    broadcast-cross-joined into the index build, so the bounds aggregation
+    rides the SAME SQL execution as the build instead of being a separate
+    scheduled collect (knn_sq8_rerank measured 2 executions, the bounds
+    collect ~0.6 s of it).  Arithmetic is identical to the driver-side
+    path: per-dimension min/max of the double-cast values, step
+    ``(hi-lo)/255.0`` with the constant-dimension dummy step 1.0 — the
+    emitted codes are pinned bit-exact by the oracle rows either way."""
+    per_dim = (
+        corpus.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+    )
+    # array_sort on struct(pos, ...) orders by the unique pos — the same
+    # ordering train_sq8_bounds' orderBy("pos") collect produced
+    return per_dim.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)"
+        ).alias("lo_arr"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, hi, lo))), "
+            "s -> IF(s.hi > s.lo, (s.hi - s.lo) / 255.0D, 1.0D))"
+        ).alias("step_arr"),
+    )
+
+
+def _quantize_sq8_sql(vec: str, lo_sql: str, step_sql: str) -> str:
+    """Shared SQL text of the SQ8 quantize transform: ``lo_sql``/``step_sql``
+    are either literal ``array(...)`` expressions (the list API) or
+    backticked COLUMN references (the in-plan bounds path) — one builder so
+    the two forms cannot drift."""
+    return (
+        f"transform(`{vec}`, (x, i) -> CAST(LEAST(127, GREATEST(-128, "
+        f"CAST(FLOOR((CAST(x AS DOUBLE) - element_at({lo_sql}, i + 1)) "
+        f"/ element_at({step_sql}, i + 1) + 0.5D) AS INT) - 128)) "
+        "AS TINYINT))"
+    )
+
+
+def _dequantize_sq8_sql(codes: str, lo_sql: str, step_sql: str) -> str:
+    """Shared SQL text of the SQ8 dequantize transform (see
+    ``_quantize_sq8_sql``)."""
+    return (
+        f"transform(`{codes}`, (c, i) -> element_at({lo_sql}, i + 1) + "
+        f"(CAST(c AS DOUBLE) + 128.0D) * element_at({step_sql}, i + 1))"
+    )
+
+
 def quantize_sq8(vec: Column | str, lo: list[float], hi: list[float]) -> Column:
     """8-bit scalar quantization: per-dimension affine map of a float vector
     onto ``array<tinyint>`` codes in [-128, 127].  This is the at-rest /
@@ -456,12 +512,7 @@ def quantize_sq8(vec: Column | str, lo: list[float], hi: list[float]) -> Column:
     if isinstance(vec, str):
         lo_sql = _darray_sql(lo)
         step_sql = _darray_sql(_sq8_steps(lo, hi))
-        return F.expr(
-            f"transform(`{vec}`, (x, i) -> CAST(LEAST(127, GREATEST(-128, "
-            f"CAST(FLOOR((CAST(x AS DOUBLE) - element_at({lo_sql}, i + 1)) "
-            f"/ element_at({step_sql}, i + 1) + 0.5D) AS INT) - 128)) "
-            "AS TINYINT))"
-        )
+        return F.expr(_quantize_sq8_sql(vec, lo_sql, step_sql))
     lo_arr = lit_double_array(lo)
     step_arr = lit_double_array(_sq8_steps(lo, hi))
     return F.transform(
@@ -493,10 +544,7 @@ def dequantize_sq8(codes: Column | str, lo: list[float], hi: list[float]) -> Col
     if isinstance(codes, str):
         lo_sql = _darray_sql(lo)
         step_sql = _darray_sql(_sq8_steps(lo, hi))
-        return F.expr(
-            f"transform(`{codes}`, (c, i) -> element_at({lo_sql}, i + 1) + "
-            f"(CAST(c AS DOUBLE) + 128.0D) * element_at({step_sql}, i + 1))"
-        )
+        return F.expr(_dequantize_sq8_sql(codes, lo_sql, step_sql))
     lo_arr = lit_double_array(lo)
     step_arr = lit_double_array(_sq8_steps(lo, hi))
     return F.transform(
@@ -549,8 +597,8 @@ def knn_sq8(
     queries: DataFrame,
     corpus: DataFrame,
     k: int,
-    lo: list[float],
-    hi: list[float],
+    lo: list[float] | None = None,
+    hi: list[float] | None = None,
     shortlist: int | None = None,
     centroids: list[list[float]] | None = None,
     nprobe: int = 1,
@@ -575,12 +623,74 @@ def knn_sq8(
        only candidates, never distort a reported score.
 
     Buckets come from ``centroids`` (trained, multi-probe) or a precomputed
-    ``bucket_col``; exactly one must be given."""
-    index = build_sq8_index(corpus, lo, hi, centroids, bucket_col, id_col, vec_col)
-    return knn_sq8_serve(
-        index, queries, corpus, k, lo, hi,
-        shortlist=shortlist, centroids=centroids, nprobe=nprobe,
-        bucket_col=bucket_col, id_col=id_col, vec_col=vec_col,
+    ``bucket_col``; exactly one must be given.
+
+    ``lo``/``hi`` omitted (r12 optimization round, guide §2.4): the SQ8
+    bounds are derived IN-PLAN — :func:`train_sq8_bounds_frame`'s one-row
+    (lo_arr, step_arr) aggregate is broadcast-cross-joined into the index
+    build and the quantize/dequantize transforms reference the arrays as
+    columns instead of baked literals.  One SQL execution instead of two
+    (the separate bounds collect was ~0.6 s of the knn_sq8_rerank rebuild);
+    codes, shortlist and emitted cos_sim are bit-identical (the transforms
+    share their SQL text with the literal path, and the oracle pins the
+    values).  A deployment that PERSISTS the model keeps the explicit
+    list API (run_index_build collects bounds because model.json must)."""
+    if (lo is None) != (hi is None):
+        raise ValueError("give both lo= and hi=, or neither")
+    if lo is not None:
+        index = build_sq8_index(
+            corpus, lo, hi, centroids, bucket_col, id_col, vec_col
+        )
+        return knn_sq8_serve(
+            index, queries, corpus, k, lo, hi,
+            shortlist=shortlist, centroids=centroids, nprobe=nprobe,
+            bucket_col=bucket_col, id_col=id_col, vec_col=vec_col,
+        )
+    if (centroids is None) == (bucket_col is None):
+        raise ValueError("give exactly one of centroids= or bucket_col=")
+    if shortlist is None:
+        shortlist = 4 * k
+    bounds = train_sq8_bounds_frame(corpus, vec_col)
+    c_bucket = (
+        nearest_buckets(F.col(vec_col), centroids, 1)[0]
+        if centroids is not None
+        else F.col(bucket_col)
+    )
+    # the index rows carry the two bound arrays from the 1-row broadcast so
+    # the serve-side reconstruction can reference them as columns; they are
+    # projected away right after the shortlist score
+    index = corpus.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col).alias("neighbor_id"),
+        c_bucket.alias("bucket"),
+        F.expr(_quantize_sq8_sql(vec_col, "`lo_arr`", "`step_arr`")).alias(
+            "codes"
+        ),
+        "lo_arr",
+        "step_arr",
+    ).withColumn(
+        "approx_norm",
+        F.sqrt(F.aggregate(
+            F.expr(_dequantize_sq8_sql("codes", "`lo_arr`", "`step_arr`")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )),
+    )
+    if centroids is not None:
+        q_probe = F.explode(nearest_buckets(F.col(vec_col), centroids, nprobe))
+    else:
+        q_probe = F.col(bucket_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_exact_col(vec_col).alias("q_norm"),
+        q_probe.alias("bucket"),
+    )
+    return _asym_shortlist_rerank(
+        index, q, queries, corpus, k, shortlist,
+        recon=lambda codes: F.expr(
+            _dequantize_sq8_sql(codes, "`lo_arr`", "`step_arr`")
+        ),
+        id_col=id_col, vec_col=vec_col,
     )
 
 

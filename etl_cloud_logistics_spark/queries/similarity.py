@@ -20,7 +20,6 @@ from ..operators.similarity import (
     norm_exact,
     semdedup_prune,
     srp_lsh_neardup,
-    train_sq8_bounds,
 )
 from . import register
 
@@ -220,8 +219,10 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rerank, and that loss is measured (tests/test_extensions.py recall
     tests, figures in COVERAGE.md)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    lo, hi = train_sq8_bounds(emb)
-    return knn_sq8(emb.filter(F.col("vec_id") < 10), emb, k=3, lo=lo, hi=hi, bucket_col="label")
+    # r12 optimization round: bounds derived IN-PLAN (no driver collect) —
+    # one SQL execution instead of two; codes/scores bit-identical (the
+    # transforms share their SQL text with the literal path, oracle-pinned)
+    return knn_sq8(emb.filter(F.col("vec_id") < 10), emb, k=3, bucket_col="label")
 
 
 @register(
