@@ -768,6 +768,7 @@ def test_pii_redaction_fires_on_planted_pii(spark):
     assert out[3].text == "perfectly clean text"
 
 
+@pytest.mark.slow_probe
 def test_pq_recall_and_compression_on_sf_corpus(spark, sf_med):
     """PQ (m=8, k=16): measured recall@3 vs brute force on the sf corpus
     with the ADC shortlist at 4k, plus the invariants — codes are m
@@ -1226,6 +1227,7 @@ def clustered_corpus(spark):
     df.unpersist()
 
 
+@pytest.mark.slow_probe
 def test_ann_recall_table_on_clustered_corpus(spark, clustered_corpus):
     """The clustered-data recall table for COVERAGE.md (companion to the
     isotropic sf table): trained IVF must route clustered queries to the
@@ -1481,6 +1483,7 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert not jac  # symmetric overlap misses the embedded excerpt
 
 
+@pytest.mark.slow_probe
 def test_cc_star_matches_label_propagation_random(spark):
     """Equal-output pin for the r9 star path: alternating large-star/
     small-star and min-label propagation must agree on every node's
@@ -1606,6 +1609,7 @@ def test_cc_auto_uses_label_fast_path_on_shallow_graphs(spark):
     assert components_probe_info()["algorithm"] == "label"
 
 
+@pytest.mark.slow_probe
 def test_cc_auto_contracts_and_finishes_with_star_on_chains(spark):
     """algorithm='auto' on a mixed graph (shallow clusters + a 300-node
     chain): the label budget cannot finish the chain, so auto must contract

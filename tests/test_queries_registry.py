@@ -179,6 +179,7 @@ def test_with_recursive_sql_matches_bfs_operator(spark, sf_small):
     assert via_sql, "empty reachability set — seed or edge derivation broke"
 
 
+@pytest.mark.slow_probe
 def test_pagerank_fixed_8_iters_orders_like_converged_float(spark, sf_small):
     """The registry's fixed-point PageRank runs 8 iterations (r7: cut from
     12 to recover ~2 s); this pins what 8 rounds actually buy ON THE GRAPH

@@ -641,7 +641,11 @@ def test_sorted_lake_scan_skips_row_groups_at_read(spark, tmp_path):
 
     pruned = scan_rows(spark.read.parquet(str(tmp_path / "sorted_rg")))
     unpruned = scan_rows(spark.read.parquet(str(tmp_path / "shuffled_rg")))
-    assert unpruned >= 200_000  # no group skipped in the interleaved layout
+    # essentially no group skipped in the interleaved layout: a tiny tail
+    # row group can land min/max outside the probed range by luck (observed
+    # once at 199_999 — r12), so the control asserts "scanned ~everything",
+    # not bit-for-bit everything
+    assert unpruned >= 199_000, unpruned
     # clustered row groups must cut scan output by an order of magnitude
     assert pruned * 10 <= unpruned, (pruned, unpruned)
 

@@ -566,6 +566,7 @@ def test_dedup_stream_drops_cross_batch_duplicates(
     )
 
 
+@pytest.mark.slow_probe
 def test_dedup_stream_state_is_watermark_bounded(spark, tmp_path_factory):
     """The documented reason dedup_stream uses dropDuplicatesWithinWatermark
     (streaming/jobs.py): dedup state must be EVICTED once the event-time
@@ -828,6 +829,7 @@ def test_latest_status_ttl_validates_against_watermark(spark, tmp_path_factory):
         latest_status_stream_ttl(stream, watermark="3 hours", ttl="2 hours")
 
 
+@pytest.mark.slow_probe
 def test_streaming_soak_all_stateful_jobs_through_restart(
     spark, tmp_path_factory
 ):
@@ -1068,6 +1070,7 @@ def test_drift_monitor_stream_flags_shifted_batch(spark, tmp_path_factory):
     assert all(v == (200, 200) for v in n.values())
 
 
+@pytest.mark.slow_probe
 def test_streaming_heavy_hitters_bounded_state_and_undercount(
     spark, tmp_path_factory
 ):
