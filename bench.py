@@ -45,6 +45,12 @@ Three measurements per the round-1 review (PERFORMANCE.md):
   FIRST of the 3 timed repeats pays fresh-JVM compilation — the median
   absorbs it, but ext_warm rows are NOT comparable to the r4/r5 rounds
   that timed inside the warm original session (PERFORMANCE.md, r6).
+
+- Per-row DETERMINISTIC METERS ("meters", r12 — additive, no timed region
+  changed): [SQL executions, shuffle MB written, parquet MB read] from the
+  last run-once rep, so a wall draw contaminated by ambient load still
+  carries load-invariant plan-shape signal for round-over-round
+  comparison (the r10/r11 driver draws were unusable for walls).
 """
 
 from __future__ import annotations
@@ -61,6 +67,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_cloud_logistics_spark.queries import REGISTRY, _load_all  # noqa: E402
 from etl_cloud_logistics_spark.session import get_spark  # noqa: E402
+from tools.shuffle_audit import _execution_metrics  # noqa: E402
 
 # single idle-gate threshold (r8 ADVICE): the wait loop and the idle_start
 # stamp must agree on what "idle" means, so tuning one can't silently
@@ -174,10 +181,39 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    # Deterministic per-row meters (r12, VERDICT r11 next-round #2): the
+    # driver-side wall numbers have been noise-contaminated or truncated
+    # two rounds running, so the artifact now carries signals that ambient
+    # load cannot move — per row: [SQL executions, shuffle MB written,
+    # parquet MB read] — measured on the LAST of the three run-once reps
+    # with the deduped-accumulator reader (tools/shuffle_audit; the dedup
+    # matters under AQE, which re-registers plan metrics per re-plan).
+    # Snapshotting execution ids and reading the status store happen
+    # BETWEEN reps / after the median loop — no timed region changes.
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def _exec_ids() -> set[int]:
+        listed = store.executionsList()
+        return {listed.apply(i).executionId() for i in range(listed.size())}
+
     stamp("run_once")
     times: dict[str, float] = {}
+    meters: dict[str, list] = {}
     for name in suite:
-        times[name] = round(statistics.median(run_once(name) for _ in range(3)), 3)
+        walls = []
+        before_ids: set[int] = set()
+        for rep in range(3):
+            if rep == 2:
+                before_ids = _exec_ids()
+            walls.append(run_once(name))
+        times[name] = round(statistics.median(walls), 3)
+        new_ids = _exec_ids() - before_ids
+        m = _execution_metrics(store, new_ids)
+        meters[name] = [
+            len(new_ids),
+            round(m.get("shuffle bytes written", 0.0) / 2**20, 1),
+            round(m.get("size of files read", 0.0) / 2**20, 1),
+        ]
         reset_memory()
 
     # warm per-query time: reuse the built DataFrame (plan already analyzed
@@ -295,6 +331,10 @@ def main() -> None:
         "ext_warm_queries": ext_warm,
         "ext_warm_eager": sorted(eager & set(ext_warm)),
         "n_queries": len(times),
+        # [n_sql_executions, shuffle_mb_written, parquet_mb_read] per row,
+        # from the 3rd run-once rep — load-invariant plan-shape meters for
+        # round-over-round comparison when the walls are contaminated
+        "meters": meters,
         "loadavg_start": load_start,
         "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
         "idle_start": load_start[0] < IDLE_LOAD1,
