@@ -1307,23 +1307,37 @@ def kmv_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         su.join(sa, "h").join(sb, "h").agg(F.count("*").alias("n_common"))
     )
 
-    exact_a = side_a.agg(
-        F.countDistinct("o_custkey").alias("exact_distinct_a")
+    # r12 optimization round (guide §2.4 — remove shuffles outright): the
+    # four exact answers used to be four independent subtrees over orders
+    # (three countDistinct aggs + an INTERSECT), i.e. four scans and ~7
+    # exchanges for one 1-row frame.  One per-customer flag aggregation
+    # (side membership as MAX of indicators) yields all four in a single
+    # scan + two exchanges, consumed ONCE — no multi-consumer re-execution
+    # hazard.  Equivalences: every order has a customer, so exact_union =
+    # |per_cust|; sum(in_a) = COUNT(DISTINCT custkey before cutoff);
+    # sum(in_a·in_b) = |A ∩ B| = the INTERSECT count.  (The sketch side
+    # stays as-is: its repeated 128-row TakeOrdered subtrees are cheap, and
+    # today's measured pattern is that extra materialization barriers cost
+    # more at this scale than the repeats — OPT_ATTR_r12.txt.)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0)
+        ).alias("in_b"),
     )
-    exact_b = side_b.agg(
-        F.countDistinct("o_custkey").alias("exact_distinct_b")
-    )
-    exact_u = orders.agg(F.countDistinct("o_custkey").alias("exact_union"))
-    exact_i = (
-        side_a.select("o_custkey")
-        .intersect(side_b.select("o_custkey"))
-        .agg(F.count("*").alias("exact_intersection"))
+    exact = per_cust.agg(
+        F.sum("in_a").alias("exact_distinct_a"),
+        F.sum("in_b").alias("exact_distinct_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("exact_intersection"),
     )
 
     est_j = F.col("n_common") / F.col("n_u")
     return (
         stat_a.join(stat_b).join(stat_u).join(common)
-        .join(exact_a).join(exact_b).join(exact_u).join(exact_i)
+        .join(exact)
         .select(
             F.lit(128).alias("k"),
             "est_distinct_a", "exact_distinct_a",
