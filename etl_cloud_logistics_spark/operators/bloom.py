@@ -70,7 +70,17 @@ def build_bloom(
     module's advertised 10⁸-key regime that is ≤125 MB of words instead of
     the ~5.6 GB of per-key hash Rows + ~7×10⁸ Python bit-sets the r5
     implementation collected (r5 verdict "What's wrong #3" — fixed r6).
-    At 10 bits/key, k=7 is the optimal hash count (~0.9% FP)."""
+    At 10 bits/key, k=7 is the optimal hash count (~0.9% FP).
+
+    ``keys_df`` must be DETERMINISTIC (ADVICE r11): the lazy persist below
+    is recomputable — if cached blocks are evicted (or lost on a cluster)
+    between the count and the build aggregation, a nondeterministic source
+    (sampling, limit without order, now()) could hash a DIFFERENT key set
+    than the one counted, and a key missing from the rebuilt set becomes a
+    silent FALSE NEGATIVE — the one property a Bloom filter must never
+    violate.  Every engine call site passes deterministic key derivations
+    (n-gram projections, dimension keys); callers with nondeterministic
+    sources must materialize them first (localCheckpoint / write+read)."""
     # one scan feeds both the count and the build aggregation; a lazy
     # persist materialized by the count folds what used to be a separate
     # eager-checkpoint job into it (r11 optimization round, guide §2.4 —

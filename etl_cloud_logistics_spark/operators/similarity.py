@@ -47,6 +47,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot_exact(a, b) / (norm_exact(a) * norm_exact(b))
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column NAME for the one-parse SQL builders,
+    escaping embedded backticks (ADVICE r11: a verbatim ``` ` ``` in the
+    name would otherwise break the expression, and these str overloads
+    must resolve the same top-level column F.col's parsed-identifier path
+    would)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot_exact_sql(a: str, b: str) -> str:
     """The exact SQL text of ``dot_exact`` over two column names.
 
@@ -60,7 +69,7 @@ def _dot_exact_sql(a: str, b: str) -> str:
     same DECIMAL(30,12) casts in the same places — oracle rows pin the
     emitted values bit-exactly) in a single round-trip."""
     return (
-        f"CAST(aggregate(zip_with(`{a}`, `{b}`, "
+        f"CAST(aggregate(zip_with({_bq(a)}, {_bq(b)}, "
         "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         f"CAST(0 AS {_DEC}), "
         f"(acc, x) -> CAST(acc + CAST(x AS {_DEC}) AS {_DEC})) AS DOUBLE)"
@@ -105,8 +114,23 @@ def lit_double_array(values) -> Column:
 
 
 def _darray_sql(values) -> str:
-    """SQL text of a literal array<double> (see lit_double_array)."""
-    return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    """SQL text of a literal array<double> (see lit_double_array).
+
+    Non-finite elements (ADVICE r11): ``repr(nan)`` would render as the
+    unparseable ``nanD``, so nan/±inf fall back to the explicit CAST forms
+    the parser does accept — bounds/centroids derived from data can
+    legitimately carry them (an all-NaN dimension's min is NaN)."""
+    import math
+
+    def one(v) -> str:
+        f = float(v)
+        if math.isfinite(f):
+            return f"{f!r}D"
+        if math.isnan(f):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if f < 0 else ''}Infinity' AS DOUBLE)"
+
+    return "array(" + ",".join(one(v) for v in values) + ")"
 
 
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
@@ -479,7 +503,7 @@ def _quantize_sq8_sql(vec: str, lo_sql: str, step_sql: str) -> str:
     backticked COLUMN references (the in-plan bounds path) — one builder so
     the two forms cannot drift."""
     return (
-        f"transform(`{vec}`, (x, i) -> CAST(LEAST(127, GREATEST(-128, "
+        f"transform({_bq(vec)}, (x, i) -> CAST(LEAST(127, GREATEST(-128, "
         f"CAST(FLOOR((CAST(x AS DOUBLE) - element_at({lo_sql}, i + 1)) "
         f"/ element_at({step_sql}, i + 1) + 0.5D) AS INT) - 128)) "
         "AS TINYINT))"
@@ -490,7 +514,7 @@ def _dequantize_sq8_sql(codes: str, lo_sql: str, step_sql: str) -> str:
     """Shared SQL text of the SQ8 dequantize transform (see
     ``_quantize_sq8_sql``)."""
     return (
-        f"transform(`{codes}`, (c, i) -> element_at({lo_sql}, i + 1) + "
+        f"transform({_bq(codes)}, (c, i) -> element_at({lo_sql}, i + 1) + "
         f"(CAST(c AS DOUBLE) + 128.0D) * element_at({step_sql}, i + 1))"
     )
 

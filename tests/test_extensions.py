@@ -255,6 +255,100 @@ def test_sq8_codes_schema_and_roundtrip(spark):
         assert r.xhat[2] == 5.0  # constant dim: code -128, exact lo
 
 
+def test_sq8_bounds_frame_matches_collected(spark):
+    """r12: the in-plan bounds frame (broadcast into the index build so the
+    bounds aggregation rides the build's execution) must carry exactly the
+    lists the driver-side collect produces — lo per dimension, and steps
+    with the constant-dimension dummy 1.0."""
+    from etl_cloud_logistics_spark.operators.similarity import (
+        _sq8_steps,
+        train_sq8_bounds,
+        train_sq8_bounds_frame,
+    )
+
+    rows = [
+        (0, [0.0, -1.0, 5.0]),
+        (1, [1.0, 1.0, 5.0]),
+        (2, [0.25, 0.3, 5.0]),
+        (3, [0.75, -0.4, 5.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lo, hi = train_sq8_bounds(emb)
+    frame = train_sq8_bounds_frame(emb).collect()
+    assert len(frame) == 1
+    assert list(frame[0]["lo_arr"]) == lo
+    assert list(frame[0]["step_arr"]) == _sq8_steps(lo, hi)
+
+
+def test_knn_sq8_inplan_bounds_equals_list_api(spark):
+    """r12: knn_sq8 with lo/hi omitted (bounds derived in-plan) returns the
+    SAME rows as the explicit list API over the same corpus."""
+    from etl_cloud_logistics_spark.operators.similarity import (
+        knn_sq8,
+        train_sq8_bounds,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) / 11.0 for d in range(4)], i % 2)
+        for i in range(20)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    lo, hi = train_sq8_bounds(emb)
+    a = sorted(
+        map(tuple, knn_sq8(q, emb, 3, lo=lo, hi=hi, bucket_col="label").collect())
+    )
+    b = sorted(map(tuple, knn_sq8(q, emb, 3, bucket_col="label").collect()))
+    assert a == b and len(a) == 12
+
+
+def test_darray_sql_nonfinite_literals_parse_and_roundtrip(spark):
+    """ADVICE r11: repr() of nan/inf renders unparseable ('nanD'); the
+    fallback CAST forms must parse and round-trip the exact values."""
+    import math
+
+    from etl_cloud_logistics_spark.operators.similarity import lit_double_array
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), -0.0]
+    got = spark.range(1).select(lit_double_array(vals).alias("a")).first()["a"]
+    assert len(got) == len(vals)
+    assert got[0] == 1.5 and math.isnan(got[1])
+    assert got[2] == float("inf") and got[3] == float("-inf")
+    assert got[4] == 0.0 and math.copysign(1.0, got[4]) == -1.0
+
+
+def test_one_parse_builders_escape_backticks(spark):
+    """ADVICE r11: a column name containing a backtick must resolve in the
+    str overloads exactly as the Column API path does."""
+    from etl_cloud_logistics_spark.operators.similarity import (
+        dequantize_sq8,
+        dot_exact,
+        dot_exact_cols,
+        quantize_sq8,
+    )
+
+    df = spark.createDataFrame(
+        [([0.5, 0.25], [0.125, 1.0])], ["we`ird", "plain"]
+    )
+    via_str = df.select(dot_exact_cols("we`ird", "plain").alias("d")).first()["d"]
+    via_col = df.select(
+        dot_exact(F.col("`we``ird`"), F.col("plain")).alias("d")
+    ).first()["d"]
+    assert via_str == via_col
+    lo, hi = [0.0, 0.0], [1.0, 1.0]
+    codes_str = df.select(quantize_sq8("we`ird", lo, hi).alias("c")).first()["c"]
+    codes_col = df.select(
+        quantize_sq8(F.col("`we``ird`"), lo, hi).alias("c")
+    ).first()["c"]
+    assert list(codes_str) == list(codes_col)
+    deq = df.select(
+        quantize_sq8("we`ird", lo, hi).alias("we`ird2")
+    ).select(dequantize_sq8("we`ird2", lo, hi).alias("x")).first()["x"]
+    assert len(deq) == 2
+
+
 def test_sq8_full_shortlist_equals_float_path(spark, sf_med):
     """With a shortlist covering every candidate, the SQ8 path's rerank sees
     exactly what the float IVF path scores — results must be IDENTICAL
