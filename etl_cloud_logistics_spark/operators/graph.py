@@ -855,12 +855,16 @@ def sssp_fixed(
     but wall time.
 
     Per round — the PageRank shuffle shape: ONE frontier⋈edges equi-join
-    emitting (dst, dist+w) candidates, one union with the carried
-    distances, one map-side-combinable MIN aggregation; lineage truncates
-    per round via RoundCheckpointer (``checkpoint_dir`` switches to the
-    reliable two-slot parquet scheme), and the static edge list is pinned
-    to its join key past the BFS gate so big graphs exchange only the
-    O(|V|) distance side per round.
+    emitting (dst, dist+w) candidates, then a MIN carry that is
+    union+groupBy on floor-sized/reliable graphs and a candidate-only
+    aggregation merged into the carried distances by full-outer
+    ``least()`` join above the local pin gate (bit-equal by min-plus
+    algebra; the merge keeps the aggregation exchange to the candidate
+    side — see the in-loop comment); lineage truncates per round via
+    RoundCheckpointer (``checkpoint_dir`` switches to the reliable
+    two-slot parquet scheme), and the static edge list is pinned to its
+    join key past the BFS gate so big graphs exchange only the O(|V|)
+    distance side per round.
 
     Unreached nodes have NO row (sparse frontier — the 100 TB form;
     total rows ≤ reachable set, never |V|×rounds).  Returns
@@ -916,13 +920,40 @@ def sssp_fixed(
     # per-round shuffle is the scaling cost, so every round checkpoints
     # exactly as before (plans unchanged above the gate).
     stride2 = chk.run_dir is None and pin is None
+    # r12 (second pass over the round's "not yet optimized" #2 — guide
+    # §2.3, shuffle fewer bytes): ABOVE the pin gate the union+groupBy
+    # carry re-ships the whole distance frame through the MIN aggregation
+    # exchange every round on top of the O(|V|) join exchange.  A
+    # full-outer min-MERGE (aggregate the candidates alone, then
+    # d ⟗ cand_agg with least()) keeps the aggregation exchange to the
+    # candidate side only — measured DETERMINISTIC −4% per-invocation
+    # shuffle at 1e7 Zipf edges (495.4 → 475.8 MB; 28.6 → 28.4 MB at 1e6)
+    # at equal execution count, results bit-equal at both tiers, walls
+    # neutral-to-better (OPT_ATTR_r12.txt addendum).  The shape is gated
+    # to the pinned LOCAL regime: below the gate broadcast joins are free
+    # and stride-2 already owns the job floor (plans there unchanged), and
+    # in RELIABLE mode the parquet statics let AQE broadcast the distance
+    # side — a full-outer join cannot be broadcast at all (no BHJ support)
+    # so the merge would force a sort-merge join where today no join
+    # exists.  Two shuffle-neutral stride-2 shapes for this regime were
+    # measured and REJECTED in the same addendum: an explicit
+    # repartition(P, "node") carry is byte-IDENTICAL to plain stride-2
+    # (+17% at 1e7 — the skipped round's re-exchange just moves), and
+    # merge+stride-2 still pays +13%.
+    merge = chk.run_dir is None and pin is not None
     for it in range(n_rounds):
         cand = d.join(e, d["node"] == e["src"]).select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        new = d.unionByName(cand).groupBy("node").agg(
-            F.min("dist").alias("dist")
-        )
+        if merge:
+            cand_agg = cand.groupBy("node").agg(F.min("dist").alias("cd"))
+            new = d.join(cand_agg, "node", "full").select(
+                "node", F.least(F.col("dist"), F.col("cd")).alias("dist")
+            )
+        else:
+            new = d.unionByName(cand).groupBy("node").agg(
+                F.min("dist").alias("dist")
+            )
         if not stride2 or it % 2 == 1 or it == n_rounds - 1:
             new = chk(new)
         d = new

@@ -1387,3 +1387,47 @@ def test_sssp_fixed_matches_dijkstra_random_graph(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.dist for r in sssp_fixed(df, seeds, n_rounds=n).collect()}
     assert got == dist
+
+
+def test_sssp_fixed_merge_carry_gate_is_semantics_preserving(
+    spark, monkeypatch, tmp_path
+):
+    """The r12 big-graph carry (candidate-only MIN aggregation merged into
+    the carried distances by a full-outer ``least()`` join, active only in
+    the pinned LOCAL regime) must be a pure plan-shape knob: forcing the
+    pin gate each way — and running reliable mode, which always keeps the
+    union+groupBy carry — must give tuple-identical distances.  The graph
+    plants the hop-bounded trap (a direct heavy edge beaten by a longer
+    light path) so a carry that mis-merges a round would show."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators import graph as G
+
+    e = (
+        spark.range(6_000)
+        .select(
+            (F.pmod(F.hash(F.col("id")), F.lit(900))).alias("src"),
+            (F.pmod(F.hash(F.col("id") + 11), F.lit(900))).alias("dst"),
+            (F.lit(1) + F.pmod(F.hash(F.col("id") + 5), F.lit(9)))
+            .cast("long")
+            .alias("w"),
+        )
+        .filter("src <> dst")
+        .localCheckpoint(eager=True)
+    )
+    seeds = e.agg(F.min("src").alias("node"))
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES", 10**9)  # union carry
+    union_carry = {
+        (r.node, r.dist) for r in G.sssp_fixed(e, seeds, n_rounds=5).collect()
+    }
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES", 1)  # merge carry
+    merge_carry = {
+        (r.node, r.dist) for r in G.sssp_fixed(e, seeds, n_rounds=5).collect()
+    }
+    reliable = {
+        (r.node, r.dist)
+        for r in G.sssp_fixed(
+            e, seeds, n_rounds=5, checkpoint_dir=str(tmp_path / "chk")
+        ).collect()
+    }
+    assert merge_carry == union_carry == reliable and len(merge_carry) > 500
