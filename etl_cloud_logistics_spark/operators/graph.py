@@ -50,6 +50,17 @@ PIN_PARTITIONING_MIN_NODES = 50_000
 # un-pinned).  Sized to the default 10 MB autoBroadcastJoinThreshold over
 # ~16-byte (node, rank) rows with margin.
 PIN_PARTITIONING_MIN_NODES_RELIABLE = 2_000_000
+# Pin pagerank_fixed's NODES static by its per-round join key only past
+# this node count (r12 resumed session, local mode): the per-round
+# nodes⋈contribs LEFT join writes the whole node list to its exchange
+# every round once the planner stops keeping that join exchange-light —
+# measured flipping between ~3e5 and ~5e5 nodes on Zipf graphs (+48/52%
+# per-invocation shuffle from pinning at 1e5/3e5 nodes; −6% at 5e5 and
+# 1e6 nodes, wall −10/−25% at 1e6 nodes, results bit-equal —
+# OPT_ATTR_r12.txt addendum 2).  10× the edge-pin gate, and every shipped
+# size is measured-good; the one-off repin job is noise in this regime
+# (the pin-path doctrine in RoundCheckpointer.static).
+NODES_PIN_MIN_NODES = 500_000
 
 
 def bfs_min_hops(
@@ -266,6 +277,20 @@ def pagerank_fixed(
     )
     pin_key = "e_src" if n >= pin_min else None
     e_od = chk.static(e_od_frame, "edges-od", pin_key=pin_key)
+    # r12 resumed session (guide §2.3 — shuffle fewer bytes): past
+    # NODES_PIN_MIN_NODES, repin the already-checkpointed nodes static by
+    # its per-round join key so the nodes⋈contribs LEFT join stops
+    # writing the O(|V|) node list to an exchange every round (measured
+    # 679.3 → 639.6 MB per invocation at 1e7 Zipf edges / 1e6 nodes,
+    # walls −10/−25% over order-balanced idle sessions, bit-equal; the
+    # repin is one extra one-off job, which is noise here).  LOCAL mode
+    # only and deliberately ON TOP of the checkpoint rather than replacing
+    # it, so below the gate — every registry/driver graph — the plan is
+    # byte-identical to the pre-change shape.  Below ~3e5 nodes the pin
+    # is measured HARMFUL (+48-52% shuffle: the planner keeps that join
+    # exchange-light there), hence the dedicated higher gate.
+    if chk.run_dir is None and n >= NODES_PIN_MIN_NODES:
+        nodes = chk.static(nodes, "nodes-pinned", pin_key="node")
     if n_dangling:
         # hoist the SET too, not just the count: the per-round dang
         # aggregate semi-joins against it, and a lazy frame would re-run

@@ -1114,6 +1114,35 @@ def test_partitioning_pin_is_semantics_preserving_at_gate(spark, monkeypatch):
     assert pinned == unpinned and len(pinned) > 2500
 
 
+def test_nodes_pin_gate_is_semantics_preserving(spark, monkeypatch):
+    """The r12 nodes-static repin (NODES_PIN_MIN_NODES — pagerank_fixed's
+    per-round nodes⋈contribs join stops exchanging the node list on big
+    graphs) must be a pure plan-shape knob: forcing the gate each way,
+    with and without the edge pin underneath, gives identical fixed-point
+    ranks.  The graph keeps dangling nodes so the pinned static also
+    feeds the dangling-set build."""
+    from pyspark.sql import functions as F
+
+    from etl_cloud_logistics_spark.operators import graph as G
+
+    e = (
+        spark.range(15_000)
+        .select(
+            (F.pmod(F.hash(F.col("id")), F.lit(2000))).alias("src"),
+            (F.pmod(F.hash(F.col("id") + 7), F.lit(2500))).alias("dst"),
+        )
+        .filter("src <> dst")
+        .localCheckpoint(eager=True)
+    )
+    monkeypatch.setattr(G, "NODES_PIN_MIN_NODES", 10**9)  # force OFF
+    base = {(r.node, r.rank_fp) for r in G.pagerank_fixed(e, n_iter=4).collect()}
+    monkeypatch.setattr(G, "NODES_PIN_MIN_NODES", 1)  # force ON (edge pin off)
+    pinned = {(r.node, r.rank_fp) for r in G.pagerank_fixed(e, n_iter=4).collect()}
+    monkeypatch.setattr(G, "PIN_PARTITIONING_MIN_NODES", 1)  # both pins on
+    both = {(r.node, r.rank_fp) for r in G.pagerank_fixed(e, n_iter=4).collect()}
+    assert pinned == base == both and len(base) > 2000
+
+
 def test_partitioning_pin_reliable_mode_semantics(spark, monkeypatch, tmp_path):
     """Same invariant for the reliable-mode pin (r8: parquet slot + keyed
     persisted read-back past PIN_PARTITIONING_MIN_NODES_RELIABLE): forcing
