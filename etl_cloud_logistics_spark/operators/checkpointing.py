@@ -242,6 +242,23 @@ class RoundCheckpointer:
         out._rc_slot_kind = "static"
         return out
 
+    def repin(self, df: DataFrame, pin_key: str) -> DataFrame:
+        """Re-key an ALREADY-MATERIALIZED static (or checkpointed frame)
+        to a join-key partitioning and register the cache for cleanup —
+        the post-hoc form of ``static(pin_key=...)`` for callers whose
+        gate signal (a count) only exists after the frame materializes
+        (r12: pagerank_fixed's nodes pin past NODES_PIN_MIN_NODES;
+        sssp_fixed's reliable edge pin past its broadcast-flip gate).
+        The input must already be durable/recomputable on its own (a
+        checkpointed frame or a parquet static read-back) — the pinned
+        cache is a layer over it, exactly like ``static``'s pin tail, and
+        a lost block recomputes from the underlying frame."""
+        out = df.repartition(pin_key).persist()
+        out.count()
+        self._persisted_statics.append(out)
+        out._rc_slot_kind = "static"
+        return out
+
     def cleanup_stale(self, returning: DataFrame | None = None) -> None:
         """Remove everything the caller's RETURNED frame does not read —
         the alternate round slot AND every static slot — so shared

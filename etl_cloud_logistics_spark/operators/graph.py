@@ -50,6 +50,26 @@ PIN_PARTITIONING_MIN_NODES = 50_000
 # un-pinned).  Sized to the default 10 MB autoBroadcastJoinThreshold over
 # ~16-byte (node, rank) rows with margin.
 PIN_PARTITIONING_MIN_NODES_RELIABLE = 2_000_000
+# Pin sssp_fixed's RELIABLE-mode edge static by its join key only past
+# this edge count (r12 resumed session): below it the per-round parquet
+# slots' accurate statistics keep the DISTANCE side broadcast and the
+# pin is measured harmful (+26/+28% per-invocation shuffle at 1e7/1e8
+# Zipf edges — the re-key plus forced shuffle joins where broadcast was
+# free); past the flip the un-pinned relaxation join re-exchanges
+# O(|E|) EVERY round (measured 15.9 GB vs 8.2 GB pinned at 2e8 edges,
+# 23.4 vs 12.1 GB at 3e8 — −48% shuffle, −30/−40% wall, bit-equal;
+# OPT_ATTR_r12.txt addendum 3).  The flip sits between the measured
+# 99.6M-edge (harmful) and 199.3M-edge (winning) tiers under the
+# engine's 64 MB broadcast threshold; the 2e8 constant is CONSERVATIVE —
+# every gated size lies at or inside the measured-good 199.3M-299M
+# bracket (or past it, where the O(|E|)-per-round blowup only grows),
+# and the 199.3M probe tier itself deliberately sits just below the
+# gate rather than overfitting the constant to one generator's edge
+# count.  Edge count is the signal,
+# like the local-mode gates — on much denser graphs (|V| ≪ |E|/10) the
+# distance side stays broadcastable longer and the pin fires early; the
+# same accepted power-law-shaped exposure as the local n_e gates.
+SSSP_RELIABLE_PIN_MIN_EDGES = 200_000_000
 # Pin pagerank_fixed's NODES static by its per-round join key only past
 # this node count (r12 resumed session, local mode): the per-round
 # nodes⋈contribs LEFT join writes the whole node list to its exchange
@@ -290,7 +310,7 @@ def pagerank_fixed(
     # is measured HARMFUL (+48-52% shuffle: the planner keeps that join
     # exchange-light there), hence the dedicated higher gate.
     if chk.run_dir is None and n >= NODES_PIN_MIN_NODES:
-        nodes = chk.static(nodes, "nodes-pinned", pin_key="node")
+        nodes = chk.repin(nodes, "node")
     if n_dangling:
         # hoist the SET too, not just the count: the per-round dang
         # aggregate semi-joins against it, and a lazy frame would re-run
@@ -923,6 +943,18 @@ def sssp_fixed(
     else:
         pin = "src"  # reliable mode always checkpoints every round below
         e = chk.static(edges_frame, "edges")
+        # r12 resumed session (guide §2.3): past the distance-side
+        # broadcast flip the un-pinned relaxation join re-exchanges the
+        # whole edge static every round — repin it by the join key past
+        # SSSP_RELIABLE_PIN_MIN_EDGES (the pagerank_fixed reliable
+        # discipline, measured for THIS operator's dataflow: −48%
+        # per-invocation shuffle at 2e8/3e8 Zipf edges, harmful below
+        # the flip, hence the dedicated gate — see the constant).  The
+        # gate count is metadata-only off the parquet static just
+        # written; the pinned cache layers over the parquet slot, so a
+        # lost executor recomputes pinned blocks from the durable file.
+        if e.count() >= SSSP_RELIABLE_PIN_MIN_EDGES:
+            e = chk.repin(e, "src")
     d = chk(
         sources.select("node").distinct().withColumn(
             "dist", F.lit(0).cast("long")

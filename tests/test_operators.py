@@ -1459,4 +1459,16 @@ def test_sssp_fixed_merge_carry_gate_is_semantics_preserving(
             e, seeds, n_rounds=5, checkpoint_dir=str(tmp_path / "chk")
         ).collect()
     }
-    assert merge_carry == union_carry == reliable and len(merge_carry) > 500
+    # force the r12 reliable-mode edge pin too (the broadcast-flip gate):
+    # pinned reliable must also be tuple-identical
+    monkeypatch.setattr(G, "SSSP_RELIABLE_PIN_MIN_EDGES", 1)
+    reliable_pinned = {
+        (r.node, r.dist)
+        for r in G.sssp_fixed(
+            e, seeds, n_rounds=5, checkpoint_dir=str(tmp_path / "chk2")
+        ).collect()
+    }
+    assert (
+        merge_carry == union_carry == reliable == reliable_pinned
+        and len(merge_carry) > 500
+    )
